@@ -1,0 +1,99 @@
+"""Collision detection: grid candidate windows + vectorized AABB tests.
+
+TPU-native port of the reference's handle_collisions
+(src/flows/logic_flow.rs:454-655): bucket moved entities by section, find
+related entities via the tree, apply a camera-distance cutoff, AABB-intersect,
+then invoke per-type collision callbacks with (self, other) asymmetry. Here:
+
+  * candidate search  ->  ``grid.neighbor_candidates`` (27-cell windows over
+    the sorted key index) — static shapes, one gather.
+  * the 200-unit camera-distance cutoff (logic_flow.rs:553)  ->
+    ``camera_cutoff`` mask.
+  * per-pair callbacks  ->  per *query* entity: each moved+collidable entity
+    learns the index of its first colliding neighbor (optionally filtered by
+    the other's type), and the type's vectorized collision callback runs
+    under that mask. Both members of a moved-moved pair are queries, so both
+    sides get their callback — the reference's self/other asymmetry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from render_engine_tpu.ecs import registry as R
+from render_engine_tpu.ecs.world import World
+from render_engine_tpu.math import aabb as A
+from render_engine_tpu.world import grid as G
+
+CAMERA_CUTOFF = 200.0  # same constant as logic_flow.rs collision cutoff
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cand", "hit"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class CollisionResult:
+    """Per-entity candidate table: ``cand`` int32[CAP, K] neighbor entity
+    ids, ``hit`` bool[CAP, K] which of them overlap this entity's AABB."""
+
+    cand: jnp.ndarray
+    hit: jnp.ndarray
+
+    def any_hit(self) -> jnp.ndarray:
+        return jnp.any(self.hit, axis=-1)
+
+    def first_hit_of_type(self, world: World, type_index: int
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(other_idx int32[CAP], mask bool[CAP]): first colliding neighbor
+        whose type is ``type_index`` (or any type if ``type_index < 0``)."""
+        other_type = world["type_id"][self.cand]  # (CAP, K)
+        ok = self.hit
+        if type_index >= 0:
+            ok = ok & (other_type == type_index)
+        has = jnp.any(ok, axis=-1)
+        first = jnp.argmax(ok, axis=-1)
+        other = jnp.take_along_axis(self.cand, first[:, None], axis=-1)[:, 0]
+        return other, has
+
+
+def find_collisions(
+    world: World,
+    grid: G.GridIndex,
+    camera_position: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    per_cell_budget: int = 8,
+) -> CollisionResult:
+    """AABB-overlap candidates for every entity in ``query_mask``
+    (typically moved & CanCauseCollisions, plus the user entity when
+    UserAlwaysCausesCollisions is set — logic_flow.rs:454-537)."""
+    cfg = world.config
+    # camera cutoff (logic_flow.rs: collisions only near the camera)
+    near_cam = (
+        jnp.sum((world["position"] - camera_position[None]) ** 2, axis=-1)
+        <= jnp.float32(CAMERA_CUTOFF) ** 2
+    )
+    q = query_mask & near_cam
+
+    cand, valid = G.neighbor_candidates(grid, grid.keys, cfg, per_cell_budget)
+    cap = world.capacity
+    self_ids = jnp.arange(cap, dtype=jnp.int32)[:, None]
+    valid = valid & (cand != self_ids) & world.alive[cand] & q[:, None]
+
+    mn, mx = world["aabb_min"], world["aabb_max"]
+    hit = valid & A.intersects(
+        mn[:, None, :], mx[:, None, :], mn[cand], mx[cand]
+    )
+    return CollisionResult(cand=cand, hit=hit)
+
+
+def collision_query_mask(world: World, moved: jnp.ndarray) -> jnp.ndarray:
+    """Which entities initiate collision checks this frame."""
+    collidable = world.flag_set(R.FLAG_COLLIDABLE)
+    always_user = world.flag_set(R.FLAG_USER_ALWAYS_COLLIDES)
+    return (moved & collidable) | (always_user & collidable)

@@ -1,0 +1,148 @@
+"""The jitted world tick — LogicFlow::execute_logic as one pure function.
+
+Stage order mirrors the reference frame (src/flows/pipeline.rs:212-276 and
+src/flows/logic_flow.rs:181-265):
+
+  1. visibility-gated active mask (logic sphere UNION render frustum,
+     pipeline.rs:222-229) plus AlwaysExecuteLogic overrides
+     (logic_flow.rs:801-837), minus static entities
+  2. user-input logic (camera/ship, logic_flow.rs:165)
+  3. kinematics integration (update_positions, :308-448)
+  4. out-of-bounds handling (:271-301)
+  5. transform/AABB refresh for moved entities (entity_change_helpers
+     batched refresh)
+  6. grid rebuild + collision detection and per-type collision callbacks
+     (handle_collisions, :454-655)
+  7. per-type entity logic + random logic (update_logic, :662-734)
+  8. apply the frame's accumulated ChangeSet (update_bounding_box_tree ->
+     apply_change, :742-773), including spawns/despawns
+  9. second transform refresh for logic-dirtied entities
+ 10. camera hard-snapped to the user entity (:257-258)
+
+Everything is static-shape; the returned step function jits and vmaps/shards
+cleanly (the entity axis is the sharding axis for multi-chip, see
+render_engine_tpu/parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from render_engine_tpu.ecs import changes as C
+from render_engine_tpu.ecs import registry as R
+from render_engine_tpu.ecs.world import World
+from render_engine_tpu.logic import collision as COL
+from render_engine_tpu.logic import kinematics as K
+from render_engine_tpu.logic.types import EntityType, InputState
+from render_engine_tpu.world import culling
+from render_engine_tpu.world import grid as G
+
+
+def make_step(
+    types: Sequence[EntityType],
+    *,
+    logic_radius: float | None = None,
+    spawn_budget: int = 0,
+    collision_budget: int = 8,
+):
+    """Build the world tick for a closed set of entity types.
+
+    ``logic_radius``: the LogicFrustumCuller sphere radius (defaults to the
+    camera draw distance at call time when None).
+    """
+    types = tuple(types)
+
+    def step(world: World, camera, inputs: InputState, dt,
+             model_aabb_min, model_aabb_max):
+        dt = jnp.float32(dt)
+        rng = jax.random.key(inputs.rng_seed)
+
+        # 0. clear per-frame markers (pipeline.rs:268-276 dirty-flag reset)
+        flags0 = world["flags"] & ~(R.FLAG_HAS_MOVED | R.FLAG_HAS_ROTATED)
+        world = world.replace(flags=flags0)
+
+        # 1. active mask: (frustum | near sphere | AlwaysExecuteLogic),
+        #    excluding static entities
+        radius = camera.draw_distance if logic_radius is None else logic_radius
+        vis = culling.visible_mask(world, camera, logic_radius=radius)
+        active = (vis | world.flag_set(R.FLAG_ALWAYS_LOGIC)) & ~world.flag_set(
+            R.FLAG_STATIC
+        )
+
+        cs = C.empty_changeset(world, spawn_budget=spawn_budget)
+
+        # 2. user input logic
+        for t in types:
+            if t.user_input is not None:
+                cs, camera = t.user_input(world, camera, inputs, dt, cs)
+
+        # 3. kinematics
+        world, moved, rotated = K.integrate(world, dt, active)
+
+        # 4. out of bounds
+        world, kill_oob = K.handle_out_of_bounds(world, {}, types)
+
+        # 5. refresh transforms for kinematically dirty entities
+        world = K.refresh_transforms(
+            world, model_aabb_min, model_aabb_max, moved | rotated
+        )
+
+        # 6. collisions
+        has_collision = any(t.collision is not None for t in types)
+        if has_collision:
+            grid = G.build_grid(world)
+            qmask = COL.collision_query_mask(world, moved)
+            colres = COL.find_collisions(
+                world, grid, camera.position, qmask,
+                per_cell_budget=collision_budget,
+            )
+            other_idx, hit_mask = colres.first_hit_of_type(world, -1)
+            for t in types:
+                if t.collision is not None:
+                    tmask = hit_mask & world.of_type(t.index)
+                    cs = t.collision(world, other_idx, tmask, cs)
+
+        # 7. per-type logic
+        for t in types:
+            tmask = active & world.of_type(t.index)
+            if t.logic is not None:
+                cs = t.logic(world, dt, tmask, cs)
+            if t.random_logic is not None:
+                rng, sub = jax.random.split(rng)
+                cs = t.random_logic(world, dt, tmask, sub, cs)
+
+        # 8. apply everything (+ out-of-bounds deletions)
+        cs = C.with_despawn(cs, kill_oob)
+        logic_dirty = jnp.zeros(world.capacity, bool)
+        for name in ("position", "orientation", "scale"):
+            if name in cs.updates:
+                logic_dirty = logic_dirty | cs.updates[name][1]
+        spawned_any = cs.spawns is not None
+        world = C.apply_changeset(world, cs)
+
+        # 9. refresh transforms for logic-dirtied + freshly spawned entities
+        if spawned_any:
+            logic_dirty = logic_dirty | world.alive  # conservative: spawns
+            # land in previously-dead slots; cheapest correct policy when a
+            # spawn budget exists is refreshing all alive entities' dirty
+            # subset — restrict to entities lacking a valid transform is not
+            # expressible cheaply, and refresh is one fused op anyway.
+        world = K.refresh_transforms(
+            world, model_aabb_min, model_aabb_max, logic_dirty
+        )
+
+        # 10. camera follows the user entity
+        has_user = world.flag_set(R.FLAG_USER)
+        uidx = jnp.argmax(has_user)
+        user_pos = world["position"][uidx]
+        camera = dataclasses.replace(
+            camera,
+            position=jnp.where(jnp.any(has_user), user_pos, camera.position),
+        )
+        return world, camera
+
+    return step

@@ -1,0 +1,119 @@
+"""Entity types, logic callbacks, and the per-frame input snapshot.
+
+The reference wires per-type behaviour through function-pointer maps keyed by
+TypeId (``InstanceLogic``: entity / random_entity / collision /
+random_collision / out_of_bounds, reference src/exports/load_models.rs:73-95,
+callback signatures src/exports/logic_components.rs:15-50). A jit-friendly
+design needs a *closed* set of callbacks at trace time (SURVEY.md section 7
+hard part 3): entity types are declared up front as ``EntityType`` records;
+the step unrolls over them, each callback running vectorized over the whole
+entity arrays under a ``(alive & type & active)`` mask.
+
+Callback signatures (all pure; ``cs`` is the frame's accumulating ChangeSet):
+
+  logic(world, dt, mask, cs) -> cs
+      the EntityLogic analogue: vectorized over all entities, write updates
+      masked by ``mask`` (bool[CAP]).
+  random_logic(world, dt, mask, rng, cs) -> cs
+      the reference's random_entity_logic: nondeterminism is *allowed* here
+      because the rng key is part of the recorded frame inputs — replay
+      feeds the same key, so recompute is bit-identical (the reference
+      instead records these changes, load_models.rs:76).
+  collision(world, other_idx, mask, cs) -> cs
+      CollisionLogic analogue: ``other_idx`` int32[CAP] is, per entity of
+      this type, the first colliding entity's index; ``mask`` marks entities
+      that actually collided this frame. The other entity is read-only —
+      the EntityIdRead contract (entity_id.rs:6-51) by construction.
+  user_input(world, camera, inputs, dt, cs) -> (cs, camera)
+      UserInputLogic analogue, runs once for the user entity's type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+# Out-of-bounds policies (reference OutOfBoundsLogic + IsOutOfBounds marker /
+# delete path, entity_change_helpers.rs:325-351)
+OOB_CLAMP = "clamp"
+OOB_DELETE = "delete"
+OOB_MARK = "mark"
+
+
+@dataclasses.dataclass(frozen=True)
+class EntityType:
+    """One registered entity type (the TypeIdentifier analogue, ecs.rs:91-110
+    — but an explicit small integer instead of a transmuted TypeId)."""
+
+    name: str
+    index: int
+    logic: Optional[Callable] = None
+    random_logic: Optional[Callable] = None
+    collision: Optional[Callable] = None
+    user_input: Optional[Callable] = None
+    out_of_bounds: str = OOB_CLAMP
+
+    def __hash__(self):
+        return hash((self.name, self.index, self.out_of_bounds,
+                     id(self.logic), id(self.random_logic),
+                     id(self.collision), id(self.user_input)))
+
+
+# Key indices for InputState.keys — the MovementKeys analogue
+# (src/window/movement_keys.rs:4-41) plus the playback-control keys
+# (render_thread.rs:323-400).
+KEY_W, KEY_A, KEY_S, KEY_D = 0, 1, 2, 3
+KEY_SPACE, KEY_SHIFT = 4, 5
+KEY_UP, KEY_DOWN, KEY_LEFT, KEY_RIGHT = 6, 7, 8, 9
+KEY_ESC, KEY_INSERT = 10, 11
+NUM_KEYS = 16
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["keys", "mouse_delta", "rng_seed"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class InputState:
+    """One frame's input snapshot — the CurrentFrameInput analogue
+    (src/window/input_state.rs:5-158). This (plus dt) is the entire replay
+    wire format: record the stream, replay it, get identical bits."""
+
+    keys: jnp.ndarray  # bool[NUM_KEYS]
+    mouse_delta: jnp.ndarray  # (2,) f32, yaw/pitch deltas in radians
+    rng_seed: jnp.ndarray  # uint32 scalar: per-frame randomness source
+
+    @staticmethod
+    def idle(seed: int = 0) -> "InputState":
+        return InputState(
+            keys=jnp.zeros(NUM_KEYS, bool),
+            mouse_delta=jnp.zeros(2, jnp.float32),
+            rng_seed=jnp.uint32(seed),
+        )
+
+    def with_keys(self, *indices: int) -> "InputState":
+        keys = self.keys
+        for i in indices:
+            keys = keys.at[i].set(True)
+        return dataclasses.replace(self, keys=keys)
+
+    def serialize(self) -> jnp.ndarray:
+        """Flatten to one f32 vector for the history log."""
+        return jnp.concatenate([
+            self.keys.astype(jnp.float32),
+            self.mouse_delta,
+            jnp.asarray(self.rng_seed, jnp.float32)[None],
+        ])
+
+    @staticmethod
+    def deserialize(v: jnp.ndarray) -> "InputState":
+        return InputState(
+            keys=v[:NUM_KEYS] > 0.5,
+            mouse_delta=v[NUM_KEYS:NUM_KEYS + 2],
+            rng_seed=v[NUM_KEYS + 2].astype(jnp.uint32),
+        )

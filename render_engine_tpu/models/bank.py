@@ -1,0 +1,193 @@
+"""Model bank: all geometry packed into one set of device arrays.
+
+Redesign of the reference's ModelBankOwner/ModelBank (src/models/
+model_storage.rs:16-466) and ModelId LoV packing (model_definitions.rs:10-59):
+
+  * per-model VBOs + dirty "models changed -> reupload VRAM" flags  ->
+    everything concatenated once into global arrays; renderers gather by
+    per-model (tri_offset, tri_count). Nothing is re-uploaded per frame.
+  * ModelId with the level-of-view index packed into bits 25-31  ->  an
+    explicit ``lov_table (M, L)`` mapping (model, band) -> bank entry, with
+    band fractions of draw distance matching the reference's 5 default bands
+    at 10/15/20/25/30% (prelude/default_render_system.rs:239-256,
+    NUMBER_DEFAULT_LEVEL_VIEWS = 5).
+  * TextureLocation's 5 packed texture pairs -> a per-material table row
+    (albedo rgb, emissive, alpha, texture id).
+
+The builder is host-side numpy; ``finalize()`` freezes to jnp arrays in a
+pytree the jitted render step closes over.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_LOV_BANDS = 5  # reference NUMBER_DEFAULT_LEVEL_VIEWS
+# Band thresholds as fractions of draw distance (reference
+# create_level_of_views: 10/15/20/25/30%; beyond the last band the coarsest
+# geometry is used).
+DEFAULT_LOV_FRACTIONS = (0.10, 0.15, 0.20, 0.25, 0.30)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "vertices", "normals", "uvs", "tri_v", "tri_material",
+        "tri_offset", "tri_count", "vtx_offset",
+        "aabb_min", "aabb_max",
+        "mat_albedo", "mat_emissive", "mat_alpha", "mat_texture",
+        "lov_table", "lov_fractions",
+    ],
+    meta_fields=["names"],
+)
+@dataclasses.dataclass(frozen=True)
+class ModelBank:
+    vertices: jnp.ndarray  # (V, 3)
+    normals: jnp.ndarray  # (V, 3)
+    uvs: jnp.ndarray  # (V, 2)
+    tri_v: jnp.ndarray  # (F, 3) int32, global vertex ids
+    tri_material: jnp.ndarray  # (F,) int32 into material table
+    tri_offset: jnp.ndarray  # (M,) int32
+    tri_count: jnp.ndarray  # (M,) int32
+    vtx_offset: jnp.ndarray  # (M,) int32 (bookkeeping)
+    aabb_min: jnp.ndarray  # (M, 3) object-space AABB
+    aabb_max: jnp.ndarray  # (M, 3)
+    mat_albedo: jnp.ndarray  # (K, 3)
+    mat_emissive: jnp.ndarray  # (K,) 0 = lit, >0 = emissive brightness
+    mat_alpha: jnp.ndarray  # (K,) 1 = opaque
+    mat_texture: jnp.ndarray  # (K,) int32 texture id, -1 = solid color
+    lov_table: jnp.ndarray  # (M, NUM_LOV_BANDS + 1) int32 bank entries
+    lov_fractions: jnp.ndarray  # (NUM_LOV_BANDS,) of draw distance
+    names: tuple  # (M,) model names, static
+
+    @property
+    def num_models(self) -> int:
+        return len(self.names)
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_v.shape[0]
+
+    def model_index(self, name: str) -> int:
+        return self.names.index(name)
+
+    def lov_model_id(self, model_id, distance, draw_distance):
+        """Vectorized (model, camera distance) -> bank entry with the LoV
+        band applied (the ModelId bit-packing replacement). ``model_id``
+        int32 (N,), ``distance`` f32 (N,)."""
+        frac = distance / jnp.float32(draw_distance)
+        band = jnp.searchsorted(self.lov_fractions, frac, side="right")
+        band = jnp.clip(band, 0, NUM_LOV_BANDS)  # index L = beyond last band
+        safe = jnp.clip(model_id, 0, self.lov_table.shape[0] - 1)
+        return jnp.where(
+            model_id >= 0,
+            self.lov_table[safe, band],
+            model_id,
+        )
+
+
+class ModelBankBuilder:
+    """Host-side accumulation of meshes + materials, then freeze."""
+
+    def __init__(self, lov_fractions=DEFAULT_LOV_FRACTIONS):
+        self._v, self._n, self._uv = [], [], []
+        self._tri, self._tri_mat = [], []
+        self._models = []  # (name, vtx_off, tri_off, tri_count, mn, mx)
+        self._mats = []  # dict(albedo, emissive, alpha, texture)
+        self._lov = {}  # model index -> list of (band model indices)
+        self._lov_fractions = tuple(lov_fractions)
+        # material 0: the error material — the reference keeps an
+        # error-texture array of named colors (helper_constructs.rs:2-12)
+        self.add_material(albedo=(1.0, 0.0, 1.0))
+
+    # ----------------------------------------------------------- materials
+    def add_material(self, albedo=(1.0, 1.0, 1.0), emissive=0.0, alpha=1.0,
+                     texture=-1) -> int:
+        self._mats.append(
+            dict(albedo=np.asarray(albedo, np.float32),
+                 emissive=float(emissive), alpha=float(alpha),
+                 texture=int(texture))
+        )
+        return len(self._mats) - 1
+
+    # -------------------------------------------------------------- models
+    def add_model(self, name, mesh, material: int | None = None,
+                  tri_material=None) -> int:
+        """Register a mesh. Either one ``material`` id for all triangles or
+        a per-triangle ``tri_material`` array (ids from add_material)."""
+        v, n, uv, f = mesh
+        if material is None and tri_material is None:
+            material = 0
+        vtx_off = len(self._v) and sum(len(x) for x in self._v)
+        vtx_off = sum(len(x) for x in self._v)
+        tri_off = sum(len(x) for x in self._tri)
+        self._v.append(np.asarray(v, np.float32))
+        self._n.append(np.asarray(n, np.float32))
+        self._uv.append(np.asarray(uv, np.float32))
+        self._tri.append(np.asarray(f, np.int32) + vtx_off)
+        if tri_material is not None:
+            self._tri_mat.append(np.asarray(tri_material, np.int32))
+        else:
+            self._tri_mat.append(np.full(len(f), material, np.int32))
+        mn = v.min(axis=0) if len(v) else np.zeros(3, np.float32)
+        mx = v.max(axis=0) if len(v) else np.zeros(3, np.float32)
+        self._models.append((name, vtx_off, tri_off, len(f), mn, mx))
+        return len(self._models) - 1
+
+    def add_obj(self, name, path) -> int:
+        """Load an OBJ with its MTL materials (solid diffuse colors)."""
+        from render_engine_tpu.models.obj_loader import load_obj
+
+        v, n, uv, f, tri_mat, mats = load_obj(path)
+        ids = [self.add_material(albedo=m["kd"]) for m in mats]
+        remap = np.asarray(ids, np.int32)[tri_mat]
+        return self.add_model(name, (v, n, uv, f), tri_material=remap)
+
+    def set_levels_of_view(self, model: int, band_models: list[int]):
+        """Per-band bank entries, nearest first; padded with the last entry
+        to NUM_LOV_BANDS + 1 (the reference's per-model LoV registry,
+        render_system.rs:603-625)."""
+        chain = list(band_models)
+        while len(chain) < NUM_LOV_BANDS + 1:
+            chain.append(chain[-1])
+        self._lov[model] = chain[: NUM_LOV_BANDS + 1]
+
+    # ------------------------------------------------------------ finalize
+    def finalize(self) -> ModelBank:
+        if not self._models:
+            raise ValueError("empty model bank")
+        v = np.concatenate(self._v)
+        n = np.concatenate(self._n)
+        uv = np.concatenate(self._uv)
+        tri = np.concatenate(self._tri)
+        tri_mat = np.concatenate(self._tri_mat)
+        m = len(self._models)
+        lov = np.zeros((m, NUM_LOV_BANDS + 1), np.int32)
+        for i in range(m):
+            lov[i] = self._lov.get(i, [i] * (NUM_LOV_BANDS + 1))
+        return ModelBank(
+            vertices=jnp.asarray(v),
+            normals=jnp.asarray(n),
+            uvs=jnp.asarray(uv),
+            tri_v=jnp.asarray(tri),
+            tri_material=jnp.asarray(tri_mat),
+            tri_offset=jnp.asarray([x[2] for x in self._models], jnp.int32),
+            tri_count=jnp.asarray([x[3] for x in self._models], jnp.int32),
+            vtx_offset=jnp.asarray([x[1] for x in self._models], jnp.int32),
+            aabb_min=jnp.asarray(np.stack([x[4] for x in self._models])),
+            aabb_max=jnp.asarray(np.stack([x[5] for x in self._models])),
+            mat_albedo=jnp.asarray(np.stack([d["albedo"] for d in self._mats])),
+            mat_emissive=jnp.asarray([d["emissive"] for d in self._mats],
+                                     jnp.float32),
+            mat_alpha=jnp.asarray([d["alpha"] for d in self._mats], jnp.float32),
+            mat_texture=jnp.asarray([d["texture"] for d in self._mats],
+                                    jnp.int32),
+            lov_table=jnp.asarray(lov),
+            lov_fractions=jnp.asarray(self._lov_fractions, jnp.float32),
+            names=tuple(x[0] for x in self._models),
+        )

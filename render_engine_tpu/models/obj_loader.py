@@ -1,0 +1,135 @@
+"""Wavefront OBJ (+ MTL) loading, host-side numpy.
+
+Parity with the reference's tobj-based loader (src/models/model_storage.rs:
+116-266): triangulated faces, per-mesh material with diffuse color (only the
+diffuse channel is consumed, model_storage.rs:190-193 — MTL ``Kd`` or a
+texture map name), vertices/normals/texcoords unified per face-vertex.
+
+Returns the same mesh tuple shape as primitives: (vertices, normals, uvs,
+triangles), plus per-triangle material indices and a material table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def load_mtl(path: str) -> dict:
+    """Parse an MTL file -> {name: {"kd": (3,), "map_kd": str|None}}."""
+    mats = {}
+    cur = None
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if parts[0] == "newmtl":
+                cur = parts[1]
+                mats[cur] = {"kd": np.array([1.0, 1.0, 1.0], np.float32),
+                             "map_kd": None}
+            elif cur is not None and parts[0] == "Kd":
+                mats[cur]["kd"] = np.array(parts[1:4], np.float32)
+            elif cur is not None and parts[0] == "map_Kd":
+                mats[cur]["map_kd"] = parts[-1]
+    return mats
+
+
+def load_obj(path: str):
+    """Load an OBJ file.
+
+    Returns ``(vertices, normals, uvs, triangles, tri_material, materials)``
+    where ``tri_material`` is int32 (F,) indexing ``materials`` (a list of
+    {"name", "kd", "map_kd"} dicts; index 0 is a default white material when
+    the file declares none).
+    """
+    positions, normals_raw, uvs_raw = [], [], []
+    corner_map: dict = {}
+    out_v, out_n, out_uv = [], [], []
+    tris, tri_mat = [], []
+    materials = [{"name": "__default__",
+                  "kd": np.array([1.0, 1.0, 1.0], np.float32),
+                  "map_kd": None}]
+    mat_index = {"__default__": 0}
+    cur_mat = 0
+    mtl: dict = {}
+
+    def corner(token: str) -> int:
+        if token in corner_map:
+            return corner_map[token]
+        f = token.split("/")
+        vi = int(f[0])
+        vi = vi - 1 if vi > 0 else len(positions) + vi
+        ti = None
+        if len(f) > 1 and f[1]:
+            t = int(f[1])
+            ti = t - 1 if t > 0 else len(uvs_raw) + t
+        ni = None
+        if len(f) > 2 and f[2]:
+            n = int(f[2])
+            ni = n - 1 if n > 0 else len(normals_raw) + n
+        idx = len(out_v)
+        out_v.append(positions[vi])
+        out_uv.append(uvs_raw[ti] if ti is not None else [0.0, 0.0])
+        out_n.append(normals_raw[ni] if ni is not None else [0.0, 0.0, 0.0])
+        corner_map[token] = idx
+        return idx
+
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            tag = parts[0]
+            if tag == "v":
+                positions.append([float(x) for x in parts[1:4]])
+            elif tag == "vn":
+                normals_raw.append([float(x) for x in parts[1:4]])
+            elif tag == "vt":
+                uvs_raw.append([float(parts[1]), float(parts[2])])
+            elif tag == "mtllib":
+                mpath = os.path.join(os.path.dirname(path), parts[1])
+                if os.path.exists(mpath):
+                    mtl = load_mtl(mpath)
+            elif tag == "usemtl":
+                name = parts[1]
+                if name not in mat_index:
+                    info = mtl.get(name, {})
+                    materials.append({
+                        "name": name,
+                        "kd": np.asarray(
+                            info.get("kd", [1.0, 1.0, 1.0]), np.float32),
+                        "map_kd": info.get("map_kd"),
+                    })
+                    mat_index[name] = len(materials) - 1
+                cur_mat = mat_index[name]
+            elif tag == "f":
+                ids = [corner(t) for t in parts[1:]]
+                for k in range(1, len(ids) - 1):  # fan triangulation
+                    tris.append([ids[0], ids[k], ids[k + 1]])
+                    tri_mat.append(cur_mat)
+
+    v = np.asarray(out_v, np.float32)
+    n = np.asarray(out_n, np.float32)
+    # fill missing normals with face normals
+    if len(tris) and (np.linalg.norm(n, axis=1) < 1e-8).any():
+        f = np.asarray(tris, np.int32)
+        e1 = v[f[:, 1]] - v[f[:, 0]]
+        e2 = v[f[:, 2]] - v[f[:, 0]]
+        fn = np.cross(e1, e2)
+        fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+        acc = np.zeros_like(n)
+        for c in range(3):
+            np.add.at(acc, f[:, c], fn)
+        missing = np.linalg.norm(n, axis=1) < 1e-8
+        lens = np.maximum(np.linalg.norm(acc, axis=1, keepdims=True), 1e-12)
+        n[missing] = (acc / lens)[missing]
+    return (
+        v,
+        n.astype(np.float32),
+        np.asarray(out_uv, np.float32),
+        np.asarray(tris, np.int32),
+        np.asarray(tri_mat, np.int32),
+        materials,
+    )

@@ -1,0 +1,141 @@
+"""Uniform spatial grid over the world cube, as a sorted section-key index.
+
+TPU-native replacement for the reference's BoundingBoxTree
+(src/world/bounding_box_tree_v2.rs:330-1398). The mapping:
+
+  * ``UniqueWorldSectionId{level,x,z,y}`` (:21-109)  ->  a packed int32
+    section key ``kx + G*(ky + G*kz)`` from the entity's *position* at one
+    atomic level. The reference's coarser levels exist because a hashmap
+    needs one home cell per entity; here neighbor *windows* over the sorted
+    key array answer every query, so one level suffices as long as
+    ``section_length`` >= the largest entity diameter (the same role the
+    atomic length plays in the reference, load_models.rs:52).
+  * ``SharedWorldSectionId`` (entities straddling borders, :112-155)  ->
+    nothing: straddlers are found by the 27-neighbor window + an exact AABB
+    test, which is cheaper than maintaining shared-section sets.
+  * entity->section / section->entities lookups (:329-347)  ->  ``argsort``
+    of keys + ``searchsorted`` windows (build once per frame).
+  * ``find_related_entities`` vertical walk (:950-1048)  ->
+    ``neighbor_candidates``: gather a fixed per-cell budget from the 27
+    surrounding cells.
+  * out-of-bounds clamping (:1384-1397)  ->  key clamping in ``section_key``.
+  * per-cell fitted AABBs with cost cap (:1055-1130)  ->  not needed;
+    culling tests entity AABBs directly (world/culling.py).
+
+Everything is static-shape and jittable; ``build_grid`` is O(CAP log CAP) on
+the sort, which XLA lowers to a fast on-device key sort.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from render_engine_tpu.ecs.world import World, WorldConfig
+
+
+def section_key(position: jnp.ndarray, config: WorldConfig) -> jnp.ndarray:
+    """Packed section key for positions (..., 3) -> int32 (...).
+
+    Out-of-world positions clamp to the boundary cell, mirroring the
+    reference's clamp-into-bounds (bounding_box_tree_v2.rs:1384-1397).
+    """
+    g = config.grid_cells_per_axis
+    cell = (position - jnp.asarray(config.world_min, jnp.float32)) / jnp.float32(
+        config.section_length
+    )
+    k = jnp.clip(cell.astype(jnp.int32), 0, g - 1)
+    return k[..., 0] + g * (k[..., 1] + g * k[..., 2])
+
+
+def unpack_key(key: jnp.ndarray, config: WorldConfig) -> jnp.ndarray:
+    g = config.grid_cells_per_axis
+    kx = key % g
+    ky = (key // g) % g
+    kz = key // (g * g)
+    return jnp.stack([kx, ky, kz], axis=-1)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["perm", "sorted_keys", "keys"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class GridIndex:
+    """Per-frame section index: ``perm`` sorts entities by section key
+    (dead entities sort to the end with key INT32_MAX)."""
+
+    perm: jnp.ndarray  # int32[CAP] entity index in sorted order
+    sorted_keys: jnp.ndarray  # int32[CAP]
+    keys: jnp.ndarray  # int32[CAP] per-entity (unsorted) key; dead = MAX
+
+    @property
+    def capacity(self) -> int:
+        return self.perm.shape[0]
+
+
+_DEAD_KEY = jnp.iinfo(jnp.int32).max
+
+
+def build_grid(world: World) -> GridIndex:
+    """Sort the entity axis by section key — the whole "tree build"."""
+    keys = section_key(world["position"], world.config)
+    keys = jnp.where(world.alive, keys, _DEAD_KEY)
+    perm = jnp.argsort(keys, stable=True).astype(jnp.int32)
+    return GridIndex(perm=perm, sorted_keys=keys[perm], keys=keys)
+
+
+def neighbor_cell_keys(key: jnp.ndarray, config: WorldConfig) -> jnp.ndarray:
+    """The 27 cells around each key, (...,) -> (..., 27) (clamped at world
+    edges so border cells self-duplicate; duplicates only waste budget)."""
+    g = config.grid_cells_per_axis
+    coords = unpack_key(key, config)  # (..., 3)
+    offs = jnp.stack(
+        jnp.meshgrid(*(jnp.arange(-1, 2, dtype=jnp.int32),) * 3, indexing="ij"),
+        axis=-1,
+    ).reshape(27, 3)
+    n = jnp.clip(coords[..., None, :] + offs, 0, g - 1)  # (..., 27, 3)
+    return n[..., 0] + g * (n[..., 1] + g * n[..., 2])
+
+
+def neighbor_candidates(
+    grid: GridIndex,
+    query_keys: jnp.ndarray,
+    config: WorldConfig,
+    per_cell_budget: int = 8,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidate entity ids near each query cell — ``find_related_entities``
+    (bounding_box_tree_v2.rs:950-1048) as a static-shape gather.
+
+    Returns ``(cand, valid)`` of shape (Q, 27 * per_cell_budget): entity
+    indices drawn from each of the 27 neighbor cells (up to the per-cell
+    budget; overflow beyond the budget in one cell is dropped — callers pick
+    ``section_length``/budget so real scenes stay under it, the same kind of
+    budgeted conservatism as the reference's 500-combine AABB cap
+    :1055-1130).
+    """
+    nk = neighbor_cell_keys(query_keys, config)  # (Q, 27)
+    starts = jnp.searchsorted(grid.sorted_keys, nk, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(grid.sorted_keys, nk, side="right").astype(jnp.int32)
+    b = per_cell_budget
+    j = jnp.arange(b, dtype=jnp.int32)  # (b,)
+    slot = starts[..., None] + j  # (Q, 27, b)
+    valid = slot < ends[..., None]
+    slot = jnp.clip(slot, 0, grid.capacity - 1)
+    cand = grid.perm[slot]  # (Q, 27, b)
+    q = query_keys.shape[0]
+    return cand.reshape(q, 27 * b), valid.reshape(q, 27 * b)
+
+
+def occupied_section_count(grid: GridIndex) -> jnp.ndarray:
+    """Number of distinct occupied sections (diagnostics / HUD)."""
+    sk = grid.sorted_keys
+    is_live = sk != _DEAD_KEY
+    new_run = jnp.concatenate(
+        [is_live[:1], is_live[1:] & (sk[1:] != sk[:-1])]
+    )
+    return jnp.sum(new_run)

@@ -1,0 +1,335 @@
+"""World-tick tests: kinematics semantics, visibility gating, out-of-bounds,
+collisions, per-type logic dispatch, spawns, camera coupling."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from render_engine_tpu.ecs import changes as C
+from render_engine_tpu.ecs import registry as R
+from render_engine_tpu.ecs import world as W
+from render_engine_tpu.logic import collision as COL
+from render_engine_tpu.logic import kinematics as K
+from render_engine_tpu.logic.step import make_step
+from render_engine_tpu.logic.types import EntityType, InputState, OOB_DELETE
+from render_engine_tpu.math.camera import CameraBuilder
+from render_engine_tpu.world import grid as G
+
+UNIT_MODEL_AABB = (
+    jnp.full((1, 3), -0.5, jnp.float32),
+    jnp.full((1, 3), 0.5, jnp.float32),
+)
+
+
+def base_world(capacity=32, world_len=256.0):
+    return W.create_world(
+        W.WorldConfig(capacity=capacity, world_length=world_len,
+                      section_length=16.0)
+    )
+
+
+def far_camera():
+    # camera far away in +z corner looking at origin region, huge logic radius
+    return (
+        CameraBuilder()
+        .with_position(128.0, 128.0, 128.0)
+        .with_fov_degrees(90.0)
+        .with_near_far(0.1, 1000.0)
+        .with_draw_distance(1000.0)
+        .build()
+    )
+
+
+class TestKinematics:
+    def test_integration_semantics(self):
+        """v += a*dt then p += v*dt (semi-implicit Euler, matching
+        logic_flow.rs:366-448)."""
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 1,
+            position=np.array([[10.0, 10.0, 10.0]], np.float32),
+            velocity=np.array([[1.0, 0.0, 0.0]], np.float32),
+            acceleration=np.array([[0.0, 2.0, 0.0]], np.float32),
+        )
+        mask = jnp.asarray(w.alive)
+        w2, moved, _ = K.integrate(w, 0.5, mask)
+        np.testing.assert_allclose(w2["velocity"][0], [1.0, 1.0, 0.0])
+        np.testing.assert_allclose(w2["position"][0], [10.5, 10.5, 10.0])
+        assert bool(moved[0])
+        assert bool(w2.flag_set(R.FLAG_HAS_MOVED)[0])
+
+    def test_rotation_integration(self):
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 1,
+            position=np.zeros((1, 3), np.float32),
+            orientation=np.array([[1.0, 0, 0, 0]], np.float32),
+            ang_vel=np.array([[0.0, np.pi, 0.0]], np.float32),
+        )
+        w2, _, rotated = K.integrate(w, 0.5, jnp.asarray(w.alive))
+        assert bool(rotated[0])
+        from render_engine_tpu.math import transforms as T
+        v = T.quat_rotate(w2["orientation"][0], jnp.array([1.0, 0.0, 0.0]))
+        # rotated by pi/2 about +y: +x -> -z
+        np.testing.assert_allclose(v, [0.0, 0.0, -1.0], atol=1e-5)
+
+    def test_masked_entities_do_not_move(self):
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 2,
+            position=np.zeros((2, 3), np.float32),
+            velocity=np.ones((2, 3), np.float32),
+        )
+        mask = jnp.zeros(32, bool).at[0].set(True)
+        w2, moved, _ = K.integrate(w, 1.0, mask)
+        assert bool(moved[0]) and not bool(moved[1])
+        np.testing.assert_allclose(w2["position"][1], [0, 0, 0])
+
+    def test_refresh_transforms_updates_aabb(self):
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 1,
+            position=np.array([[5.0, 6.0, 7.0]], np.float32),
+            scale=np.array([[2.0, 2.0, 2.0]], np.float32),
+            model_id=np.array([0], np.int32),
+        )
+        dirty = jnp.asarray(w.alive)
+        w2 = K.refresh_transforms(w, *UNIT_MODEL_AABB, dirty)
+        np.testing.assert_allclose(w2["aabb_min"][0], [4.0, 5.0, 6.0])
+        np.testing.assert_allclose(w2["aabb_max"][0], [6.0, 7.0, 8.0])
+        np.testing.assert_allclose(w2["transform"][0, :3, 3], [5.0, 6.0, 7.0])
+
+
+class TestOutOfBounds:
+    def test_clamp_and_delete_policies(self):
+        w = base_world(world_len=64.0)
+        w, _ = W.spawn_host(
+            w, 3,
+            position=np.array(
+                [[70.0, 1, 1], [-3.0, 1, 1], [5.0, 5, 5]], np.float32),
+            type_id=np.array([0, 1, 0], np.int32),
+        )
+        types = (
+            EntityType("clampy", 0),
+            EntityType("delety", 1, out_of_bounds=OOB_DELETE),
+        )
+        w2, kill = K.handle_out_of_bounds(w, {}, types)
+        np.testing.assert_allclose(w2["position"][0], [64.0, 1, 1])
+        assert bool(kill[1])
+        assert not bool(kill[0]) and not bool(kill[2])
+
+
+class TestCollisions:
+    def _collide_world(self):
+        w = base_world()
+        pos = np.array(
+            [[10.0, 10, 10], [10.4, 10, 10], [100.0, 100, 100]], np.float32)
+        w, _ = W.spawn_host(
+            w, 3, position=pos,
+            type_id=np.array([0, 1, 1], np.int32),
+            flags=np.full(3, int(R.FLAG_COLLIDABLE), np.uint32),
+        )
+        w = w.replace(aabb_min=w["position"] - 0.5, aabb_max=w["position"] + 0.5)
+        return w
+
+    def test_find_collisions(self):
+        w = self._collide_world()
+        g = G.build_grid(w)
+        qmask = jnp.asarray(w.alive)
+        res = COL.find_collisions(w, g, jnp.array([10.0, 10.0, 10.0]), qmask)
+        hits = np.asarray(res.any_hit())
+        assert hits[0] and hits[1] and not hits[2]
+        other, has = res.first_hit_of_type(w, 1)
+        assert bool(has[0]) and int(other[0]) == 1
+        other0, has0 = res.first_hit_of_type(w, 0)
+        assert bool(has0[1]) and int(other0[1]) == 0
+
+    def test_camera_cutoff(self):
+        w = self._collide_world()
+        g = G.build_grid(w)
+        far_cam_pos = jnp.array([500.0, 500.0, 500.0])
+        res = COL.find_collisions(w, g, far_cam_pos, jnp.asarray(w.alive))
+        assert not np.asarray(res.any_hit()).any()
+
+
+class TestFullStep:
+    def test_step_moves_visible_entities_only(self):
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 2,
+            position=np.array([[100.0, 100, 100], [5.0, 5, 5]], np.float32),
+            velocity=np.array([[1.0, 0, 0], [1.0, 0, 0]], np.float32),
+            type_id=np.zeros(2, np.int32),
+            model_id=np.zeros(2, np.int32),
+        )
+        w = K.refresh_transforms(w, *UNIT_MODEL_AABB, jnp.asarray(w.alive))
+        # camera near entity 0 with a small logic sphere; entity 1 is far
+        # away, outside both frustum (looking at +x away from it) and sphere
+        cam = (
+            CameraBuilder()
+            .with_position(90.0, 100.0, 100.0)
+            .with_yaw_pitch_degrees(0.0, 0.0)  # looking +x toward entity 0
+            .with_near_far(0.1, 50.0)
+            .with_draw_distance(50.0)
+            .build()
+        )
+        step = jax.jit(make_step((EntityType("thing", 0),), logic_radius=20.0))
+        w2, _ = step(w, cam, InputState.idle(), 0.5, *UNIT_MODEL_AABB)
+        np.testing.assert_allclose(w2["position"][0], [100.5, 100, 100])
+        np.testing.assert_allclose(w2["position"][1], [5.0, 5, 5])  # gated
+
+    def test_always_execute_logic_overrides_culling(self):
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 1,
+            position=np.array([[5.0, 5, 5]], np.float32),
+            velocity=np.array([[2.0, 0, 0]], np.float32),
+            type_id=np.zeros(1, np.int32),
+            flags=np.array([int(R.FLAG_ALWAYS_LOGIC)], np.uint32),
+        )
+        w = K.refresh_transforms(w, *UNIT_MODEL_AABB, jnp.asarray(w.alive))
+        cam = far_camera().with_position(jnp.array([200.0, 200.0, 200.0]))
+        cam = dataclasses.replace(cam, draw_distance=10.0)
+        step = jax.jit(make_step((EntityType("thing", 0),), logic_radius=10.0))
+        w2, _ = step(w, cam, InputState.idle(), 1.0, *UNIT_MODEL_AABB)
+        np.testing.assert_allclose(w2["position"][0], [7.0, 5, 5])
+
+    def test_static_entities_skip_logic(self):
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 1,
+            position=np.array([[5.0, 5, 5]], np.float32),
+            velocity=np.array([[2.0, 0, 0]], np.float32),
+            type_id=np.zeros(1, np.int32),
+            flags=np.array([int(R.FLAG_STATIC)], np.uint32),
+        )
+        w = K.refresh_transforms(w, *UNIT_MODEL_AABB, jnp.asarray(w.alive))
+        step = jax.jit(make_step((EntityType("thing", 0),), logic_radius=1e6))
+        w2, _ = step(w, far_camera(), InputState.idle(), 1.0, *UNIT_MODEL_AABB)
+        np.testing.assert_allclose(w2["position"][0], [5.0, 5, 5])
+
+    def test_per_type_logic_dispatch(self):
+        """Spin logic applied to type 0 only."""
+        def spin(world, dt, mask, cs):
+            vals = jnp.broadcast_to(
+                jnp.array([0.0, 1.0, 0.0]), (world.capacity, 3))
+            return C.with_update(cs, "ang_vel", vals, mask)
+
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 2,
+            position=np.full((2, 3), 5.0, np.float32),
+            type_id=np.array([0, 1], np.int32),
+        )
+        w = K.refresh_transforms(w, *UNIT_MODEL_AABB, jnp.asarray(w.alive))
+        step = jax.jit(make_step(
+            (EntityType("spinner", 0, logic=spin), EntityType("inert", 1)),
+            logic_radius=1e6,
+        ))
+        w2, _ = step(w, far_camera(), InputState.idle(), 0.1, *UNIT_MODEL_AABB)
+        np.testing.assert_allclose(w2["ang_vel"][0], [0, 1, 0])
+        np.testing.assert_allclose(w2["ang_vel"][1], [0, 0, 0])
+
+    def test_collision_callback_impulse(self):
+        """The demo's wormhole collision: ship gets a velocity impulse
+        (reference src/space_logic/solar_system/user.rs:17-50)."""
+        def ship_hit(world, other_idx, mask, cs):
+            is_wormhole = world["type_id"][other_idx] == 1
+            m = mask & is_wormhole
+            vals = jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 50.0]), (world.capacity, 3))
+            return C.with_update(cs, "velocity", vals, m)
+
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 2,
+            position=np.array([[10.0, 10, 10], [10.2, 10, 10]], np.float32),
+            velocity=np.array([[0.5, 0, 0], [0, 0, 0]], np.float32),
+            type_id=np.array([0, 1], np.int32),
+            model_id=np.zeros(2, np.int32),
+            flags=np.array([int(R.FLAG_COLLIDABLE), int(R.FLAG_COLLIDABLE)],
+                           np.uint32),
+        )
+        w = K.refresh_transforms(w, *UNIT_MODEL_AABB, jnp.asarray(w.alive))
+        cam = far_camera().with_position(jnp.array([10.0, 10.0, 20.0]))
+        step = jax.jit(make_step(
+            (EntityType("ship", 0, collision=ship_hit),
+             EntityType("wormhole", 1)),
+            logic_radius=1e6,
+        ))
+        w2, _ = step(w, cam, InputState.idle(), 0.1, *UNIT_MODEL_AABB)
+        np.testing.assert_allclose(w2["velocity"][0], [0, 0, 50.0])
+
+    def test_spawn_inside_step(self):
+        def emitter(world, dt, mask, cs):
+            row = jnp.arange(2) == 0
+            return C.queue_spawn(
+                cs, world.config.registry, row,
+                position=jnp.broadcast_to(jnp.array([1.0, 2.0, 3.0]), (2, 3)),
+                type_id=jnp.full(2, 5, jnp.int32),
+            )
+
+        w = base_world()
+        w, _ = W.spawn_host(w, 1, position=np.full((1, 3), 5.0, np.float32),
+                            type_id=np.zeros(1, np.int32))
+        w = K.refresh_transforms(w, *UNIT_MODEL_AABB, jnp.asarray(w.alive))
+        step = jax.jit(make_step(
+            (EntityType("emitter", 0, logic=emitter),),
+            logic_radius=1e6, spawn_budget=2,
+        ))
+        w2, _ = step(w, far_camera(), InputState.idle(), 0.1, *UNIT_MODEL_AABB)
+        assert int(w2.count_alive()) == 2
+        assert int(jnp.sum(w2.of_type(5))) == 1
+
+    def test_camera_follows_user_entity(self):
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 1,
+            position=np.array([[30.0, 40, 50]], np.float32),
+            velocity=np.array([[10.0, 0, 0]], np.float32),
+            type_id=np.zeros(1, np.int32),
+            flags=np.array([int(R.FLAG_USER) | int(R.FLAG_ALWAYS_LOGIC)],
+                           np.uint32),
+        )
+        w = K.refresh_transforms(w, *UNIT_MODEL_AABB, jnp.asarray(w.alive))
+        step = jax.jit(make_step((EntityType("ship", 0),), logic_radius=1e6))
+        w2, cam2 = step(w, far_camera(), InputState.idle(), 1.0,
+                        *UNIT_MODEL_AABB)
+        np.testing.assert_allclose(cam2.position, w2["position"][0])
+
+    def test_determinism_same_inputs_same_bits(self):
+        """Bit-determinism: the foundation of record/replay."""
+        def jitter(world, dt, mask, rng, cs):
+            noise = jax.random.normal(rng, (world.capacity, 3)) * 0.1
+            return C.with_update(cs, "velocity",
+                                 world["velocity"] + noise, mask)
+
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 4,
+            position=np.random.default_rng(3).uniform(
+                0, 50, (4, 3)).astype(np.float32),
+            velocity=np.ones((4, 3), np.float32),
+            type_id=np.zeros(4, np.int32),
+        )
+        w = K.refresh_transforms(w, *UNIT_MODEL_AABB, jnp.asarray(w.alive))
+        step = jax.jit(make_step(
+            (EntityType("drifter", 0, random_logic=jitter),),
+            logic_radius=1e6,
+        ))
+
+        def run(world):
+            cam = far_camera()
+            for i in range(5):
+                world, cam = step(world, cam, InputState.idle(seed=i), 0.1,
+                                  *UNIT_MODEL_AABB)
+            return world
+
+        w_a, w_b = run(w), run(w)
+        for k in w_a.comps:
+            np.testing.assert_array_equal(
+                np.asarray(w_a.comps[k]), np.asarray(w_b.comps[k]),
+                err_msg=f"component {k} diverged",
+            )
