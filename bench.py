@@ -1,0 +1,70 @@
+"""Headline benchmark: the BASELINE.json north-star config.
+
+10k-entity space scene stepped, culled, and deferred-rendered at 1080p on
+one TPU core; metric = FPS (driver target: >60). The reference publishes no
+numbers (BASELINE.md), so vs_baseline is FPS / 60-FPS-target.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Env knobs: BENCH_WIDTH/HEIGHT/ASTEROIDS/FRAMES/MAX_TRIS.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    n_ast = int(os.environ.get("BENCH_ASTEROIDS", 10000))
+    frames = int(os.environ.get("BENCH_FRAMES", 30))
+    max_tris = int(os.environ.get("BENCH_MAX_TRIS", 262144))
+
+    from render_engine_tpu.demo.space_scene import build_space_engine
+    from render_engine_tpu.logic.types import InputState, KEY_W
+
+    capacity = 1 << (n_ast + 64).bit_length()  # headroom above population
+    eng = build_space_engine(
+        width=width, height=height, capacity=capacity,
+        num_asteroids=n_ast, max_tris=max_tris,
+    )
+    eng.config.record_history = False
+
+    # warmup / compile
+    for i in range(3):
+        img = eng.frame(InputState.idle(i).with_keys(KEY_W), dt=1 / 60,
+                        render=True)
+    jax.block_until_ready((eng.world, img))
+
+    t0 = time.perf_counter()
+    for i in range(frames):
+        img = eng.frame(InputState.idle(100 + i).with_keys(KEY_W),
+                        dt=1 / 60, render=True)
+    jax.block_until_ready((eng.world, img))
+    dt = time.perf_counter() - t0
+
+    fps = frames / dt
+    alive = int(np.asarray(eng.world.alive).sum())
+    result = {
+        "metric": (
+            f"FPS at {width}x{height} deferred, space scene "
+            f"({alive} entities stepped+culled)"
+        ),
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,318 @@
+"""The space scene: stars, orbiting asteroids, a wormhole, a mine producer,
+and a player ship.
+
+Port of the reference demo game (src/main.rs:20-62, src/space_logic/):
+
+  * camera starts at (1000, 1000, 1150) in a 16,384-unit world with section
+    length 64 (main.rs:22, 48-51)
+  * 2 stars as spot-light emitters with rotation velocity, drawn emissive at
+    6x skybox brightness (solar_system/sun.rs:94-159,
+    render_systems/render_system_setup.rs:57-77)
+  * 40 asteroids with random orbit parameters around the suns, carried by a
+    custom per-instance component (the AngleRelativeSun pattern,
+    solar_system/asteroid.rs:19-171)
+  * a wormhole as an alpha-blended model; colliding with it gives the ship
+    a velocity impulse (wormhole.rs:64-75, user.rs:17-50)
+  * a mine producer that spawns drifting mines during play (AddEntity
+    through the replayable change stream, mine_producer.rs:67-80)
+  * inertial WASD ship/camera input with mouse-look (user_input.rs:21-111)
+  * a 6-face space skybox (skybox.rs:4-19) — procedural starfield here
+    (assets are not copied)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from render_engine_tpu.ecs import changes as C
+from render_engine_tpu.ecs import registry as R
+from render_engine_tpu.logic.types import (
+    EntityType,
+    KEY_A,
+    KEY_D,
+    KEY_S,
+    KEY_SHIFT,
+    KEY_SPACE,
+    KEY_W,
+)
+from render_engine_tpu.math.camera import CameraBuilder
+from render_engine_tpu.models import primitives
+from render_engine_tpu.render import skybox as SB
+from render_engine_tpu.render.frame import RenderSettings
+from render_engine_tpu.runtime.config import EngineConfig
+from render_engine_tpu.runtime.engine import Engine
+
+TYPE_STAR = 0
+TYPE_ASTEROID = 1
+TYPE_WORMHOLE = 2
+TYPE_MINE_PRODUCER = 3
+TYPE_MINE = 4
+TYPE_USER = 5
+
+SHIP_ACCEL = 40.0
+SHIP_DECAY = 0.96  # inertial decay (MovementFactor analogue)
+WORMHOLE_IMPULSE = 120.0
+MINE_SPAWN_PERIOD = 4.0  # seconds between mines
+
+
+# ---------------------------------------------------------------------------
+# custom components (registered before trace — asteroid.rs:87 pattern)
+# ---------------------------------------------------------------------------
+CUSTOM_COMPONENTS = (
+    R.ComponentSpec("orbit_angle", (), "float32"),
+    R.ComponentSpec("orbit_radius", (), "float32"),
+    R.ComponentSpec("orbit_speed", (), "float32"),
+    R.ComponentSpec("orbit_center", (3,), "float32"),
+    R.ComponentSpec("spawn_timer", (), "float32"),
+)
+
+
+# ---------------------------------------------------------------------------
+# logic callbacks (pure, vectorized)
+# ---------------------------------------------------------------------------
+def asteroid_orbit_logic(world, dt, mask, cs):
+    """Advance orbit angle; position = center + r*(cos a, 0, sin a)
+    (asteroid.rs orbit parameterization)."""
+    a = world["orbit_angle"] + world["orbit_speed"] * dt
+    r = world["orbit_radius"]
+    center = world["orbit_center"]
+    pos = center + jnp.stack(
+        [r * jnp.cos(a), jnp.zeros_like(a), r * jnp.sin(a)], axis=-1
+    )
+    cs = C.with_update(cs, "orbit_angle", a, mask)
+    cs = C.with_update(cs, "position", pos, mask)
+    return cs
+
+
+def mine_producer_logic(world, dt, mask, rng, cs):
+    """Every MINE_SPAWN_PERIOD seconds, spawn one mine at a random offset.
+
+    Demonstrates AddEntity inside the jitted step: the spawn lands in the
+    fixed-budget queue and is replayable because rng comes from the recorded
+    frame seed."""
+    timer = world["spawn_timer"] + jnp.where(mask, dt, 0.0)
+    fire = mask & (timer >= MINE_SPAWN_PERIOD)
+    timer = jnp.where(fire, 0.0, timer)
+    cs = C.with_update(cs, "spawn_timer", timer, mask)
+
+    # one producer fires at a time is fine: pick the first firing producer
+    any_fire = jnp.any(fire)
+    src = jnp.argmax(fire)
+    offset = jax.random.uniform(rng, (3,), minval=-8.0, maxval=8.0)
+    vel = jax.random.uniform(rng, (3,), minval=-2.0, maxval=2.0)
+    budget = cs.spawns.budget
+    row = (jnp.arange(budget) == 0) & any_fire
+    cs = C.queue_spawn(
+        cs, world.config.registry, row,
+        position=jnp.broadcast_to(world["position"][src] + offset, (budget, 3)),
+        velocity=jnp.broadcast_to(vel, (budget, 3)),
+        scale=jnp.full((budget, 3), 0.4, jnp.float32),
+        type_id=jnp.full(budget, TYPE_MINE, jnp.int32),
+        model_id=jnp.full(budget, _MINE_MODEL[0], jnp.int32),
+        flags=jnp.full(budget, int(R.FLAG_COLLIDABLE), jnp.uint32),
+    )
+    return cs
+
+
+_MINE_MODEL = [0]  # patched at scene build (model ids are bank-assigned)
+
+
+def user_input_logic(world, camera, inputs, dt, cs):
+    """Inertial WASD flight + mouse look (user_input.rs:21-111): thrust
+    along the camera basis, velocity decays by SHIP_DECAY per frame."""
+    camera = camera.rotated(inputs.mouse_delta[0], inputs.mouse_delta[1])
+    k = inputs.keys.astype(jnp.float32)
+    fwd = camera.direction()
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    right = jnp.cross(fwd, up)
+    right = right / jnp.linalg.norm(right)
+    accel = (
+        fwd * (k[KEY_W] - k[KEY_S])
+        + right * (k[KEY_D] - k[KEY_A])
+        + up * (k[KEY_SPACE] - k[KEY_SHIFT])
+    ) * SHIP_ACCEL
+
+    user_mask = world.flag_set(R.FLAG_USER)
+    vel = (world["velocity"] + accel[None] * dt) * SHIP_DECAY
+    cs = C.with_update(cs, "velocity", vel, user_mask)
+    return cs, camera
+
+
+def user_collision_logic(world, other_idx, mask, cs):
+    """Wormhole hit => forward velocity impulse (user.rs:17-50)."""
+    hit_wormhole = mask & (world["type_id"][other_idx] == TYPE_WORMHOLE)
+    vel = world["velocity"]
+    speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
+    direction = jnp.where(speed > 1e-6, vel / jnp.maximum(speed, 1e-6),
+                          jnp.array([0.0, 0.0, -1.0]))
+    boosted = direction * WORMHOLE_IMPULSE
+    return C.with_update(cs, "velocity", boosted, hit_wormhole)
+
+
+ENTITY_TYPES = (
+    EntityType("star", TYPE_STAR),  # spins via ang_vel kinematics
+    EntityType("asteroid", TYPE_ASTEROID, logic=asteroid_orbit_logic),
+    EntityType("wormhole", TYPE_WORMHOLE),
+    EntityType("mine_producer", TYPE_MINE_PRODUCER,
+               random_logic=mine_producer_logic),
+    EntityType("mine", TYPE_MINE),
+    EntityType("user", TYPE_USER, user_input=user_input_logic,
+               collision=user_collision_logic),
+)
+
+
+# ---------------------------------------------------------------------------
+# scene construction
+# ---------------------------------------------------------------------------
+def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42):
+    bb = engine.bank_builder
+    star_mat = bb.add_material(albedo=(1.0, 0.85, 0.5), emissive=6.0)
+    rock_mat = bb.add_material(albedo=(0.45, 0.38, 0.33))
+    worm_mat = bb.add_material(albedo=(0.4, 0.2, 0.9), alpha=0.45)
+    mine_mat = bb.add_material(albedo=(0.7, 0.1, 0.1))
+    prod_mat = bb.add_material(albedo=(0.2, 0.7, 0.4), alpha=0.7)
+
+    star_model = bb.add_model("star", primitives.uv_sphere(14.0, 12, 18),
+                              material=star_mat)
+    rock_full = bb.add_model("asteroid", primitives.asteroid(2.0, 8, 12,
+                                                             seed=seed),
+                             material=rock_mat)
+    rock_lod = bb.add_model("asteroid_lod", primitives.icosahedron(2.0),
+                            material=rock_mat)
+    bb.set_levels_of_view(rock_full, [rock_full, rock_full, rock_lod,
+                                      rock_lod, rock_lod, rock_lod])
+    worm_model = bb.add_model("wormhole", primitives.uv_sphere(6.0, 8, 12),
+                              material=worm_mat)
+    mine_model = bb.add_model("mine", primitives.cube(1.0), material=mine_mat)
+    prod_model = bb.add_model("mine_producer", primitives.cube(4.0),
+                              material=prod_mat)
+    _MINE_MODEL[0] = mine_model
+
+    rng = np.random.default_rng(seed)
+    base = np.array([1000.0, 1000.0, 1000.0], np.float32)
+
+    # --- 2 stars: emissive, spinning, spot-light emitters (sun.rs) -------
+    star_pos = np.stack([base + [0, 0, -120], base + [180, 30, -260]])
+    engine.spawn(
+        2,
+        position=star_pos,
+        model_id=np.full(2, star_model, np.int32),
+        type_id=np.full(2, TYPE_STAR, np.int32),
+        ang_vel=np.array([[0.0, 0.15, 0.0], [0.0, -0.1, 0.0]], np.float32),
+        sortable=np.full(2, R.SORTABLE_SPOT, np.int32),
+        light_diffuse=np.array([[1.0, 0.9, 0.7], [0.9, 0.8, 1.0]], np.float32),
+        light_specular=np.full((2, 3), 0.8, np.float32),
+        light_ambient=np.full((2, 3), 0.04, np.float32),
+        light_atten=np.full((2, 2), [0.004, 0.00005], np.float32),
+        light_direction=np.array([[0.0, -0.3, 1.0], [-0.5, 0.0, 1.0]],
+                                 np.float32),
+        light_cutoff=np.full((2, 2), [np.cos(0.6), np.cos(1.0)], np.float32),
+        light_radius=np.full(2, 400.0, np.float32),
+        light_fov=np.full(2, 1.2, np.float32),
+        flags=np.full(2, int(R.FLAG_ALWAYS_LOGIC), np.uint32),
+    )
+
+    # --- asteroids orbiting the two stars (asteroid.rs) ------------------
+    n = num_asteroids
+    which_star = rng.integers(0, 2, n)
+    centers = star_pos[which_star]
+    radii = rng.uniform(40.0, 160.0, n).astype(np.float32)
+    angles = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+    speeds = rng.uniform(0.05, 0.3, n).astype(np.float32) * np.where(
+        rng.random(n) < 0.5, 1.0, -1.0
+    ).astype(np.float32)
+    pos = centers + np.stack(
+        [radii * np.cos(angles), rng.uniform(-20, 20, n).astype(np.float32),
+         radii * np.sin(angles)], axis=-1)
+    centers_y = centers.copy()
+    centers_y[:, 1] = pos[:, 1]  # orbit in the asteroid's own y-plane
+    engine.spawn(
+        n,
+        position=pos.astype(np.float32),
+        model_id=np.full(n, rock_full, np.int32),
+        type_id=np.full(n, TYPE_ASTEROID, np.int32),
+        scale=rng.uniform(0.5, 2.0, (n, 1)).astype(np.float32).repeat(3, 1),
+        ang_vel=rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32),
+        orbit_angle=angles,
+        orbit_radius=radii,
+        orbit_speed=speeds,
+        orbit_center=centers_y.astype(np.float32),
+        flags=np.full(n, int(R.FLAG_COLLIDABLE), np.uint32),
+    )
+
+    # --- wormhole + mine producer (transparent models) -------------------
+    engine.spawn(
+        1,
+        position=(base + np.array([60.0, 0.0, -60.0]))[None],
+        model_id=np.array([worm_model], np.int32),
+        type_id=np.array([TYPE_WORMHOLE], np.int32),
+        flags=np.array([int(R.FLAG_COLLIDABLE) | int(R.FLAG_TRANSPARENT)],
+                       np.uint32),
+    )
+    engine.spawn(
+        1,
+        position=(base + np.array([-80.0, 10.0, -100.0]))[None],
+        model_id=np.array([prod_model], np.int32),
+        type_id=np.array([TYPE_MINE_PRODUCER], np.int32),
+        flags=np.array([int(R.FLAG_TRANSPARENT) | int(R.FLAG_ALWAYS_LOGIC)],
+                       np.uint32),
+        spawn_timer=np.zeros(1, np.float32),
+    )
+
+    # --- the player ship (user entity; camera-coupled) -------------------
+    engine.spawn(
+        1,
+        position=np.array([[1000.0, 1000.0, 1150.0]], np.float32),
+        velocity=np.zeros((1, 3), np.float32),
+        type_id=np.array([TYPE_USER], np.int32),
+        flags=np.array(
+            [int(R.FLAG_USER) | int(R.FLAG_ALWAYS_LOGIC)
+             | int(R.FLAG_COLLIDABLE) | int(R.FLAG_USER_ALWAYS_COLLIDES)],
+            np.uint32),
+    )
+
+    engine.set_skybox(SB.starfield_cubemap(128))
+
+
+def space_config(
+    *,
+    capacity: int = 256,
+    num_asteroids: int = 40,
+    width: int = 800,
+    height: int = 600,
+    max_tris: int = 32768,
+    is_debugging: bool = False,
+    spawn_budget: int = 4,
+) -> EngineConfig:
+    registry = R.ComponentRegistry(custom=CUSTOM_COMPONENTS)
+    return EngineConfig(
+        capacity=capacity,
+        world_length=16384.0,
+        section_length=64.0,
+        registry=registry,
+        render=RenderSettings(width=width, height=height, max_tris=max_tris,
+                              max_point_lights=8, max_spot_lights=8),
+        entity_types=ENTITY_TYPES,
+        spawn_budget=spawn_budget,
+        build_scene=lambda e: build_scene(e, num_asteroids=num_asteroids),
+        is_debugging=is_debugging,
+    )
+
+
+def build_space_engine(**kw) -> Engine:
+    cfg = space_config(**kw)
+    camera = (
+        CameraBuilder()
+        .with_position(1000.0, 1000.0, 1150.0)
+        .with_yaw_pitch_degrees(-90.0, 0.0)
+        .with_fov_degrees(60.0)
+        .with_aspect(cfg.render.width / cfg.render.height)
+        .with_near_far(0.5, 2000.0)
+        .with_draw_distance(1500.0)
+        .build()
+    )
+    return Engine(cfg, camera=camera)

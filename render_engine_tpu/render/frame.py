@@ -1,0 +1,120 @@
+"""Frame composition: world -> final (H, W, 3) image.
+
+The RenderFlow + RenderSystem::draw orchestration (src/flows/render_flow.rs:
+247-335, src/render_system/render_system.rs:410-595) as one pure function:
+opaque G-buffer pass, deferred lighting, skybox for background pixels, then
+a forward transparency pass blended over the lit image (the reference draws
+transparency after lighting in the first pass target,
+render_system.rs:501)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from render_engine_tpu.ecs.world import World
+from render_engine_tpu.models.bank import ModelBank
+from render_engine_tpu.render import lighting as L
+from render_engine_tpu.render import skybox as SB
+from render_engine_tpu.render.geometry import build_triangle_batch, to_screen
+from render_engine_tpu.render.raster_jnp import (
+    RasterConfig,
+    rasterize_depth_winner,
+    render_gbuffer,
+    resolve_gbuffer,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    width: int = 800
+    height: int = 600
+    max_tris: int = 16384
+    raster: RasterConfig = RasterConfig()
+    max_dir_lights: int = 4
+    max_point_lights: int = 64
+    max_spot_lights: int = 16
+    clear_color: tuple = (0.0, 0.0, 0.0)
+
+    def __hash__(self):
+        return hash((self.width, self.height, self.max_tris,
+                     tuple(dataclasses.astuple(self.raster)),
+                     self.max_dir_lights, self.max_point_lights,
+                     self.max_spot_lights, self.clear_color))
+
+
+def render_frame(
+    world: World,
+    camera,
+    bank: ModelBank,
+    settings: RenderSettings,
+    *,
+    cubemap: Optional[jnp.ndarray] = None,
+    shadow_factor=None,
+) -> jnp.ndarray:
+    """Deferred-render one frame. Returns float32 (H, W, 3) linear color."""
+    h, w = settings.height, settings.width
+
+    batch = build_triangle_batch(
+        world, bank, camera, max_tris=settings.max_tris
+    )
+    batch = to_screen(batch, w, h)
+
+    # --- opaque pass -> G-buffer ----------------------------------------
+    gbuf = render_gbuffer(
+        batch, bank, h, w, settings.raster, tri_mask=~batch.transparent
+    )
+
+    # --- lights (visible-light upload analogue) -------------------------
+    lights = L.extract_lights(
+        world,
+        max_dir=settings.max_dir_lights,
+        max_point=settings.max_point_lights,
+        max_spot=settings.max_spot_lights,
+    )
+
+    # --- background: skybox or clear color ------------------------------
+    if cubemap is not None:
+        dirs = SB.pixel_ray_directions(camera, h, w)
+        background = SB.sample_cubemap(cubemap, dirs)
+    else:
+        background = jnp.broadcast_to(
+            jnp.asarray(settings.clear_color, jnp.float32), (h, w, 3)
+        )
+
+    color = L.shade(
+        gbuf, lights, bank, camera.position,
+        background=background, shadow_factor=shadow_factor,
+    )
+
+    # --- transparency: single-layer forward pass over the lit image -----
+    has_transparent = True  # statically keep the pass; masked cheap if unused
+    if has_transparent:
+        t_depth, t_winner = rasterize_depth_winner(
+            batch, h, w, settings.raster, tri_mask=batch.transparent
+        )
+        t_gbuf = resolve_gbuffer(batch, bank, t_depth, t_winner)
+        t_lit = L.shade(
+            gbuf=t_gbuf, lights=lights, bank=bank,
+            camera_position=camera.position, background=color,
+            shadow_factor=shadow_factor,
+        )
+        mat = jnp.clip(t_gbuf.material, 0, bank.mat_alpha.shape[0] - 1)
+        alpha = bank.mat_alpha[mat][..., None]
+        in_front = (t_winner >= 0) & (t_depth <= gbuf.depth)
+        color = jnp.where(
+            in_front[..., None], alpha * t_lit + (1.0 - alpha) * color, color
+        )
+
+    return jnp.clip(color, 0.0, 1.0)
+
+
+def to_srgb_u8(color: jnp.ndarray) -> jnp.ndarray:
+    """Linear -> sRGB 8-bit for PNG dumps."""
+    c = jnp.clip(color, 0.0, 1.0)
+    srgb = jnp.where(
+        c <= 0.0031308, 12.92 * c, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055
+    )
+    return (srgb * 255.0 + 0.5).astype(jnp.uint8)

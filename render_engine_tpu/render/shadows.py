@@ -1,0 +1,251 @@
+"""Shadow maps: light cameras, depth-only raster, PCF, round-robin budget.
+
+Port of the reference's ShadowFlow (src/flows/shadow_flow.rs): a budget of 6
+shadow-map layers at 1024^2 with AT MOST ONE new map rendered per frame,
+round-robin across light types (:111-133), prioritizing currently-visible
+lights and evicting maps of lights that left the neighborhood (:364-447).
+Light cameras: directional -> orthographic (:140-204), spot -> perspective
+along the spot direction, point -> perspective using the light's fov field
+(:211-260). The PCF 3x3 comparison in the lighting pass ports
+second_pass_frag.glsl:141-207 (border-clamped lookups return lit).
+
+Shadow maps are derived caches (like the reference's GPU-side layers): they
+live outside the replayed world state and rebuild deterministically during
+playback because the schedule is a pure function of (state, cursor).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from render_engine_tpu.ecs import registry as R
+from render_engine_tpu.ecs.world import World
+from render_engine_tpu.math import transforms as T
+from render_engine_tpu.render.geometry import build_triangle_batch, to_screen
+from render_engine_tpu.render.raster_jnp import (
+    RasterConfig,
+    rasterize_depth_winner,
+)
+
+SHADOW_BUDGET = 6  # reference render_flow.rs:220-235
+SHADOW_RES = 1024
+PCF_BIAS = 2e-3
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["maps", "light_mats", "slot_entity", "cursor"],
+    meta_fields=["resolution"],
+)
+@dataclasses.dataclass(frozen=True)
+class ShadowState:
+    maps: jnp.ndarray  # (BUDGET, S, S) NDC depth from the light camera
+    light_mats: jnp.ndarray  # (BUDGET, 4, 4) light proj_view per slot
+    slot_entity: jnp.ndarray  # (BUDGET,) entity index of the light, -1 free
+    cursor: jnp.ndarray  # int32 round-robin cursor
+    resolution: int
+
+
+def create_shadow_state(resolution: int = SHADOW_RES,
+                        budget: int = SHADOW_BUDGET) -> ShadowState:
+    return ShadowState(
+        maps=jnp.ones((budget, resolution, resolution), jnp.float32),
+        light_mats=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                    (budget, 4, 4)),
+        slot_entity=jnp.full(budget, -1, jnp.int32),
+        cursor=jnp.int32(0),
+        resolution=resolution,
+    )
+
+
+# ---------------------------------------------------------------------------
+# light cameras
+# ---------------------------------------------------------------------------
+def light_proj_view(world: World, entity: jnp.ndarray,
+                    ortho_extent: float = 200.0,
+                    near: float = 1.0, far: float = 600.0) -> jnp.ndarray:
+    """proj_view for a light entity, selected by its sortable bucket.
+
+    directional: ortho box looking along light_direction from the light's
+    position; spot/point: perspective along light_direction with the light's
+    fov (shadow_flow.rs:140-260 semantics)."""
+    e = jnp.clip(entity, 0, world.capacity - 1)
+    pos = world["position"][e]
+    direction = world["light_direction"][e]
+    dlen = jnp.linalg.norm(direction)
+    direction = jnp.where(dlen > 1e-6, direction / jnp.maximum(dlen, 1e-6),
+                          jnp.array([0.0, -1.0, 0.0]))
+    # avoid a degenerate up vector
+    up = jnp.where(jnp.abs(direction[1]) > 0.99,
+                   jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    view = T.look_at(pos, pos + direction, up)
+
+    fov = jnp.clip(world["light_fov"][e], 0.2, 3.0)
+    persp = T.perspective(fov, 1.0, near, far)
+    ortho = T.orthographic(-ortho_extent, ortho_extent, -ortho_extent,
+                           ortho_extent, near, far)
+    is_dir = world["sortable"][e] == R.SORTABLE_DIRECTIONAL
+    proj = jnp.where(is_dir, ortho, persp)
+    return proj @ view
+
+
+# ---------------------------------------------------------------------------
+# scheduling: <=1 new map per frame, visible lights first, evict the departed
+# ---------------------------------------------------------------------------
+def choose_light(shadow: ShadowState, world: World,
+                 camera_position: jnp.ndarray,
+                 neighborhood: float = 800.0):
+    """Pick (slot, light_entity, any) for this frame's single map render.
+
+    Priority (find_next_light_to_have_shadow_map, shadow_flow.rs:364-447):
+    nearby shadow-casting lights without a current slot, else refresh the
+    round-robin slot."""
+    is_light = world.alive & (world["sortable"] != R.SORTABLE_DEFAULT)
+    near = (
+        jnp.sum((world["position"] - camera_position[None]) ** 2, axis=-1)
+        <= neighborhood * neighborhood
+    )
+    candidate = is_light & near
+
+    # does each candidate already own a slot?
+    cap = world.capacity
+    owned = jnp.zeros(cap, bool)
+    for s in range(shadow.slot_entity.shape[0]):
+        ent = shadow.slot_entity[s]
+        owned = owned | (
+            (jnp.arange(cap) == ent) & (ent >= 0)
+        )
+    unmapped = candidate & ~owned
+
+    any_unmapped = jnp.any(unmapped)
+    pick_new = jnp.argmax(unmapped)  # first unmapped nearby light
+
+    # eviction: slots whose light left the neighborhood free up
+    budget = shadow.slot_entity.shape[0]
+    slot_ent = shadow.slot_entity
+    slot_ok = jnp.zeros(budget, bool)
+    for s in range(budget):
+        ent = jnp.clip(slot_ent[s], 0, cap - 1)
+        alive_near = candidate[ent] & (slot_ent[s] >= 0)
+        slot_ok = slot_ok.at[s].set(alive_near)
+    slot_ent = jnp.where(slot_ok, slot_ent, -1)
+
+    free = slot_ent < 0
+    any_free = jnp.any(free)
+    first_free = jnp.argmax(free)
+    rr_slot = shadow.cursor % budget
+    slot = jnp.where(any_unmapped & any_free, first_free, rr_slot)
+    light = jnp.where(
+        any_unmapped,
+        pick_new,
+        jnp.clip(slot_ent[rr_slot], 0, cap - 1),
+    )
+    do_render = any_unmapped | (slot_ent[rr_slot] >= 0)
+    shadow = dataclasses.replace(
+        shadow, slot_entity=slot_ent, cursor=shadow.cursor + 1
+    )
+    return shadow, slot, light, do_render
+
+
+def render_shadow_map(
+    shadow: ShadowState,
+    world: World,
+    camera,
+    bank,
+    *,
+    max_tris: int = 16384,
+    raster_cfg: RasterConfig | None = None,
+) -> ShadowState:
+    """One frame's shadow update: choose a light, depth-raster its view into
+    its slot (the shadow render system, render_flow.rs:267-308,1111-1178)."""
+    cfg = raster_cfg or RasterConfig(tile_budget=64, global_budget=16)
+    res = shadow.resolution
+    shadow, slot, light, do_render = choose_light(
+        shadow, world, camera.position
+    )
+    pv = light_proj_view(world, light)
+
+    batch = build_triangle_batch(
+        world, bank, camera, max_tris=max_tris,
+        apply_lov=True, proj_view=pv,
+    )
+    batch = to_screen(batch, res, res)
+    depth, _ = rasterize_depth_winner(batch, res, res, cfg)
+
+    new_maps = shadow.maps.at[slot].set(
+        jnp.where(do_render, depth, shadow.maps[slot])
+    )
+    new_mats = shadow.light_mats.at[slot].set(
+        jnp.where(do_render, pv, shadow.light_mats[slot])
+    )
+    new_ents = shadow.slot_entity.at[slot].set(
+        jnp.where(do_render, light.astype(jnp.int32), shadow.slot_entity[slot])
+    )
+    return dataclasses.replace(
+        shadow, maps=new_maps, light_mats=new_mats, slot_entity=new_ents
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCF lookup for the lighting pass
+# ---------------------------------------------------------------------------
+def pcf_factor(shadow: ShadowState, slot: jnp.ndarray,
+               world_pos: jnp.ndarray) -> jnp.ndarray:
+    """3x3 PCF shadow term in [0,1] for pixels (H, W, 3) against one slot's
+    map (second_pass_frag.glsl:141-207). Outside the light frustum -> lit
+    (the border-clamp reasoning in the GLSL)."""
+    res = shadow.resolution
+    mat = shadow.light_mats[slot]
+    homo = jnp.concatenate(
+        [world_pos, jnp.ones(world_pos.shape[:-1] + (1,), jnp.float32)],
+        axis=-1,
+    )
+    clip = jnp.einsum("ij,hwj->hwi", mat, homo)
+    w = clip[..., 3:4]
+    ndc = clip[..., :3] / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
+    u = (ndc[..., 0] * 0.5 + 0.5) * (res - 1)
+    v = (0.5 - ndc[..., 1] * 0.5) * (res - 1)
+    z = ndc[..., 2]
+    inside = (
+        (jnp.abs(ndc[..., 0]) <= 1.0)
+        & (jnp.abs(ndc[..., 1]) <= 1.0)
+        & (z <= 1.0)
+        & (w[..., 0] > 0.0)
+    )
+
+    m = shadow.maps[slot]
+    acc = jnp.zeros_like(z)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ui = jnp.clip(jnp.round(u + dx).astype(jnp.int32), 0, res - 1)
+            vi = jnp.clip(jnp.round(v + dy).astype(jnp.int32), 0, res - 1)
+            stored = m[vi, ui]
+            acc = acc + (z - PCF_BIAS <= stored).astype(jnp.float32)
+    lit = acc / 9.0
+    return jnp.where(inside, lit, 1.0)[..., None]
+
+
+def make_shadow_factor(shadow: ShadowState, world: World, lights_entity_map):
+    """Build the shadow_factor callback for lighting.shade.
+
+    ``lights_entity_map``: dict kind -> (N,) entity indices as uploaded into
+    the LightArrays (so slot lookup matches light identity)."""
+    budget = shadow.slot_entity.shape[0]
+
+    def factor(kind: str, i: int, world_pos):
+        ents = lights_entity_map.get(kind)
+        if ents is None:
+            return 1.0
+        ent = ents[i]
+        out = jnp.ones(world_pos.shape[:-1] + (1,), jnp.float32)
+        for s in range(budget):
+            hit = (shadow.slot_entity[s] == ent) & (ent >= 0)
+            term = pcf_factor(shadow, s, world_pos)
+            out = jnp.where(hit, term, out)
+        return out
+
+    return factor

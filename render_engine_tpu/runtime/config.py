@@ -1,0 +1,50 @@
+"""Engine configuration — the UserUploadInformation analogue.
+
+Mirrors the reference's all-in-one config struct (src/exports/load_models.rs:
+17-71: window res, max_fps, world_section_length, camera, render systems,
+models, instances, per-type logic maps, is_debugging flag, callbacks).
+Everything flows through this one object into Engine; there are no globals
+(the reference's lazy_static WORLD_SECTION_LENGTH / CAMERA / DELTA_TIME
+dissolve into explicit state).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+from render_engine_tpu.ecs.registry import ComponentRegistry
+from render_engine_tpu.logic.types import EntityType
+from render_engine_tpu.render.frame import RenderSettings
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    # world (reference: world cube 16384, section length 64)
+    capacity: int = 4096
+    world_length: float = 16384.0
+    section_length: float = 64.0
+    world_min: tuple = (0.0, 0.0, 0.0)
+    registry: ComponentRegistry = dataclasses.field(
+        default_factory=ComponentRegistry
+    )
+
+    # frame
+    render: RenderSettings = dataclasses.field(default_factory=RenderSettings)
+    max_fps: float = 60.0  # host-loop cap (reference main.rs:46)
+
+    # simulation
+    entity_types: Sequence[EntityType] = ()
+    logic_radius: Optional[float] = None  # None -> camera draw distance
+    spawn_budget: int = 0
+    collision_budget: int = 8
+
+    # scene setup: build_scene(engine) -> None, spawns initial entities and
+    # registers models (the register_model_instances callback path,
+    # pipeline.rs:186-208)
+    build_scene: Optional[Callable] = None
+
+    # record/playback (the is_debugging switch, main.rs:53 / lib.rs:76)
+    is_debugging: bool = False
+    history_dir: str = "debug_logs"
+    record_history: bool = True

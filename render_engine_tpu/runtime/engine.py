@@ -1,0 +1,157 @@
+"""The Engine: owns world/camera/bank, drives jitted frame steps.
+
+Replaces launch_render_system + the render thread's frame loop
+(src/lib.rs:43-186, src/threads/render_thread.rs:46-251). One host loop, two
+jitted functions:
+
+  * ``step``          — the logic tick (logic/step.py)
+  * ``step_and_render`` — tick + deferred render fused in one XLA program
+
+History recording happens host-side per frame (the history thread's job —
+here a list append; XLA async dispatch provides the pipelining the condvar
+double-buffer provided). Crash-safe flushing lives in runtime/supervisor.py.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from render_engine_tpu.ecs import world as W
+from render_engine_tpu.logic.step import make_step
+from render_engine_tpu.logic.types import InputState
+from render_engine_tpu.math.camera import Camera, CameraBuilder
+from render_engine_tpu.models.bank import ModelBank, ModelBankBuilder
+from render_engine_tpu.render.frame import render_frame
+from render_engine_tpu.runtime.config import EngineConfig
+from render_engine_tpu.runtime.history import HistoryLog
+
+
+class Engine:
+    def __init__(self, config: EngineConfig, camera: Camera | None = None):
+        self.config = config
+        self.world_config = W.WorldConfig(
+            capacity=config.capacity,
+            world_min=config.world_min,
+            world_length=config.world_length,
+            section_length=config.section_length,
+            registry=config.registry,
+        )
+        self.world = W.create_world(self.world_config)
+        self.camera = camera or CameraBuilder().build()
+        self.bank_builder = ModelBankBuilder()
+        self.bank: ModelBank | None = None
+        self.cubemap = None
+        self.history = HistoryLog()
+        self.frame_index = 0
+        self._step = None
+        self._step_render = None
+        self._frame_times: list[float] = []
+
+        if config.build_scene is not None:
+            config.build_scene(self)
+        self.finalize_scene()
+
+    # -- scene setup -------------------------------------------------------
+    def spawn(self, count: int, **components):
+        """Host-side instance registration (pipeline.rs:186-208)."""
+        self.world, idx = W.spawn_host(self.world, count, **components)
+        return idx
+
+    def set_skybox(self, cubemap):
+        self.cubemap = cubemap
+
+    def finalize_scene(self):
+        """Freeze the model bank, refresh transforms, snapshot the history
+        baseline, and build the jitted step functions."""
+        if self.bank is None:
+            if not self.bank_builder._models:
+                # ensure a non-empty bank (a unit cube placeholder)
+                from render_engine_tpu.models import primitives
+
+                self.bank_builder.add_model("__placeholder__",
+                                            primitives.cube(1.0))
+            self.bank = self.bank_builder.finalize()
+
+        from render_engine_tpu.logic import kinematics as K
+
+        self.world = K.refresh_transforms(
+            self.world, self.bank.aabb_min, self.bank.aabb_max,
+            jnp.asarray(self.world.alive),
+        )
+        if self.config.record_history:
+            self.history.set_baseline(
+                self.world, self.camera,
+                meta={"engine": "render_engine_tpu",
+                      "capacity": self.config.capacity},
+            )
+
+        step = make_step(
+            tuple(self.config.entity_types),
+            logic_radius=self.config.logic_radius,
+            spawn_budget=self.config.spawn_budget,
+            collision_budget=self.config.collision_budget,
+        )
+        bank = self.bank
+        settings = self.config.render
+        cubemap = self.cubemap
+
+        def step_only(world, camera, inputs, dt):
+            return step(world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
+
+        def render_pure(world, camera):
+            return render_frame(world, camera, bank, settings, cubemap=cubemap)
+
+        # BIT-DETERMINISM INVARIANT: state advances through this ONE compiled
+        # program whether or not the frame is rendered. A fused step+render
+        # program would be a *different* XLA program whose step sub-graph may
+        # fuse (and round) differently — live and replay trajectories must
+        # share the exact binary. Rendering is a separate pure program over
+        # the stepped state (XLA async dispatch still overlaps the two).
+        self._step = jax.jit(step_only, donate_argnums=(0,))
+        self._render = jax.jit(render_pure)
+
+    # -- frame loop --------------------------------------------------------
+    def frame(self, inputs: InputState | None = None, dt: float = 1.0 / 60.0,
+              render: bool = True):
+        """Advance one frame. Returns the rendered image (or None)."""
+        inputs = inputs if inputs is not None else InputState.idle(
+            seed=self.frame_index)
+        if self.config.record_history:
+            self.history.record_frame(inputs, dt)
+        t0 = time.perf_counter()
+        self.world, self.camera = self._step(
+            self.world, self.camera, inputs, jnp.float32(dt))
+        img = self._render(self.world, self.camera) if render else None
+        self.frame_index += 1
+        self._frame_times.append(time.perf_counter() - t0)
+        return img
+
+    def render_only(self, camera=None):
+        """Render the current state without stepping (detached-camera
+        replay views, debug HUD)."""
+        cam = camera if camera is not None else self.camera
+        return self._render(self.world, cam)
+
+    # -- stats -------------------------------------------------------------
+    def fps_stats(self) -> dict:
+        """Host-observed dispatch times (frame wall-time print analogue,
+        pipeline.rs:214,273)."""
+        if not self._frame_times:
+            return {}
+        import numpy as np
+
+        ts = np.asarray(self._frame_times[1:] or self._frame_times)
+        return {
+            "frames": len(self._frame_times),
+            "mean_ms": float(ts.mean() * 1e3),
+            "p50_ms": float(np.percentile(ts, 50) * 1e3),
+            "fps": float(1.0 / max(ts.mean(), 1e-9)),
+        }
+
+    def flush_history(self) -> str | None:
+        if self.config.record_history:
+            return self.history.write_to_disk(self.config.history_dir)
+        return None
