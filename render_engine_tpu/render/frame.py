@@ -37,12 +37,33 @@ class RenderSettings:
     max_point_lights: int = 64
     max_spot_lights: int = 16
     clear_color: tuple = (0.0, 0.0, 0.0)
+    # raster backend: "auto" = Pallas kernel on TPU, jnp elsewhere
+    backend: str = "auto"
 
     def __hash__(self):
         return hash((self.width, self.height, self.max_tris,
                      tuple(dataclasses.astuple(self.raster)),
                      self.max_dir_lights, self.max_point_lights,
-                     self.max_spot_lights, self.clear_color))
+                     self.max_spot_lights, self.clear_color, self.backend))
+
+
+def pick_rasterizer(backend: str = "auto"):
+    """Select the depth/winner rasterizer implementation."""
+    import jax
+
+    from render_engine_tpu.render.raster_pallas import (
+        rasterize_depth_winner_pallas,
+    )
+
+    if backend == "pallas":
+        return rasterize_depth_winner_pallas
+    if backend == "jnp":
+        return rasterize_depth_winner
+    return (
+        rasterize_depth_winner_pallas
+        if jax.default_backend() == "tpu"
+        else rasterize_depth_winner
+    )
 
 
 def render_frame(

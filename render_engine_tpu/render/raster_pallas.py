@@ -1,0 +1,172 @@
+"""Pallas TPU kernel for the rasterizer's tile loop.
+
+Same contract as raster_jnp.rasterize_depth_winner (bit-compatible winner
+selection: nearest depth, first-seen wins ties in stable binning order), but
+the per-tile candidate march runs as a Pallas kernel:
+
+  * grid = one program per 8x128 screen tile — a tile IS one VPU register
+    shape, so every edge-function/depth op is a single vector op;
+  * candidate triangle data is pre-gathered per tile (XLA gather) and
+    streamed through VMEM blocks; the inner fori_loop reads per-candidate
+    scalars from SMEM;
+  * depth/winner accumulate in registers across the loop — zero HBM traffic
+    until the final store.
+
+Binning (bbox -> tile pairs -> sort -> windows) is shared with the jnp
+version: XLA's device sort is already speed-of-light for that stage.
+
+The kernel runs in interpret mode off-TPU so CPU tests exercise the same
+code path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from render_engine_tpu.render.geometry import TriangleBatch
+from render_engine_tpu.render.raster_jnp import RasterConfig, _bin_triangles
+
+
+def _tile_kernel(
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    n_cand: int,
+    data_ref,  # SMEM (1, n_cand, 10): x0 y0 x1 y1 x2 y2 z0 z1 z2 validf
+    ids_ref,  # SMEM (1, n_cand) int32 global tri ids
+    depth_ref,  # VMEM (1, tile_h, tile_w) f32
+    winner_ref,  # VMEM (1, tile_h, tile_w) int32
+):
+    t = pl.program_id(0)
+    oy = (t // tiles_x) * tile_h
+    ox = (t % tiles_x) * tile_w
+    py = (
+        jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
+        + oy.astype(jnp.float32)
+        + 0.5
+    )
+    px = (
+        jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
+        + ox.astype(jnp.float32)
+        + 0.5
+    )
+
+    def body(k, carry):
+        best_d, best_t = carry
+        x0 = data_ref[0, k, 0]
+        y0 = data_ref[0, k, 1]
+        x1 = data_ref[0, k, 2]
+        y1 = data_ref[0, k, 3]
+        x2 = data_ref[0, k, 4]
+        y2 = data_ref[0, k, 5]
+        z0 = data_ref[0, k, 6]
+        z1 = data_ref[0, k, 7]
+        z2 = data_ref[0, k, 8]
+        ok = data_ref[0, k, 9]
+        tid = ids_ref[0, k]
+
+        l0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        l1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+        l2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+        area = l0 + l1 + l2
+        inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)) | (
+            (l0 <= 0.0) & (l1 <= 0.0) & (l2 <= 0.0)
+        )
+        nz = jnp.abs(area) > 1e-9
+        inside = inside & nz & (ok > 0.0)
+        inv_area = 1.0 / jnp.where(nz, area, 1.0)
+        d = (l0 * z0 + l1 * z1 + l2 * z2) * inv_area
+        inside = inside & (d >= -1.0) & (d <= 1.0)
+        d = jnp.where(inside, d, jnp.inf)
+        upd = d < best_d
+        return jnp.where(upd, d, best_d), jnp.where(upd, tid, best_t)
+
+    init = (
+        jnp.full((tile_h, tile_w), jnp.inf, jnp.float32),
+        jnp.full((tile_h, tile_w), -1, jnp.int32),
+    )
+    best_d, best_t = jax.lax.fori_loop(0, n_cand, body, init)
+    depth_ref[0] = jnp.where(best_t >= 0, best_d, 1.0)
+    winner_ref[0] = best_t
+
+
+def rasterize_depth_winner_pallas(
+    batch: TriangleBatch,
+    height: int,
+    width: int,
+    cfg: RasterConfig = RasterConfig(),
+    tri_mask: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for raster_jnp.rasterize_depth_winner."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    th, tw = cfg.tile_h, cfg.tile_w
+    tiles_x = -(-width // tw)
+    tiles_y = -(-height // th)
+    nt = tiles_x * tiles_y
+
+    if tri_mask is not None:
+        batch = dataclasses.replace(batch, valid=batch.valid & tri_mask)
+
+    tile_cand, global_list, _ = _bin_triangles(batch, cfg, tiles_x, tiles_y)
+    cand = jnp.concatenate(
+        [tile_cand,
+         jnp.broadcast_to(global_list[None], (nt, cfg.global_budget))],
+        axis=1,
+    )  # (NT, K)
+    k = cand.shape[1]
+
+    # pre-gather per-candidate scalars: (NT, K, 10)
+    safe = jnp.clip(cand, 0, batch.budget - 1)
+    x = batch.xy[..., 0][safe]  # (NT, K, 3)
+    y = batch.xy[..., 1][safe]
+    z = batch.z[safe]
+    okf = (cand >= 0).astype(jnp.float32)[..., None]
+    data = jnp.concatenate(
+        [
+            x[..., 0:1], y[..., 0:1],
+            x[..., 1:2], y[..., 1:2],
+            x[..., 2:3], y[..., 2:3],
+            z, okf,
+        ],
+        axis=-1,
+    )  # (NT, K, 10)
+    ids = jnp.where(cand >= 0, cand, -1)
+
+    kernel = functools.partial(_tile_kernel, tiles_x, th, tw, k)
+    depth, winner = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, k, 10), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, th, tw), jnp.float32),
+            jax.ShapeDtypeStruct((nt, th, tw), jnp.int32),
+        ],
+        interpret=interpret,
+    )(data, ids)
+
+    def untile(a):
+        a = a.reshape(tiles_y, tiles_x, th, tw)
+        a = jnp.transpose(a, (0, 2, 1, 3)).reshape(tiles_y * th, tiles_x * tw)
+        return a[:height, :width]
+
+    return untile(depth), untile(winner)

@@ -1,0 +1,199 @@
+"""Texture atlas: fixed-size layers with per-layer UV rescale + bilinear
+sampling.
+
+Replaces the reference's GL_TEXTURE_2D_ARRAY stack (texture_array.rs:12-263):
+images smaller than the layer size are padded into the fixed layer and a UV
+scale factor is recorded (``SuccessWithResize``, :122-186); the "choose the
+array wasting least space" logic (:224-256) collapses to one atlas whose
+layer size is chosen at build time; solid colors become 1x1-equivalent
+materials that skip sampling entirely (mat_texture < 0); the 6 named error
+colors (helper_constructs.rs:2-12) become the magenta error material 0.
+
+Sampling happens in the G-buffer resolve (per covered pixel, one bilinear
+gather) — the first-pass fragment shader's texture path
+(first_pass_frag.glsl:14-37 unpack + sample).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["layers", "uv_scale"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class TextureAtlas:
+    layers: jnp.ndarray  # (L, S, S, 3) f32 linear color
+    uv_scale: jnp.ndarray  # (L, 2) fraction of the layer actually used
+
+    @property
+    def size(self) -> int:
+        return self.layers.shape[1]
+
+
+class TextureAtlasBuilder:
+    def __init__(self, layer_size: int = 256):
+        self.size = layer_size
+        self._imgs: list[np.ndarray] = []
+        self._scales: list[tuple] = []
+
+    def add_image(self, img: np.ndarray) -> int:
+        """Pad an (h, w, 3) float or uint8 image into a layer; returns the
+        texture id. Larger images are downscaled by integer striding."""
+        img = np.asarray(img)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        s = self.size
+        h, w = img.shape[:2]
+        # integer downscale if needed
+        sy = max(1, -(-h // s))
+        sx = max(1, -(-w // s))
+        img = img[::sy, ::sx]
+        h, w = img.shape[:2]
+        layer = np.zeros((s, s, 3), np.float32)
+        layer[:h, :w] = img[..., :3]
+        self._imgs.append(layer)
+        self._scales.append((w / s, h / s))
+        return len(self._imgs) - 1
+
+    def add_checkerboard(self, a=(1, 1, 1), b=(0, 0, 0), cells=8) -> int:
+        s = self.size
+        yy, xx = np.mgrid[0:s, 0:s]
+        mask = ((yy * cells // s) + (xx * cells // s)) % 2
+        img = np.where(mask[..., None] > 0, np.asarray(b, np.float32),
+                       np.asarray(a, np.float32))
+        return self.add_image(img)
+
+    def finalize(self) -> TextureAtlas | None:
+        if not self._imgs:
+            return None
+        return TextureAtlas(
+            layers=jnp.asarray(np.stack(self._imgs)),
+            uv_scale=jnp.asarray(np.asarray(self._scales, np.float32)),
+        )
+
+
+def sample_atlas(atlas: TextureAtlas, layer: jnp.ndarray,
+                 uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample. ``layer``: (...,) int32 (clipped by caller);
+    ``uv``: (..., 2) in [0,1] model space (wrapped), scaled per layer."""
+    s = atlas.size
+    lay = jnp.clip(layer, 0, atlas.layers.shape[0] - 1)
+    scale = atlas.uv_scale[lay]  # (..., 2)
+    u = jnp.mod(uv[..., 0], 1.0) * scale[..., 0] * (s - 1)
+    v = (1.0 - jnp.mod(uv[..., 1], 1.0)) * scale[..., 1] * (s - 1)
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, s - 1)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, s - 1)
+    u1 = jnp.clip(u0 + 1, 0, s - 1)
+    v1 = jnp.clip(v0 + 1, 0, s - 1)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    c00 = atlas.layers[lay, v0, u0]
+    c01 = atlas.layers[lay, v0, u1]
+    c10 = atlas.layers[lay, v1, u0]
+    c11 = atlas.layers[lay, v1, u1]
+    return (
+        c00 * (1 - fu) * (1 - fv)
+        + c01 * fu * (1 - fv)
+        + c10 * (1 - fu) * fv
+        + c11 * fu * fv
+    )
+
+
+# ---------------------------------------------------------------------------
+# minimal image loading (the stb_image replacement): PPM (P6) and
+# non-interlaced 8-bit RGB/RGBA PNG
+# ---------------------------------------------------------------------------
+def load_image(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path)
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == b"P6":
+        return _load_ppm(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _load_png(data)
+    raise ValueError(f"unsupported image format: {path}")
+
+
+def _load_ppm(data: bytes) -> np.ndarray:
+    parts = []
+    idx = 2
+    while len(parts) < 3:
+        while idx < len(data) and data[idx : idx + 1].isspace():
+            idx += 1
+        if data[idx : idx + 1] == b"#":
+            while data[idx : idx + 1] != b"\n":
+                idx += 1
+            continue
+        start = idx
+        while not data[idx : idx + 1].isspace():
+            idx += 1
+        parts.append(int(data[start:idx]))
+    idx += 1
+    w, h, _maxv = parts
+    return np.frombuffer(data, np.uint8, w * h * 3, idx).reshape(h, w, 3)
+
+
+def _load_png(data: bytes) -> np.ndarray:
+    import struct
+    import zlib
+
+    pos = 8
+    idat = b""
+    w = h = None
+    bit_depth = color_type = None
+    while pos < len(data):
+        ln = struct.unpack(">I", data[pos : pos + 4])[0]
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+            if bit_depth != 8 or color_type not in (2, 6):
+                raise ValueError("only 8-bit RGB/RGBA PNGs supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).copy()
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ft == 2:
+            line = (line.astype(np.int32) + prev) % 256
+            line = line.astype(np.uint8)
+        elif ft == 3:
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((int(a) + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pr = a if abs(p - a) <= min(abs(p - b), abs(p - c)) else (
+                    b if abs(p - b) <= abs(p - c) else c)
+                line[x] = (line[x] + pr) & 0xFF
+        out[y] = line
+        prev = out[y]
+    img = out.reshape(h, w, ch)
+    return img[..., :3]
