@@ -73,10 +73,17 @@ def render_frame(
     settings: RenderSettings,
     *,
     cubemap: Optional[jnp.ndarray] = None,
+    atlas=None,
+    shadow_state=None,
     shadow_factor=None,
 ) -> jnp.ndarray:
-    """Deferred-render one frame. Returns float32 (H, W, 3) linear color."""
+    """Deferred-render one frame. Returns float32 (H, W, 3) linear color.
+
+    ``shadow_state``: a shadows.ShadowState whose maps PCF-attenuate the
+    matching lights; ``shadow_factor`` overrides it with a custom callback.
+    """
     h, w = settings.height, settings.width
+    rasterizer = pick_rasterizer(settings.backend)
 
     batch = build_triangle_batch(
         world, bank, camera, max_tris=settings.max_tris
@@ -85,7 +92,8 @@ def render_frame(
 
     # --- opaque pass -> G-buffer ----------------------------------------
     gbuf = render_gbuffer(
-        batch, bank, h, w, settings.raster, tri_mask=~batch.transparent
+        batch, bank, h, w, settings.raster, tri_mask=~batch.transparent,
+        atlas=atlas, rasterizer=rasterizer,
     )
 
     # --- lights (visible-light upload analogue) -------------------------
@@ -95,6 +103,14 @@ def render_frame(
         max_point=settings.max_point_lights,
         max_spot=settings.max_spot_lights,
     )
+
+    if shadow_factor is None and shadow_state is not None:
+        from render_engine_tpu.render.shadows import make_shadow_factor
+
+        shadow_factor = make_shadow_factor(
+            shadow_state, world,
+            {"dir": lights.dir_entity, "spot": lights.sp_entity},
+        )
 
     # --- background: skybox or clear color ------------------------------
     if cubemap is not None:
@@ -113,10 +129,10 @@ def render_frame(
     # --- transparency: single-layer forward pass over the lit image -----
     has_transparent = True  # statically keep the pass; masked cheap if unused
     if has_transparent:
-        t_depth, t_winner = rasterize_depth_winner(
+        t_depth, t_winner = rasterizer(
             batch, h, w, settings.raster, tri_mask=batch.transparent
         )
-        t_gbuf = resolve_gbuffer(batch, bank, t_depth, t_winner)
+        t_gbuf = resolve_gbuffer(batch, bank, t_depth, t_winner, atlas=atlas)
         t_lit = L.shade(
             gbuf=t_gbuf, lights=lights, bank=bank,
             camera_position=camera.position, background=color,

@@ -38,11 +38,11 @@ DIFFUSE_FLOOR = 0.08  # the no-light-cutoff diffuse floor
     jax.tree_util.register_dataclass,
     data_fields=[
         "dir_direction", "dir_diffuse", "dir_specular", "dir_ambient",
-        "dir_count",
+        "dir_count", "dir_entity",
         "pt_position", "pt_diffuse", "pt_specular", "pt_ambient",
-        "pt_atten", "pt_radius", "pt_count",
+        "pt_atten", "pt_radius", "pt_count", "pt_entity",
         "sp_position", "sp_direction", "sp_diffuse", "sp_specular",
-        "sp_ambient", "sp_atten", "sp_cutoff", "sp_count",
+        "sp_ambient", "sp_atten", "sp_cutoff", "sp_count", "sp_entity",
     ],
     meta_fields=[],
 )
@@ -56,6 +56,7 @@ class LightArrays:
     dir_specular: jnp.ndarray
     dir_ambient: jnp.ndarray
     dir_count: jnp.ndarray  # int32 scalar
+    dir_entity: jnp.ndarray  # (ND,) source entity id (-1 empty)
     pt_position: jnp.ndarray  # (NP, 3)
     pt_diffuse: jnp.ndarray
     pt_specular: jnp.ndarray
@@ -63,6 +64,7 @@ class LightArrays:
     pt_atten: jnp.ndarray  # (NP, 2) linear, quadratic
     pt_radius: jnp.ndarray  # (NP,)
     pt_count: jnp.ndarray
+    pt_entity: jnp.ndarray
     sp_position: jnp.ndarray  # (NS, 3)
     sp_direction: jnp.ndarray
     sp_diffuse: jnp.ndarray
@@ -71,6 +73,7 @@ class LightArrays:
     sp_atten: jnp.ndarray
     sp_cutoff: jnp.ndarray  # (NS, 2) cos inner, cos outer
     sp_count: jnp.ndarray
+    sp_entity: jnp.ndarray
 
 
 def _select_bucket(world: World, bucket: int, budget: int,
@@ -118,6 +121,7 @@ def extract_lights(
         dir_specular=g("light_specular", di, dv),
         dir_ambient=g("light_ambient", di, dv),
         dir_count=dc,
+        dir_entity=jnp.where(dv, di, -1),
         pt_position=g("position", pi, pv),
         pt_diffuse=g("light_diffuse", pi, pv),
         pt_specular=g("light_specular", pi, pv),
@@ -125,6 +129,7 @@ def extract_lights(
         pt_atten=g("light_atten", pi, pv),
         pt_radius=g("light_radius", pi, pv),
         pt_count=pc,
+        pt_entity=jnp.where(pv, pi, -1),
         sp_position=g("position", si, sv),
         sp_direction=g("light_direction", si, sv),
         sp_diffuse=g("light_diffuse", si, sv),
@@ -133,6 +138,7 @@ def extract_lights(
         sp_atten=g("light_atten", si, sv),
         sp_cutoff=g("light_cutoff", si, sv),
         sp_count=sc,
+        sp_entity=jnp.where(sv, si, -1),
     )
 
 

@@ -243,6 +243,7 @@ def resolve_gbuffer(
     bank: ModelBank,
     depth: jnp.ndarray,
     winner: jnp.ndarray,
+    atlas=None,
 ) -> GBuffer:
     """Per-pixel attribute interpolation for the winning triangles.
 
@@ -279,9 +280,18 @@ def resolve_gbuffer(
     nrm = jnp.sum(batch.normal[tri] * pl[..., None], axis=-2)
     nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
     nrm = nrm / jnp.where(nlen > 1e-12, nlen, 1.0)
-    # uv reserved for the texture sampling path (render/textures.py)
     mat = batch.material[tri]
-    albedo = bank.mat_albedo[jnp.clip(mat, 0, bank.mat_albedo.shape[0] - 1)]
+    mat_safe = jnp.clip(mat, 0, bank.mat_albedo.shape[0] - 1)
+    albedo = bank.mat_albedo[mat_safe]
+    if atlas is not None:
+        # textured materials sample the atlas; solid colors skip
+        # (first_pass_frag.glsl texture-vs-solid-vs-error selection)
+        from render_engine_tpu.render.textures import sample_atlas
+
+        uv = jnp.sum(batch.uv[tri] * pl[..., None], axis=-2)  # (H, W, 2)
+        layer = bank.mat_texture[mat_safe]
+        tex = sample_atlas(atlas, layer, uv)
+        albedo = jnp.where((layer >= 0)[..., None], tex, albedo)
 
     cm = covered[..., None]
     return GBuffer(
@@ -301,6 +311,8 @@ def render_gbuffer(
     width: int,
     cfg: RasterConfig = RasterConfig(),
     tri_mask: jnp.ndarray | None = None,
+    atlas=None,
+    rasterizer=rasterize_depth_winner,
 ) -> GBuffer:
-    depth, winner = rasterize_depth_winner(batch, height, width, cfg, tri_mask)
-    return resolve_gbuffer(batch, bank, depth, winner)
+    depth, winner = rasterizer(batch, height, width, cfg, tri_mask)
+    return resolve_gbuffer(batch, bank, depth, winner, atlas=atlas)

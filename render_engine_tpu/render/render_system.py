@@ -1,0 +1,230 @@
+"""Render systems: user-defined pipelines bound to sets of models.
+
+The reference's render system is a generated GLSL program + GL resources +
+three user draw callbacks, assembled by a typestate builder chain
+(src/render_system/builder.rs:61-241) from a shader-declaration DSL
+(system_information.rs) with std140 uniform-block management and texture
+arrays. README pillar 1: "user-defined render systems bound to sets of
+models".
+
+TPU-native redesign (SURVEY.md section 7 mapping): string codegen dissolves
+into Python composition — a ``RenderSystem`` is a *configuration record*
+binding a set of bank models to raster + lighting behaviour:
+
+  * vertex/fragment DSL + codegen       ->  the fixed G-buffer contract
+    (geometry.py attributes); per-system knobs cover what the demo's
+    shaders varied (emissive boost, lighting on/off, transparency pass)
+  * uniform blocks + DrawParam writes   ->  the ``uniforms`` dict consumed
+    at shade time (type-checked at build like rendering.rs:147-182)
+  * per-system G-buffer FBO             ->  all systems raster into ONE
+    shared G-buffer via depth-merge (BASELINE config 3's "G-buffer reuse
+    across render systems"), then one fused lighting pass
+  * draw callbacks (opaque/light/transparent) -> entity routing masks via
+    model sets + sortable buckets + transparency flags
+
+``render_frame_systems`` renders any number of systems; one system is
+exactly the render_frame fast path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from render_engine_tpu.ecs.world import World
+from render_engine_tpu.models.bank import ModelBank
+from render_engine_tpu.render import lighting as L
+from render_engine_tpu.render import skybox as SB
+from render_engine_tpu.render.gbuffer import GBuffer, MATERIAL_BACKGROUND
+from render_engine_tpu.render.frame import RenderSettings, pick_rasterizer
+from render_engine_tpu.render.geometry import build_triangle_batch, to_screen
+from render_engine_tpu.render.raster_jnp import resolve_gbuffer
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSystem:
+    """One user-defined pipeline over a subset of models."""
+
+    name: str
+    model_ids: tuple  # bank model indices this system draws
+    lit: bool = True  # False = unlit/emissive-style output
+    emissive_boost: float = 1.0  # the stars' 6x-brightness knob
+    casts_lov: bool = True  # apply level-of-view swapping
+    uniforms: tuple = ()  # ((name, value), ...) build-time constants
+
+
+class RenderSystemBuilder:
+    """Mirror of the reference's typestate chain (builder.rs:61-241):
+    constants -> models -> lighting -> transparency -> build. Python keeps
+    the *order-enforced completeness* contract via required() checks at
+    build time instead of type states."""
+
+    def __init__(self, name: str):
+        self._name = name
+        self._models: list[int] = []
+        self._lit = True
+        self._emissive_boost = 1.0
+        self._lov = True
+        self._uniforms: list[tuple] = []
+
+    def with_models(self, *model_ids: int) -> "RenderSystemBuilder":
+        self._models.extend(int(m) for m in model_ids)
+        return self
+
+    def with_lighting(self, lit: bool = True) -> "RenderSystemBuilder":
+        self._lit = lit
+        return self
+
+    def with_emissive_boost(self, boost: float) -> "RenderSystemBuilder":
+        self._emissive_boost = float(boost)
+        return self
+
+    def with_levels_of_view(self, enabled: bool) -> "RenderSystemBuilder":
+        self._lov = enabled
+        return self
+
+    def write_uniform(self, name: str, value) -> "RenderSystemBuilder":
+        """Type-checked named constant (the DrawParam::write_uniform_value
+        contract, rendering.rs:147-182)."""
+        if not isinstance(name, str) or not name:
+            raise TypeError("uniform name must be a non-empty string")
+        if not isinstance(value, (int, float, tuple)):
+            raise TypeError(
+                f"uniform {name!r}: unsupported type {type(value).__name__}"
+            )
+        self._uniforms.append((name, value))
+        return self
+
+    def build(self) -> RenderSystem:
+        if not self._models:
+            raise ValueError(
+                f"render system {self._name!r}: no models bound "
+                "(the builder chain requires full specification)"
+            )
+        return RenderSystem(
+            name=self._name,
+            model_ids=tuple(self._models),
+            lit=self._lit,
+            emissive_boost=self._emissive_boost,
+            casts_lov=self._lov,
+            uniforms=tuple(self._uniforms),
+        )
+
+
+def _system_instance_mask(world: World, system: RenderSystem) -> jnp.ndarray:
+    mask = jnp.zeros(world.capacity, bool)
+    mid = world["model_id"]
+    for m in system.model_ids:
+        mask = mask | (mid == m)
+    return mask
+
+
+def _merge_gbuffers(a: GBuffer, b: GBuffer) -> GBuffer:
+    """Depth-merge two G-buffers (shared-G-buffer reuse across systems)."""
+    closer = (b.tri_id >= 0) & ((b.depth < a.depth) | (a.tri_id < 0))
+    cm = closer[..., None]
+    return GBuffer(
+        depth=jnp.where(closer, b.depth, a.depth),
+        position=jnp.where(cm, b.position, a.position),
+        normal=jnp.where(cm, b.normal, a.normal),
+        albedo=jnp.where(cm, b.albedo, a.albedo),
+        material=jnp.where(closer, b.material, a.material),
+        tri_id=jnp.where(closer, b.tri_id, a.tri_id),
+    )
+
+
+def render_frame_systems(
+    world: World,
+    camera,
+    bank: ModelBank,
+    systems: tuple,
+    settings: RenderSettings,
+    *,
+    cubemap: Optional[jnp.ndarray] = None,
+    atlas=None,
+    shadow_state=None,
+) -> jnp.ndarray:
+    """Deferred-render with multiple render systems sharing one G-buffer.
+
+    Each system rasters its model set (with its own LoV/unlit knobs); the
+    G-buffers depth-merge; one fused lighting pass shades the union; the
+    transparency forward pass runs over the union of transparent triangles.
+    """
+    h, w = settings.height, settings.width
+    rasterizer = pick_rasterizer(settings.backend)
+
+    gbuf = None
+    unlit_mask = None
+    boost = None
+    trans_layers = []
+    for sys_ in systems:
+        imask = _system_instance_mask(world, sys_)
+        batch = build_triangle_batch(
+            world, bank, camera, max_tris=settings.max_tris,
+            instance_mask=imask, apply_lov=sys_.casts_lov,
+        )
+        batch = to_screen(batch, w, h)
+        depth, winner = rasterizer(batch, h, w, settings.raster,
+                                   ~batch.transparent)
+        g = resolve_gbuffer(batch, bank, depth, winner, atlas=atlas)
+        covered = g.tri_id >= 0
+        sys_unlit = jnp.where(covered, not sys_.lit, False)
+        sys_boost = jnp.where(covered, jnp.float32(sys_.emissive_boost), 1.0)
+        if gbuf is None:
+            gbuf, unlit_mask, boost = g, sys_unlit, sys_boost
+        else:
+            closer = covered & ((depth < gbuf.depth) | (gbuf.tri_id < 0))
+            unlit_mask = jnp.where(closer, sys_unlit, unlit_mask)
+            boost = jnp.where(closer, sys_boost, boost)
+            gbuf = _merge_gbuffers(gbuf, g)
+        # transparency layer for this system
+        t_depth, t_winner = rasterizer(batch, h, w, settings.raster,
+                                       batch.transparent)
+        trans_layers.append(
+            (resolve_gbuffer(batch, bank, t_depth, t_winner, atlas=atlas),
+             t_depth, t_winner)
+        )
+
+    lights = L.extract_lights(
+        world,
+        max_dir=settings.max_dir_lights,
+        max_point=settings.max_point_lights,
+        max_spot=settings.max_spot_lights,
+    )
+    shadow_factor = None
+    if shadow_state is not None:
+        from render_engine_tpu.render.shadows import make_shadow_factor
+
+        shadow_factor = make_shadow_factor(
+            shadow_state, world,
+            {"dir": lights.dir_entity, "spot": lights.sp_entity},
+        )
+
+    if cubemap is not None:
+        dirs = SB.pixel_ray_directions(camera, h, w)
+        background = SB.sample_cubemap(cubemap, dirs)
+    else:
+        background = jnp.broadcast_to(
+            jnp.asarray(settings.clear_color, jnp.float32), (h, w, 3)
+        )
+
+    color = L.shade(gbuf, lights, bank, camera.position,
+                    background=background, shadow_factor=shadow_factor)
+    # per-system unlit/emissive-boost override (the light-source draw fn)
+    color = jnp.where(unlit_mask[..., None], gbuf.albedo * boost[..., None],
+                      color)
+
+    # transparency: blend each system's transparent layer (back-to-front by
+    # merging via depth against the opaque buffer)
+    for t_gbuf, t_depth, t_winner in trans_layers:
+        t_lit = L.shade(t_gbuf, lights, bank, camera.position,
+                        background=color, shadow_factor=shadow_factor)
+        mat = jnp.clip(t_gbuf.material, 0, bank.mat_alpha.shape[0] - 1)
+        alpha = bank.mat_alpha[mat][..., None]
+        in_front = (t_winner >= 0) & (t_depth <= gbuf.depth)
+        color = jnp.where(in_front[..., None],
+                          alpha * t_lit + (1.0 - alpha) * color, color)
+
+    return jnp.clip(color, 0.0, 1.0)

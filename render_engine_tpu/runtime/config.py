@@ -44,6 +44,11 @@ class EngineConfig:
     # pipeline.rs:186-208)
     build_scene: Optional[Callable] = None
 
+    # shadows (reference budget: 6 maps @1024^2, <=1 new per frame)
+    enable_shadows: bool = False
+    shadow_resolution: int = 1024
+    shadow_max_tris: int = 16384
+
     # record/playback (the is_debugging switch, main.rs:53 / lib.rs:76)
     is_debugging: bool = False
     history_dir: str = "debug_logs"

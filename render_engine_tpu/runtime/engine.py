@@ -44,6 +44,8 @@ class Engine:
         self.bank_builder = ModelBankBuilder()
         self.bank: ModelBank | None = None
         self.cubemap = None
+        self.atlas = None
+        self.shadow_state = None
         self.history = HistoryLog()
         self.frame_index = 0
         self._step = None
@@ -62,6 +64,9 @@ class Engine:
 
     def set_skybox(self, cubemap):
         self.cubemap = cubemap
+
+    def set_atlas(self, atlas):
+        self.atlas = atlas
 
     def finalize_scene(self):
         """Freeze the model bank, refresh transforms, snapshot the history
@@ -97,12 +102,29 @@ class Engine:
         bank = self.bank
         settings = self.config.render
         cubemap = self.cubemap
+        atlas = self.atlas
+
+        if self.config.enable_shadows:
+            from render_engine_tpu.render import shadows as SH
+
+            self.shadow_state = SH.create_shadow_state(
+                self.config.shadow_resolution
+            )
+            shadow_tris = self.config.shadow_max_tris
+
+            def shadow_update(shadow, world, camera):
+                return SH.render_shadow_map(
+                    shadow, world, camera, bank, max_tris=shadow_tris
+                )
+
+            self._shadow_update = jax.jit(shadow_update, donate_argnums=(0,))
 
         def step_only(world, camera, inputs, dt):
             return step(world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
 
-        def render_pure(world, camera):
-            return render_frame(world, camera, bank, settings, cubemap=cubemap)
+        def render_pure(world, camera, shadow_state=None):
+            return render_frame(world, camera, bank, settings, cubemap=cubemap,
+                                atlas=atlas, shadow_state=shadow_state)
 
         # BIT-DETERMINISM INVARIANT: state advances through this ONE compiled
         # program whether or not the frame is rendered. A fused step+render
@@ -124,7 +146,16 @@ class Engine:
         t0 = time.perf_counter()
         self.world, self.camera = self._step(
             self.world, self.camera, inputs, jnp.float32(dt))
-        img = self._render(self.world, self.camera) if render else None
+        img = None
+        if render:
+            if self.shadow_state is not None:
+                # <=1 new shadow map per frame (shadow_flow.rs:111-133);
+                # derived cache, outside the replayed state
+                self.shadow_state = self._shadow_update(
+                    self.shadow_state, self.world, self.camera)
+                img = self._render(self.world, self.camera, self.shadow_state)
+            else:
+                img = self._render(self.world, self.camera)
         self.frame_index += 1
         self._frame_times.append(time.perf_counter() - t0)
         return img
@@ -133,6 +164,8 @@ class Engine:
         """Render the current state without stepping (detached-camera
         replay views, debug HUD)."""
         cam = camera if camera is not None else self.camera
+        if self.shadow_state is not None:
+            return self._render(self.world, cam, self.shadow_state)
         return self._render(self.world, cam)
 
     # -- stats -------------------------------------------------------------

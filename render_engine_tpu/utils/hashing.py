@@ -14,11 +14,16 @@ import numpy as np
 
 
 def world_hash(world) -> str:
-    """SHA-256 over every leaf's raw bytes, in a canonical leaf order."""
+    """SHA-256 over every leaf's raw bytes, keyed by its stable tree path.
+
+    Deliberately does NOT hash the treedef repr: meta fields (e.g. the
+    component registry object) repr with memory addresses, which would make
+    bit-identical states from different engine instances hash differently.
+    """
     h = hashlib.sha256()
-    leaves, treedef = jax.tree_util.tree_flatten(world)
-    h.update(repr(treedef).encode())
-    for leaf in leaves:
+    flat = jax.tree_util.tree_flatten_with_path(world)[0]
+    for path, leaf in flat:
+        h.update(jax.tree_util.keystr(path).encode())
         arr = np.asarray(leaf)
         h.update(arr.dtype.str.encode())
         h.update(str(arr.shape).encode())

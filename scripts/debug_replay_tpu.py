@@ -1,7 +1,9 @@
-"""Isolate TPU replay divergence: same-fn rerun vs cross-engine rerun."""
+"""Isolate TPU replay divergence with ONE engine build (tunnel compiles are
+slow): same-fn rerun, then a second jit instance of the same function."""
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -9,46 +11,49 @@ import jax
 import numpy as np
 
 from render_engine_tpu.demo.space_scene import build_space_engine
+from render_engine_tpu.ecs import world as W
 from render_engine_tpu.logic.types import InputState, KEY_W
 from render_engine_tpu.utils.hashing import world_hash
 
 
-def run(eng, nframes=3, render=False):
-    # reset to its own recorded baseline
-    hashes = []
-    for i in range(nframes):
-        eng.frame(InputState.idle(i).with_keys(KEY_W), 1 / 30, render=render)
-        hashes.append(world_hash(eng.world)[:12])
-    return hashes
-
-
 def main():
-    print("backend:", jax.default_backend())
-    kw = dict(width=128, height=32, capacity=128, num_asteroids=40,
-              max_tris=2048)
+    print("backend:", jax.default_backend(), flush=True)
+    t0 = time.time()
+    eng = build_space_engine(width=128, height=32, capacity=128,
+                             num_asteroids=40, max_tris=2048)
+    print(f"built {time.time()-t0:.0f}s", flush=True)
+    base = eng.history.baseline_world
 
-    eng_a = build_space_engine(**kw)
-    base_a = eng_a.history.baseline_world
-    h1 = run(eng_a)
-    # restore baseline into the SAME engine (same compiled step)
-    from render_engine_tpu.ecs import world as W
-    eng_a.world = W.restore(eng_a.world_config, base_a)
-    eng_a.camera = eng_a.history.restore_camera(eng_a.camera)
-    h2 = run(eng_a)
-    print("same-engine rerun equal:", h1 == h2, h1, h2)
+    def run(step_fn, nframes=3):
+        world = W.restore(eng.world_config, base)
+        camera = eng.history.restore_camera(eng.camera)
+        hs = []
+        for i in range(nframes):
+            inputs = InputState.idle(i).with_keys(KEY_W)
+            import jax.numpy as jnp
+            world, camera = step_fn(world, camera, inputs, jnp.float32(1 / 30))
+            hs.append(world_hash(world)[:12])
+        return hs
 
-    # fresh engine (fresh jit cache), same baseline
-    eng_b = build_space_engine(**kw)
-    eng_b.world = W.restore(eng_b.world_config, base_a)
-    eng_b.camera = eng_b.history.restore_camera(eng_b.camera)
-    h3 = run(eng_b)
-    print("cross-engine equal:", h1 == h3, h3)
+    t0 = time.time()
+    h1 = run(eng._step)
+    print(f"run1 {time.time()-t0:.0f}s", h1, flush=True)
+    h2 = run(eng._step)
+    print("same-jit rerun equal:", h1 == h2, h2, flush=True)
 
-    # render interleaved vs not
-    eng_a.world = W.restore(eng_a.world_config, base_a)
-    eng_a.camera = eng_a.history.restore_camera(eng_a.camera)
-    h4 = run(eng_a, render=True)
-    print("render-interleaved equal:", h1 == h4, h4)
+    # a SECOND jit instance of the same python function
+    bank = eng.bank
+    from render_engine_tpu.logic.step import make_step
+
+    step2 = make_step(tuple(eng.config.entity_types),
+                      logic_radius=eng.config.logic_radius,
+                      spawn_budget=eng.config.spawn_budget,
+                      collision_budget=eng.config.collision_budget)
+    f2 = jax.jit(lambda w, c, i, d: step2(w, c, i, d, bank.aabb_min,
+                                          bank.aabb_max))
+    t0 = time.time()
+    h3 = run(f2)
+    print(f"fresh-jit {time.time()-t0:.0f}s equal:", h1 == h3, h3, flush=True)
 
 
 if __name__ == "__main__":

@@ -240,17 +240,19 @@ class TestEndToEndRender:
         lights = L.LightArrays(
             dir_direction=jnp.zeros((0, 3)), dir_diffuse=jnp.zeros((0, 3)),
             dir_specular=jnp.zeros((0, 3)), dir_ambient=jnp.zeros((0, 3)),
-            dir_count=jnp.int32(0),
+            dir_count=jnp.int32(0), dir_entity=jnp.zeros(0, jnp.int32),
             pt_position=jnp.array([[0.0, 0.0, 5.0]]),
             pt_diffuse=jnp.ones((1, 3)),
             pt_specular=jnp.zeros((1, 3)),
             pt_ambient=jnp.zeros((1, 3)),
             pt_atten=jnp.array([[0.1, 0.01]]),
             pt_radius=jnp.ones(1), pt_count=jnp.int32(1),
+            pt_entity=jnp.zeros(1, jnp.int32),
             sp_position=jnp.zeros((0, 3)), sp_direction=jnp.zeros((0, 3)),
             sp_diffuse=jnp.zeros((0, 3)), sp_specular=jnp.zeros((0, 3)),
             sp_ambient=jnp.zeros((0, 3)), sp_atten=jnp.zeros((0, 2)),
             sp_cutoff=jnp.zeros((0, 2)), sp_count=jnp.int32(0),
+            sp_entity=jnp.zeros(0, jnp.int32),
         )
 
         class FakeBank:

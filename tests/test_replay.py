@@ -1,0 +1,139 @@
+"""Record/replay tests: disk roundtrip, bit-deterministic replay, 5-mode
+playback state machine, detached camera, continue-past-end, crash flush.
+
+The reference's de-facto integration test is its playback system
+(SURVEY.md section 4); here it is an actual test suite."""
+
+import numpy as np
+import pytest
+
+from render_engine_tpu.demo.space_scene import build_space_engine
+from render_engine_tpu.logic.types import (
+    InputState,
+    KEY_ESC,
+    KEY_INSERT,
+    KEY_RIGHT,
+    KEY_UP,
+    KEY_W,
+)
+from render_engine_tpu.runtime.history import HistoryLog
+from render_engine_tpu.runtime.replay import PlaybackMode, Player
+from render_engine_tpu.runtime.supervisor import Supervisor
+from render_engine_tpu.utils.hashing import world_hash
+
+ENGINE_KW = dict(width=128, height=32, capacity=128, num_asteroids=10,
+                 max_tris=2048)
+
+
+@pytest.fixture(scope="module")
+def recorded(tmp_path_factory):
+    """One live run of 5 frames, flushed to disk."""
+    d = str(tmp_path_factory.mktemp("hist"))
+    eng = build_space_engine(**ENGINE_KW)
+    eng.config.history_dir = d
+    hashes = []
+    for i in range(5):
+        eng.frame(InputState.idle(i).with_keys(KEY_W), 1 / 30, render=False)
+        hashes.append(world_hash(eng.world))
+    eng.flush_history()
+    return d, hashes
+
+
+class TestHistoryDisk:
+    def test_roundtrip(self, recorded):
+        d, _ = recorded
+        log = HistoryLog.load(d)
+        assert log.num_frames == 5
+        inputs, dt = log.frame(0)
+        assert bool(inputs.keys[KEY_W])
+        assert abs(dt - 1 / 30) < 1e-6
+        assert log.baseline_world["alive"].sum() > 0
+
+
+class TestDeterministicReplay:
+    def test_bitwise_replay(self, recorded):
+        d, live_hashes = recorded
+        log = HistoryLog.load(d)
+        eng2 = build_space_engine(**ENGINE_KW)
+        eng2.config.record_history = False
+        player = Player(eng2, log)
+        replay_hashes = player.replay_all(render=False)
+        assert replay_hashes == live_hashes
+
+    def test_replay_reaches_end_state(self, recorded):
+        d, live_hashes = recorded
+        log = HistoryLog.load(d)
+        eng2 = build_space_engine(**ENGINE_KW)
+        player = Player(eng2, log)
+        player.replay_all(render=False)
+        assert player.mode == PlaybackMode.DEBUG
+        _, at_end = player.step(render=False)
+        assert at_end
+
+
+class TestPlaybackModes:
+    def test_detach_and_reattach_camera(self, recorded):
+        d, _ = recorded
+        log = HistoryLog.load(d)
+        eng = build_space_engine(**ENGINE_KW)
+        player = Player(eng, log)
+        player.step(InputState.idle(0).with_keys(KEY_ESC), render=False)
+        assert player.mode == PlaybackMode.DEBUG_CUSTOM_MOVEMENT
+        assert player.detached_camera is not None
+        player.step(InputState.idle(0).with_keys(KEY_INSERT), render=False)
+        assert player.mode == PlaybackMode.DEBUG
+        assert player.detached_camera is None
+
+    def test_continue_past_end(self, recorded):
+        """Up steps one live frame past the recording; Right resumes RUN
+        (render_thread.rs:344-355, 445-474)."""
+        d, _ = recorded
+        log = HistoryLog.load(d)
+        eng = build_space_engine(**ENGINE_KW)
+        player = Player(eng, log)
+        player.replay_all(render=False)
+        player.step(render=False)  # hits the end marker
+        assert player.mode == PlaybackMode.ONE_PAST_LAST_FRAME
+        h_before = world_hash(eng.world)
+        player.step(InputState.idle(9).with_keys(KEY_UP), render=False)
+        assert player.mode == PlaybackMode.ONE_PAST_LAST_PAUSE
+        assert world_hash(eng.world) != h_before  # simulated one live frame
+        player.step(InputState.idle(10).with_keys(KEY_RIGHT), render=False)
+        assert player.mode == PlaybackMode.RUN
+
+
+class TestSupervisor:
+    def test_flush_on_crash(self, tmp_path):
+        eng = build_space_engine(**ENGINE_KW)
+        eng.config.history_dir = str(tmp_path)
+        with pytest.raises(RuntimeError):
+            with Supervisor(eng) as sup:
+                sup.tick(InputState.idle(0), render=False)
+                sup.tick(InputState.idle(1), render=False)
+                raise RuntimeError("simulated crash")
+        # the crash frame's inputs are on disk and replayable
+        log = HistoryLog.load(str(tmp_path))
+        assert log.num_frames == 2
+        assert sup.failed and "simulated crash" in sup.failure_info
+
+    def test_nan_fault_detection(self):
+        """Fault injection (SURVEY.md section 5): poison a component, assert
+        the supervisor catches it."""
+        import jax.numpy as jnp
+
+        eng = build_space_engine(**ENGINE_KW)
+        eng.config.record_history = False
+        sup = Supervisor(eng, nan_check_every=1)
+        sup.tick(InputState.idle(0), render=False)
+        eng.world = eng.world.replace(
+            velocity=eng.world["velocity"].at[0, 0].set(jnp.nan))
+        with pytest.raises(FloatingPointError):
+            sup.check_state_health()
+
+    def test_heartbeat(self):
+        eng = build_space_engine(**ENGINE_KW)
+        eng.config.record_history = False
+        sup = Supervisor(eng)
+        sup.tick(InputState.idle(0), render=False)
+        assert sup.heartbeat == 1
+        assert sup.seconds_since_heartbeat() < 60.0

@@ -1,0 +1,147 @@
+"""Shadow-map and texture-atlas tests."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from render_engine_tpu.ecs import registry as R
+from render_engine_tpu.ecs import world as W
+from render_engine_tpu.logic import kinematics as K
+from render_engine_tpu.math.camera import CameraBuilder
+from render_engine_tpu.models import primitives
+from render_engine_tpu.models.bank import ModelBankBuilder
+from render_engine_tpu.render import shadows as SH
+from render_engine_tpu.render.textures import (
+    TextureAtlasBuilder,
+    sample_atlas,
+)
+from render_engine_tpu.render.raster_jnp import RasterConfig, render_gbuffer
+from render_engine_tpu.render.geometry import build_triangle_batch, to_screen
+
+
+def make_bank():
+    bb = ModelBankBuilder()
+    m = bb.add_material(albedo=(1.0, 1.0, 1.0))
+    bb.add_model("cube", primitives.cube(2.0), material=m)
+    return bb.finalize()
+
+
+class TestShadowState:
+    def _world_with_light_and_blocker(self):
+        bank = make_bank()
+        cfg = W.WorldConfig(capacity=16, world_length=256.0,
+                            section_length=32.0)
+        w = W.create_world(cfg)
+        # spot light above looking down; a cube between light and ground
+        w, _ = W.spawn_host(
+            w, 2,
+            position=np.array([[64.0, 40.0, 64.0], [64.0, 20.0, 64.0]],
+                              np.float32),
+            model_id=np.array([-1, 0], np.int32),
+            sortable=np.array([R.SORTABLE_SPOT, R.SORTABLE_DEFAULT], np.int32),
+            light_direction=np.array([[0.0, -1.0, 0.0], [0, 0, 0]], np.float32),
+            light_fov=np.array([1.2, 0.0], np.float32),
+        )
+        w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                 jnp.asarray(w.alive))
+        return w, bank
+
+    def test_render_shadow_map_fills_slot(self):
+        w, bank = self._world_with_light_and_blocker()
+        cam = (CameraBuilder().with_position(64.0, 25.0, 80.0)
+               .with_draw_distance(500.0).build())
+        shadow = SH.create_shadow_state(resolution=64, budget=2)
+        shadow = SH.render_shadow_map(shadow, w, cam, bank, max_tris=64,
+                                      raster_cfg=RasterConfig(
+                                          tile_budget=16, global_budget=8))
+        ents = np.asarray(shadow.slot_entity)
+        assert (ents >= 0).any()
+        slot = int(np.argmax(ents >= 0))
+        m = np.asarray(shadow.maps[slot])
+        # the blocker cube writes depths < 1 somewhere in the map
+        assert (m < 1.0).any()
+
+    def test_pcf_shadowing(self):
+        """A point under the blocker is shadowed; a point beside it is lit."""
+        w, bank = self._world_with_light_and_blocker()
+        cam = (CameraBuilder().with_position(64.0, 25.0, 80.0)
+               .with_draw_distance(500.0).build())
+        shadow = SH.create_shadow_state(resolution=128, budget=2)
+        shadow = SH.render_shadow_map(shadow, w, cam, bank, max_tris=64,
+                                      raster_cfg=RasterConfig(
+                                          tile_budget=16, global_budget=8))
+        slot = int(np.argmax(np.asarray(shadow.slot_entity) >= 0))
+        pts = jnp.array([
+            [[64.0, 5.0, 64.0], [80.0, 5.0, 64.0]],
+        ])  # (1, 2, 3): under the cube / off to the side
+        f = np.asarray(SH.pcf_factor(shadow, jnp.int32(slot), pts))
+        assert f[0, 0, 0] < 0.5  # occluded by the cube
+        assert f[0, 1, 0] > 0.5  # lit
+
+    def test_eviction_when_light_leaves(self):
+        w, bank = self._world_with_light_and_blocker()
+        cam = (CameraBuilder().with_position(64.0, 25.0, 80.0)
+               .with_draw_distance(500.0).build())
+        shadow = SH.create_shadow_state(resolution=32, budget=2)
+        shadow = SH.render_shadow_map(shadow, w, cam, bank, max_tris=64)
+        assert (np.asarray(shadow.slot_entity) >= 0).any()
+        # move camera far away: light leaves the neighborhood -> slot frees
+        far_cam = cam.with_position(jnp.array([5000.0, 5000.0, 5000.0]))
+        shadow2, slot, light, do = SH.choose_light(shadow, w,
+                                                   far_cam.position)
+        assert (np.asarray(shadow2.slot_entity) == -1).all()
+
+
+class TestTextures:
+    def test_atlas_roundtrip_and_scale(self):
+        bb = TextureAtlasBuilder(layer_size=16)
+        img = np.zeros((8, 8, 3), np.float32)
+        img[:, :, 0] = 1.0  # red, half-size -> uv scale 0.5
+        tid = bb.add_image(img)
+        atlas = bb.finalize()
+        np.testing.assert_allclose(np.asarray(atlas.uv_scale[tid]), [0.5, 0.5])
+        got = np.asarray(sample_atlas(
+            atlas, jnp.int32(tid), jnp.array([[0.5, 0.5]])))
+        np.testing.assert_allclose(got[0], [1.0, 0.0, 0.0], atol=1e-5)
+
+    def test_checkerboard_sampling(self):
+        bb = TextureAtlasBuilder(layer_size=32)
+        tid = bb.add_checkerboard(a=(1, 1, 1), b=(0, 0, 0), cells=2)
+        atlas = bb.finalize()
+        # cell centers: (0.25,0.75)->white-ish, (0.75,0.75)->black-ish
+        # (v is flipped in the sampler: uv (0,1) = image top)
+        uv = jnp.array([[0.25, 0.75], [0.75, 0.75]])
+        got = np.asarray(sample_atlas(atlas, jnp.full(2, tid, jnp.int32), uv))
+        assert got[0].mean() > 0.9
+        assert got[1].mean() < 0.1
+
+    def test_textured_resolve(self):
+        bb = ModelBankBuilder()
+        tb = TextureAtlasBuilder(layer_size=16)
+        img = np.zeros((16, 16, 3), np.float32)
+        img[:, :, 2] = 1.0  # blue texture
+        tid = tb.add_image(img)
+        atlas = tb.finalize()
+        m = bb.add_material(albedo=(1.0, 0.0, 0.0), texture=tid)
+        bb.add_model("quad", primitives.quad(1.0), material=m)
+        bank = bb.finalize()
+
+        cfg = W.WorldConfig(capacity=4, world_length=128.0, section_length=16.0)
+        w = W.create_world(cfg)
+        w, _ = W.spawn_host(w, 1,
+                            position=np.array([[64.0, 64.0, 59.0]], np.float32),
+                            model_id=np.array([0], np.int32))
+        w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                 jnp.asarray(w.alive))
+        cam = (CameraBuilder().with_position(64.0, 64.0, 64.0)
+               .with_yaw_pitch_degrees(-90.0, 0.0).with_fov_degrees(60.0)
+               .with_aspect(4.0).with_near_far(0.1, 100.0)
+               .with_draw_distance(100.0).build())
+        batch = to_screen(build_triangle_batch(w, bank, cam, max_tris=8),
+                          128, 32)
+        gb = render_gbuffer(batch, bank, 32, 128,
+                            RasterConfig(tile_budget=8, global_budget=4),
+                            atlas=atlas)
+        center = np.asarray(gb.albedo)[16, 64]
+        np.testing.assert_allclose(center, [0.0, 0.0, 1.0], atol=1e-4)
