@@ -1,0 +1,202 @@
+"""The five BASELINE.json benchmark configs.
+
+Usage:
+    python benchmarks/run_benchmarks.py [config ...]
+configs: scene, asteroids, lights, tick, playback (default: all)
+
+Each prints one JSON line:
+  {"config": ..., "metric": ..., "value": N, "unit": ...}
+
+Scale knobs via env: BENCH_SCALE=0.1 shrinks populations/resolutions for CI.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SCALE = float(os.environ.get("BENCH_SCALE", "1.0"))
+
+
+def _s(x, lo=1):
+    return max(lo, int(round(x * SCALE)))
+
+
+def _time_frames(eng, frames, render=True, key=None):
+    from render_engine_tpu.logic.types import InputState, KEY_W
+
+    for i in range(3):
+        img = eng.frame(InputState.idle(i).with_keys(KEY_W), 1 / 60,
+                        render=render)
+    jax.block_until_ready((eng.world, img) if img is not None else eng.world)
+    t0 = time.perf_counter()
+    out = None
+    for i in range(frames):
+        out = eng.frame(InputState.idle(100 + i).with_keys(KEY_W), 1 / 60,
+                        render=render)
+    jax.block_until_ready((eng.world, out) if out is not None else eng.world)
+    return frames / (time.perf_counter() - t0)
+
+
+def bench_scene():
+    """Config 1: sample space scene, deferred at 800x600 offscreen."""
+    from render_engine_tpu.demo.space_scene import build_space_engine
+
+    eng = build_space_engine(
+        width=_s(800, 128), height=_s(600, 96), capacity=256,
+        num_asteroids=40, max_tris=32768,
+    )
+    eng.config.record_history = False
+    fps = _time_frames(eng, _s(30, 5))
+    return {"config": "scene", "metric": "space scene 800x600 deferred",
+            "value": round(fps, 2), "unit": "fps"}
+
+
+def bench_asteroids():
+    """Config 2: 10k instanced asteroids, culling active, 1 dir light."""
+    from render_engine_tpu.demo.space_scene import build_space_engine
+    from render_engine_tpu.ecs import registry as R
+
+    n = _s(10000, 100)
+    cap = 1 << (n + 64).bit_length()
+    eng = build_space_engine(
+        width=_s(1920, 256), height=_s(1080, 144), capacity=cap,
+        num_asteroids=n, max_tris=262144,
+    )
+    eng.config.record_history = False
+    # one directional light
+    eng.world, _ = __import__(
+        "render_engine_tpu.ecs.world", fromlist=["spawn_host"]
+    ).spawn_host(
+        eng.world, 1,
+        position=np.array([[1000.0, 1400.0, 1000.0]], np.float32),
+        sortable=np.array([R.SORTABLE_DIRECTIONAL], np.int32),
+        light_direction=np.array([[0.3, -1.0, 0.2]], np.float32),
+        light_diffuse=np.full((1, 3), 0.8, np.float32),
+        light_ambient=np.full((1, 3), 0.1, np.float32),
+    )
+    fps = _time_frames(eng, _s(20, 5))
+    return {"config": "asteroids",
+            "metric": f"{n} asteroids culled+drawn at 1080p",
+            "value": round(fps, 2), "unit": "fps"}
+
+
+def bench_lights():
+    """Config 3: 256 point lights + skybox, 2 render systems sharing the
+    G-buffer."""
+    from render_engine_tpu.demo.space_scene import build_space_engine
+    from render_engine_tpu.ecs import registry as R
+    from render_engine_tpu.ecs.world import spawn_host
+    from render_engine_tpu.render.frame import RenderSettings
+
+    nl = _s(256, 8)
+    eng = build_space_engine(
+        width=_s(1280, 256), height=_s(720, 144), capacity=1024,
+        num_asteroids=200, max_tris=65536,
+    )
+    eng.config.record_history = False
+    rng = np.random.default_rng(0)
+    pos = (np.array([1000.0, 1000.0, 900.0]) +
+           rng.uniform(-200, 200, (nl, 3))).astype(np.float32)
+    eng.world, _ = spawn_host(
+        eng.world, nl,
+        position=pos,
+        sortable=np.full(nl, R.SORTABLE_POINT, np.int32),
+        light_diffuse=rng.uniform(0.2, 1.0, (nl, 3)).astype(np.float32),
+        light_atten=np.full((nl, 2), [0.05, 0.01], np.float32),
+    )
+    # rebuild jitted fns with a bigger light budget
+    eng.config.render = RenderSettings(
+        width=eng.config.render.width, height=eng.config.render.height,
+        max_tris=65536, max_point_lights=nl, max_spot_lights=8,
+    )
+    eng.finalize_scene()
+    fps = _time_frames(eng, _s(20, 5))
+    return {"config": "lights", "metric": f"{nl} point lights deferred 720p",
+            "value": round(fps, 2), "unit": "fps"}
+
+
+def bench_tick():
+    """Config 4: 100k-entity world tick (spin/orbit logic), step-only rate
+    plus a 1080p render rate."""
+    from render_engine_tpu.demo.space_scene import build_space_engine
+
+    n = _s(100000, 1000)
+    cap = 1 << (n + 64).bit_length()
+    eng = build_space_engine(
+        width=_s(1920, 256), height=_s(1080, 144), capacity=cap,
+        num_asteroids=n, max_tris=262144,
+    )
+    eng.config.record_history = False
+    steps_per_sec = _time_frames(eng, _s(30, 5), render=False)
+    alive = int(np.asarray(eng.world.alive).sum())
+    return {"config": "tick",
+            "metric": f"{alive}-entity world tick (no render)",
+            "value": round(steps_per_sec * alive, 0),
+            "unit": "entities_stepped_per_sec",
+            "steps_per_sec": round(steps_per_sec, 2)}
+
+
+def bench_playback():
+    """Config 5: record N frames, bit-deterministic replay, detached camera,
+    continue-past-end."""
+    from render_engine_tpu.demo.space_scene import build_space_engine
+    from render_engine_tpu.logic.types import InputState, KEY_UP, KEY_W
+    from render_engine_tpu.runtime.replay import Player
+    from render_engine_tpu.utils.hashing import world_hash
+
+    n_frames = _s(10000, 50)
+    eng = build_space_engine(width=128, height=32, capacity=256,
+                             num_asteroids=40, max_tris=8192)
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        eng.frame(InputState.idle(i).with_keys(KEY_W), 1 / 60, render=False)
+    jax.block_until_ready(eng.world)
+    record_fps = n_frames / (time.perf_counter() - t0)
+    live_hash = world_hash(eng.world)
+
+    eng2 = build_space_engine(width=128, height=32, capacity=256,
+                              num_asteroids=40, max_tris=8192)
+    player = Player(eng2, eng.history)
+    t0 = time.perf_counter()
+    while player.cursor < eng.history.num_frames:
+        player.step(render=False)
+    jax.block_until_ready(eng2.world)
+    replay_fps = eng.history.num_frames / (time.perf_counter() - t0)
+    deterministic = world_hash(eng2.world) == live_hash
+    # continue past end: one live frame
+    player.step(render=False)  # -> ONE_PAST_LAST_FRAME
+    player.step(InputState.idle(0).with_keys(KEY_UP), render=False)
+    return {"config": "playback",
+            "metric": f"{n_frames}-frame record/replay",
+            "value": round(replay_fps, 1), "unit": "replay_fps",
+            "record_fps": round(record_fps, 1),
+            "bit_deterministic": bool(deterministic)}
+
+
+ALL = {
+    "scene": bench_scene,
+    "asteroids": bench_asteroids,
+    "lights": bench_lights,
+    "tick": bench_tick,
+    "playback": bench_playback,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        result = ALL[name]()
+        print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from render_engine_tpu.parallel.mesh import (
+    make_mesh,
+    shard_world,
+    world_sharding,
+)
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+class TestMesh:
+    def test_make_mesh(self):
+        mesh = make_mesh(8)
+        assert mesh.shape["world"] == 8
+
+    def test_world_sharding_specs(self):
+        from render_engine_tpu.ecs import world as W
+
+        w = W.create_world(W.WorldConfig(capacity=64))
+        mesh = make_mesh(8)
+        sh = world_sharding(w, mesh)
+        # per-entity arrays shard on dim 0; config-free leaves replicate
+        pos_sh = sh.comps["position"]
+        assert pos_sh.spec == P("world")
+
+    def test_sharded_step_runs(self):
+        """The full demo step executes over an 8-device mesh and XLA inserts
+        whatever collectives the grid sort / collision gathers need."""
+        from render_engine_tpu.demo.space_scene import build_space_engine
+        from render_engine_tpu.logic.step import make_step
+        from render_engine_tpu.logic.types import InputState
+
+        eng = build_space_engine(width=128, height=32, capacity=128,
+                                 num_asteroids=16, max_tris=2048)
+        mesh = make_mesh(8)
+        world = shard_world(eng.world, mesh)
+        rep = NamedSharding(mesh, P())
+        camera = jax.device_put(eng.camera, rep)
+        bank = eng.bank
+
+        step = make_step(tuple(eng.config.entity_types),
+                         spawn_budget=eng.config.spawn_budget)
+        fn = jax.jit(lambda w, c, i, d: step(w, c, i, d, bank.aabb_min,
+                                             bank.aabb_max))
+        w2, c2 = fn(world, camera, InputState.idle(0), jnp.float32(1 / 60))
+        jax.block_until_ready(w2)
+        assert int(jnp.sum(w2.alive)) == int(jnp.sum(eng.world.alive))
+        assert np.isfinite(np.asarray(w2.comps["position"])).all()
+
+    def test_sharded_matches_single_device(self):
+        """Sharded step == single-device step (same math, collectives only
+        move data)."""
+        from render_engine_tpu.demo.space_scene import build_space_engine
+        from render_engine_tpu.logic.step import make_step
+        from render_engine_tpu.logic.types import InputState
+
+        eng = build_space_engine(width=128, height=32, capacity=64,
+                                 num_asteroids=8, max_tris=1024)
+        bank = eng.bank
+        step = make_step(tuple(eng.config.entity_types),
+                         spawn_budget=eng.config.spawn_budget)
+        fn = jax.jit(lambda w, c, i, d: step(w, c, i, d, bank.aabb_min,
+                                             bank.aabb_max))
+        w_single, _ = fn(eng.world, eng.camera, InputState.idle(0),
+                         jnp.float32(1 / 60))
+
+        mesh = make_mesh(8)
+        world_sh = shard_world(eng.world, mesh)
+        cam_sh = jax.device_put(eng.camera, NamedSharding(mesh, P()))
+        w_mesh, _ = fn(world_sh, cam_sh, InputState.idle(0),
+                       jnp.float32(1 / 60))
+        for k in w_single.comps:
+            np.testing.assert_allclose(
+                np.asarray(w_single.comps[k]), np.asarray(w_mesh.comps[k]),
+                rtol=1e-6, atol=1e-6, err_msg=f"component {k}",
+            )
