@@ -39,7 +39,7 @@ def _tile_kernel(
     tile_w: int,
     n_cand: int,
     data_ref,  # SMEM (1, n_cand, 10): x0 y0 x1 y1 x2 y2 z0 z1 z2 validf
-    ids_ref,  # SMEM (1, n_cand) int32 global tri ids
+    ids_ref,  # SMEM (1, 1, n_cand) int32 global tri ids
     depth_ref,  # VMEM (1, tile_h, tile_w) f32
     winner_ref,  # VMEM (1, tile_h, tile_w) int32
 ):
@@ -47,12 +47,16 @@ def _tile_kernel(
     oy = (t // tiles_x) * tile_h
     ox = (t % tiles_x) * tile_w
     py = (
-        jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
+            jnp.float32
+        )
         + oy.astype(jnp.float32)
         + 0.5
     )
     px = (
-        jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
+            jnp.float32
+        )
         + ox.astype(jnp.float32)
         + 0.5
     )
@@ -69,7 +73,7 @@ def _tile_kernel(
         z1 = data_ref[0, k, 7]
         z2 = data_ref[0, k, 8]
         ok = data_ref[0, k, 9]
-        tid = ids_ref[0, k]
+        tid = ids_ref[0, 0, k]
 
         l0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
         l1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
@@ -139,7 +143,7 @@ def rasterize_depth_winner_pallas(
         ],
         axis=-1,
     )  # (NT, K, 10)
-    ids = jnp.where(cand >= 0, cand, -1)
+    ids = jnp.where(cand >= 0, cand, -1)[:, None, :]  # (NT, 1, K)
 
     kernel = functools.partial(_tile_kernel, tiles_x, th, tw, k)
     depth, winner = pl.pallas_call(
@@ -148,7 +152,7 @@ def rasterize_depth_winner_pallas(
         in_specs=[
             pl.BlockSpec((1, k, 10), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[

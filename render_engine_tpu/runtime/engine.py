@@ -135,6 +135,27 @@ class Engine:
         self._step = jax.jit(step_only, donate_argnums=(0,))
         self._render = jax.jit(render_pure)
 
+        def step_many(world, camera, inputs_batch, dts):
+            """lax.scan over a batch of frames — ONE dispatch for N steps.
+
+            Amortizes host->device latency for headless/bench runs. NOTE:
+            this is a different compiled program than the single step; runs
+            that must be bit-replayable frame-by-frame use frame()/_step.
+            """
+
+            def body(carry, xs):
+                w, c = carry
+                inp, dt = xs
+                w, c = step(w, c, inp, dt, bank.aabb_min, bank.aabb_max)
+                return (w, c), None
+
+            (world, camera), _ = jax.lax.scan(
+                body, (world, camera), (inputs_batch, dts)
+            )
+            return world, camera
+
+        self._step_many = jax.jit(step_many, donate_argnums=(0,))
+
     # -- frame loop --------------------------------------------------------
     def frame(self, inputs: InputState | None = None, dt: float = 1.0 / 60.0,
               render: bool = True):
@@ -159,6 +180,21 @@ class Engine:
         self.frame_index += 1
         self._frame_times.append(time.perf_counter() - t0)
         return img
+
+    def run_frames(self, inputs_list, dts, render_last: bool = False):
+        """Advance many frames in one device dispatch (scan). Returns the
+        last frame's image if requested. Not for replay-recorded runs —
+        see step_many's determinism note."""
+        import jax.tree_util as jtu
+
+        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *inputs_list)
+        dts = jnp.asarray(dts, jnp.float32)
+        self.world, self.camera = self._step_many(
+            self.world, self.camera, stacked, dts)
+        self.frame_index += len(dts)
+        if render_last:
+            return self.render_only()
+        return None
 
     def render_only(self, camera=None):
         """Render the current state without stepping (detached-camera
