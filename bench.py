@@ -39,17 +39,24 @@ def main():
     )
     eng.config.record_history = False
 
+    def sync(img):
+        # force full execution: block_until_ready is unreliable through the
+        # axon tunnel, a scalar readback is not
+        float(jnp.sum(eng.world["position"]))
+        if img is not None:
+            float(jnp.sum(img))
+
     # warmup / compile
     for i in range(3):
         img = eng.frame(InputState.idle(i).with_keys(KEY_W), dt=1 / 60,
                         render=True)
-    jax.block_until_ready((eng.world, img))
+    sync(img)
 
     t0 = time.perf_counter()
     for i in range(frames):
         img = eng.frame(InputState.idle(100 + i).with_keys(KEY_W),
                         dt=1 / 60, render=True)
-    jax.block_until_ready((eng.world, img))
+    sync(img)
     dt = time.perf_counter() - t0
 
     fps = frames / dt

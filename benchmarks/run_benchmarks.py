@@ -30,19 +30,27 @@ def _s(x, lo=1):
     return max(lo, int(round(x * SCALE)))
 
 
+def _sync(eng, img=None):
+    # scalar readbacks force completion (block_until_ready is unreliable
+    # through the axon tunnel)
+    float(jnp.sum(eng.world["position"]))
+    if img is not None:
+        float(jnp.sum(img))
+
+
 def _time_frames(eng, frames, render=True, key=None):
     from render_engine_tpu.logic.types import InputState, KEY_W
 
     for i in range(3):
         img = eng.frame(InputState.idle(i).with_keys(KEY_W), 1 / 60,
                         render=render)
-    jax.block_until_ready((eng.world, img) if img is not None else eng.world)
+    _sync(eng, img)
     t0 = time.perf_counter()
     out = None
     for i in range(frames):
         out = eng.frame(InputState.idle(100 + i).with_keys(KEY_W), 1 / 60,
                         render=render)
-    jax.block_until_ready((eng.world, out) if out is not None else eng.world)
+    _sync(eng, out)
     return frames / (time.perf_counter() - t0)
 
 
@@ -159,7 +167,7 @@ def bench_playback():
     t0 = time.perf_counter()
     for i in range(n_frames):
         eng.frame(InputState.idle(i).with_keys(KEY_W), 1 / 60, render=False)
-    jax.block_until_ready(eng.world)
+    _sync(eng)
     record_fps = n_frames / (time.perf_counter() - t0)
     live_hash = world_hash(eng.world)
 
@@ -169,7 +177,7 @@ def bench_playback():
     t0 = time.perf_counter()
     while player.cursor < eng.history.num_frames:
         player.step(render=False)
-    jax.block_until_ready(eng2.world)
+    _sync(eng2)
     replay_fps = eng.history.num_frames / (time.perf_counter() - t0)
     deterministic = world_hash(eng2.world) == live_hash
     # continue past end: one live frame

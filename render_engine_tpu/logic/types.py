@@ -75,18 +75,28 @@ NUM_KEYS = 16
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["keys", "mouse_delta", "rng_seed"],
+    data_fields=["keys", "mouse_delta", "rng_seed", "prev_keys"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class InputState:
     """One frame's input snapshot — the CurrentFrameInput analogue
     (src/window/input_state.rs:5-158). This (plus dt) is the entire replay
-    wire format: record the stream, replay it, get identical bits."""
+    wire format: record the stream, replay it, get identical bits.
+
+    ``prev_keys`` carries the previous frame's key state (the InputHistory
+    role): it is DERIVED by the engine from the stream, not recorded —
+    replay reconstructs it identically."""
 
     keys: jnp.ndarray  # bool[NUM_KEYS]
     mouse_delta: jnp.ndarray  # (2,) f32, yaw/pitch deltas in radians
     rng_seed: jnp.ndarray  # uint32 scalar: per-frame randomness source
+    prev_keys: jnp.ndarray = None  # bool[NUM_KEYS], engine-maintained
+
+    def __post_init__(self):
+        if self.prev_keys is None:
+            object.__setattr__(self, "prev_keys",
+                               jnp.zeros(NUM_KEYS, bool))
 
     @staticmethod
     def idle(seed: int = 0) -> "InputState":
@@ -101,6 +111,21 @@ class InputState:
         for i in indices:
             keys = keys.at[i].set(True)
         return dataclasses.replace(self, keys=keys)
+
+    # -- InputHistory queries (input_state.rs pressed/held/released) -----
+    def pressed(self, i: int) -> jnp.ndarray:
+        """Key went down this frame."""
+        return self.keys[i] & ~self.prev_keys[i]
+
+    def released(self, i: int) -> jnp.ndarray:
+        return ~self.keys[i] & self.prev_keys[i]
+
+    def held(self, i: int) -> jnp.ndarray:
+        """Down both this and last frame."""
+        return self.keys[i] & self.prev_keys[i]
+
+    def with_prev(self, prev_keys) -> "InputState":
+        return dataclasses.replace(self, prev_keys=prev_keys)
 
     def serialize(self) -> jnp.ndarray:
         """Flatten to one f32 vector for the history log."""

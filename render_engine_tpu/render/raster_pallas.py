@@ -37,9 +37,10 @@ def _tile_kernel(
     tiles_x: int,
     tile_h: int,
     tile_w: int,
-    n_cand: int,
+    tile_budget: int,
     data_ref,  # SMEM (1, n_cand, 10): x0 y0 x1 y1 x2 y2 z0 z1 z2 validf
     ids_ref,  # SMEM (1, 1, n_cand) int32 global tri ids
+    counts_ref,  # SMEM (1, 1, 2) int32: (this tile's window count, global)
     depth_ref,  # VMEM (1, tile_h, tile_w) f32
     winner_ref,  # VMEM (1, tile_h, tile_w) int32
 ):
@@ -95,7 +96,16 @@ def _tile_kernel(
         jnp.full((tile_h, tile_w), jnp.inf, jnp.float32),
         jnp.full((tile_h, tile_w), -1, jnp.int32),
     )
-    best_d, best_t = jax.lax.fori_loop(0, n_cand, body, init)
+    # dynamic trip counts: only march candidates that actually exist — the
+    # occupancy win that makes sparse tiles nearly free
+    n_tile = counts_ref[0, 0, 0]
+    n_glob = counts_ref[0, 0, 1]
+    carry = jax.lax.fori_loop(0, n_tile, body, init)
+
+    def gbody(k, c):
+        return body(tile_budget + k, c)
+
+    best_d, best_t = jax.lax.fori_loop(0, n_glob, gbody, carry)
     depth_ref[0] = jnp.where(best_t >= 0, best_d, 1.0)
     winner_ref[0] = best_t
 
@@ -145,7 +155,16 @@ def rasterize_depth_winner_pallas(
     )  # (NT, K, 10)
     ids = jnp.where(cand >= 0, cand, -1)[:, None, :]  # (NT, 1, K)
 
-    kernel = functools.partial(_tile_kernel, tiles_x, th, tw, k)
+    # per-tile live-candidate counts (windows are contiguous; the global
+    # list is rank-packed) for the kernel's dynamic trip counts
+    n_tile = jnp.sum(tile_cand >= 0, axis=1, dtype=jnp.int32)  # (NT,)
+    n_glob = jnp.sum(global_list >= 0, dtype=jnp.int32)
+    counts = jnp.stack(
+        [n_tile, jnp.broadcast_to(n_glob, n_tile.shape)], axis=-1
+    )[:, None, :]  # (NT, 1, 2)
+
+    kernel = functools.partial(_tile_kernel, tiles_x, th, tw,
+                               cfg.tile_budget)
     depth, winner = pl.pallas_call(
         kernel,
         grid=(nt,),
@@ -153,6 +172,8 @@ def rasterize_depth_winner_pallas(
             pl.BlockSpec((1, k, 10), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -166,7 +187,7 @@ def rasterize_depth_winner_pallas(
             jax.ShapeDtypeStruct((nt, th, tw), jnp.int32),
         ],
         interpret=interpret,
-    )(data, ids)
+    )(data, ids, counts)
 
     def untile(a):
         a = a.reshape(tiles_y, tiles_x, th, tw)

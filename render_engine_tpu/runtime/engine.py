@@ -48,6 +48,9 @@ class Engine:
         self.shadow_state = None
         self.history = HistoryLog()
         self.frame_index = 0
+        from render_engine_tpu.logic.types import NUM_KEYS
+
+        self._prev_keys = jnp.zeros(NUM_KEYS, bool)
         self._step = None
         self._step_render = None
         self._frame_times: list[float] = []
@@ -164,6 +167,10 @@ class Engine:
             seed=self.frame_index)
         if self.config.record_history:
             self.history.record_frame(inputs, dt)
+        # InputHistory: thread last frame's key state through (derived from
+        # the stream, so replay reconstructs it identically)
+        inputs = inputs.with_prev(self._prev_keys)
+        self._prev_keys = inputs.keys
         t0 = time.perf_counter()
         self.world, self.camera = self._step(
             self.world, self.camera, inputs, jnp.float32(dt))
@@ -187,7 +194,14 @@ class Engine:
         see step_many's determinism note."""
         import jax.tree_util as jtu
 
-        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *inputs_list)
+        # chain prev_keys through the batch
+        chained = []
+        prev = self._prev_keys
+        for inp in inputs_list:
+            chained.append(inp.with_prev(prev))
+            prev = inp.keys
+        self._prev_keys = prev
+        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *chained)
         dts = jnp.asarray(dts, jnp.float32)
         self.world, self.camera = self._step_many(
             self.world, self.camera, stacked, dts)
