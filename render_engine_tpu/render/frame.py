@@ -90,11 +90,23 @@ def render_frame(
     )
     batch = to_screen(batch, w, h)
 
-    # --- opaque pass -> G-buffer ----------------------------------------
-    gbuf = render_gbuffer(
-        batch, bank, h, w, settings.raster, tri_mask=~batch.transparent,
-        atlas=atlas, rasterizer=rasterizer,
+    # --- raster: opaque + transparent layers ----------------------------
+    from render_engine_tpu.render.raster_pallas import (
+        rasterize_depth_winner_pallas,
+        rasterize_two_pass_pallas,
     )
+
+    if rasterizer is rasterize_depth_winner_pallas:
+        # fused path: ONE binning + ONE kernel launch for both layers
+        depth, winner, t_depth, t_winner = rasterize_two_pass_pallas(
+            batch, h, w, settings.raster
+        )
+    else:
+        depth, winner = rasterizer(batch, h, w, settings.raster,
+                                   ~batch.transparent)
+        t_depth, t_winner = rasterizer(batch, h, w, settings.raster,
+                                       batch.transparent)
+    gbuf = resolve_gbuffer(batch, bank, depth, winner, atlas=atlas)
 
     # --- lights (visible-light upload analogue) -------------------------
     lights = L.extract_lights(
@@ -129,9 +141,6 @@ def render_frame(
     # --- transparency: single-layer forward pass over the lit image -----
     has_transparent = True  # statically keep the pass; masked cheap if unused
     if has_transparent:
-        t_depth, t_winner = rasterizer(
-            batch, h, w, settings.raster, tri_mask=batch.transparent
-        )
         t_gbuf = resolve_gbuffer(batch, bank, t_depth, t_winner, atlas=atlas)
         t_lit = L.shade(
             gbuf=t_gbuf, lights=lights, bank=bank,

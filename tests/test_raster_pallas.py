@@ -10,6 +10,7 @@ from render_engine_tpu.render.raster_jnp import (
 )
 from render_engine_tpu.render.raster_pallas import (
     rasterize_depth_winner_pallas,
+    rasterize_two_pass_pallas,
 )
 from tests.test_render import manual_batch, H, WIDTH
 
@@ -46,6 +47,30 @@ class TestPallasEquivalence:
         (d1, w1), (d2, w2) = both(batch)
         np.testing.assert_array_equal(w1, w2)
         assert int(w2[3, 3]) == 1
+
+    def test_two_pass_matches_separate_calls(self):
+        """Fused opaque+transparent launch == two masked rasterizations."""
+        import dataclasses
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        tris = rng.uniform(0, 120, (6, 3, 2)).astype(np.float32)
+        zs = rng.uniform(-0.9, 0.9, (6, 3)).astype(np.float32)
+        batch = manual_batch(tris, z=zs)
+        transparent = jnp.asarray(
+            np.array([0, 1, 0, 1, 0, 0, 0, 0], bool))
+        batch = dataclasses.replace(batch, transparent=transparent)
+
+        d, w, td, tw_ = rasterize_two_pass_pallas(
+            batch, H, WIDTH, CFG, interpret=True)
+        d1, w1 = rasterize_depth_winner(batch, H, WIDTH, CFG,
+                                        ~batch.transparent)
+        d2, w2 = rasterize_depth_winner(batch, H, WIDTH, CFG,
+                                        batch.transparent)
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(tw_), np.asarray(w2))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(td), np.asarray(d2), atol=1e-6)
 
     def test_global_list_big_triangle(self):
         big = [[-10.0, -10.0], [300.0, -10.0], [-10.0, 80.0]]
