@@ -93,20 +93,36 @@ def render_frame(
     # --- raster: opaque + transparent layers ----------------------------
     from render_engine_tpu.render.raster_pallas import (
         rasterize_depth_winner_pallas,
-        rasterize_two_pass_pallas,
+        render_gbuffers_pallas,
     )
 
+    extras = t_extras = None
     if rasterizer is rasterize_depth_winner_pallas:
-        # fused path: ONE binning + ONE kernel launch for both layers
-        depth, winner, t_depth, t_winner = rasterize_two_pass_pallas(
-            batch, h, w, settings.raster
+        # fused path: ONE binning + ONE raster launch + one-hot MXU resolve
+        gbuf, extras, t_gbuf, t_extras = render_gbuffers_pallas(
+            batch, bank, h, w, settings.raster
         )
+        if atlas is not None:
+            from render_engine_tpu.render.textures import sample_atlas
+
+            def texture(g, ex):
+                layer = bank.mat_texture[
+                    jnp.clip(g.material, 0, bank.mat_texture.shape[0] - 1)]
+                tex = sample_atlas(atlas, layer, ex["uv"])
+                return dataclasses.replace(
+                    g,
+                    albedo=jnp.where((layer >= 0)[..., None], tex, g.albedo),
+                )
+
+            gbuf = texture(gbuf, extras)
+            t_gbuf = texture(t_gbuf, t_extras)
     else:
         depth, winner = rasterizer(batch, h, w, settings.raster,
                                    ~batch.transparent)
         t_depth, t_winner = rasterizer(batch, h, w, settings.raster,
                                        batch.transparent)
-    gbuf = resolve_gbuffer(batch, bank, depth, winner, atlas=atlas)
+        gbuf = resolve_gbuffer(batch, bank, depth, winner, atlas=atlas)
+        t_gbuf = resolve_gbuffer(batch, bank, t_depth, t_winner, atlas=atlas)
 
     # --- lights (visible-light upload analogue) -------------------------
     lights = L.extract_lights(
@@ -136,23 +152,25 @@ def render_frame(
     color = L.shade(
         gbuf, lights, bank, camera.position,
         background=background, shadow_factor=shadow_factor,
+        emissive_image=None if extras is None else extras["emissive"],
     )
 
     # --- transparency: single-layer forward pass over the lit image -----
-    has_transparent = True  # statically keep the pass; masked cheap if unused
-    if has_transparent:
-        t_gbuf = resolve_gbuffer(batch, bank, t_depth, t_winner, atlas=atlas)
-        t_lit = L.shade(
-            gbuf=t_gbuf, lights=lights, bank=bank,
-            camera_position=camera.position, background=color,
-            shadow_factor=shadow_factor,
-        )
+    t_lit = L.shade(
+        gbuf=t_gbuf, lights=lights, bank=bank,
+        camera_position=camera.position, background=color,
+        shadow_factor=shadow_factor,
+        emissive_image=None if t_extras is None else t_extras["emissive"],
+    )
+    if t_extras is not None:
+        alpha = t_extras["alpha"][..., None]
+    else:
         mat = jnp.clip(t_gbuf.material, 0, bank.mat_alpha.shape[0] - 1)
         alpha = bank.mat_alpha[mat][..., None]
-        in_front = (t_winner >= 0) & (t_depth <= gbuf.depth)
-        color = jnp.where(
-            in_front[..., None], alpha * t_lit + (1.0 - alpha) * color, color
-        )
+    in_front = t_gbuf.covered() & (t_gbuf.depth <= gbuf.depth)
+    color = jnp.where(
+        in_front[..., None], alpha * t_lit + (1.0 - alpha) * color, color
+    )
 
     return jnp.clip(color, 0.0, 1.0)
 

@@ -163,10 +163,13 @@ def shade(
     background: jnp.ndarray | None = None,
     shadow_factor=None,
     light_chunk: int = 8,
+    emissive_image: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Lit color (H, W, 3). ``background``: (H, W, 3) for empty pixels
     (skybox sample or clear color). ``shadow_factor``: optional callable
-    (kind, slot_index, world_pos (H,W,3)) -> (H,W,1) in [0,1]."""
+    (kind, slot_index, world_pos (H,W,3)) -> (H,W,1) in [0,1].
+    ``emissive_image``: per-pixel emissive strengths (H, W), replacing the
+    material-table gather when the resolve already folded materials in."""
     h, w = gbuf.shape
     n = gbuf.normal
     pos = gbuf.position
@@ -275,8 +278,11 @@ def shade(
     color = jnp.maximum(color, DIFFUSE_FLOOR * albedo)
 
     # emissive materials bypass lighting (the light-source stencil path)
-    mat = jnp.clip(gbuf.material, 0, bank.mat_emissive.shape[0] - 1)
-    emissive = bank.mat_emissive[mat][..., None]
+    if emissive_image is not None:
+        emissive = emissive_image[..., None]
+    else:
+        mat = jnp.clip(gbuf.material, 0, bank.mat_emissive.shape[0] - 1)
+        emissive = bank.mat_emissive[mat][..., None]
     color = jnp.where(emissive > 0.0, albedo * emissive, color)
 
     # background pixels

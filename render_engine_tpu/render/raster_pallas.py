@@ -44,8 +44,10 @@ def _tile_kernel(
     counts_ref,  # SMEM (1, 1, 2) int32: (this tile's window count, global)
     depth_ref,  # VMEM (1, tile_h, tile_w) f32
     winner_ref,  # VMEM (1, tile_h, tile_w) int32
+    slot_ref=None,  # VMEM (1, th, tw) int32: winner's candidate slot
     t_depth_ref=None,  # two_pass: transparent-layer outputs
     t_winner_ref=None,
+    t_slot_ref=None,
 ):
     t = pl.program_id(0)
     oy = (t // tiles_x) * tile_h
@@ -91,24 +93,27 @@ def _tile_kernel(
         d = (l0 * z0 + l1 * z1 + l2 * z2) * inv_area
         inside = inside & (d >= -1.0) & (d <= 1.0)
         if two_pass:
-            best_d, best_t, best_td, best_tt = carry
+            best_d, best_t, best_k, best_td, best_tt, best_tk = carry
             do = jnp.where(inside & (cls < 1.5), d, jnp.inf)
             upd = do < best_d
             best_d = jnp.where(upd, do, best_d)
             best_t = jnp.where(upd, tid, best_t)
+            best_k = jnp.where(upd, k, best_k)
             dt_ = jnp.where(inside & (cls > 1.5), d, jnp.inf)
             updt = dt_ < best_td
             best_td = jnp.where(updt, dt_, best_td)
             best_tt = jnp.where(updt, tid, best_tt)
-            return best_d, best_t, best_td, best_tt
-        best_d, best_t = carry
+            best_tk = jnp.where(updt, k, best_tk)
+            return best_d, best_t, best_k, best_td, best_tt, best_tk
+        best_d, best_t, best_k = carry
         d = jnp.where(inside, d, jnp.inf)
         upd = d < best_d
-        return jnp.where(upd, d, best_d), jnp.where(upd, tid, best_t)
+        return (jnp.where(upd, d, best_d), jnp.where(upd, tid, best_t),
+                jnp.where(upd, k, best_k))
 
     inf = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
     neg = jnp.full((tile_h, tile_w), -1, jnp.int32)
-    init = (inf, neg, inf, neg) if two_pass else (inf, neg)
+    init = (inf, neg, neg, inf, neg, neg) if two_pass else (inf, neg, neg)
     # dynamic trip counts: only march candidates that actually exist — the
     # occupancy win that makes sparse tiles nearly free
     n_tile = counts_ref[0, 0, 0]
@@ -120,18 +125,20 @@ def _tile_kernel(
 
     carry = jax.lax.fori_loop(0, n_glob, gbody, carry)
     if two_pass:
-        best_d, best_t, best_td, best_tt = carry
+        best_d, best_t, best_k, best_td, best_tt, best_tk = carry
         t_depth_ref[0] = jnp.where(best_tt >= 0, best_td, 1.0)
         t_winner_ref[0] = best_tt
+        t_slot_ref[0] = best_tk
     else:
-        best_d, best_t = carry
+        best_d, best_t, best_k = carry
     depth_ref[0] = jnp.where(best_t >= 0, best_d, 1.0)
     winner_ref[0] = best_t
+    slot_ref[0] = best_k
 
 
-def _prepare_candidates(batch, cfg, tiles_x, tiles_y, tri_class):
-    """Bin once + pre-gather candidate scalars. ``tri_class``: (T,) f32
-    candidate class per triangle (0 excluded, 1 opaque, 2 transparent)."""
+def _candidate_table(batch, cfg, tiles_x, tiles_y):
+    """Bin once: (NT, K) candidate ids (-1 invalid) + per-tile/global
+    counts for the kernel's dynamic trip bounds."""
     nt = tiles_x * tiles_y
     tile_cand, global_list, _ = _bin_triangles(batch, cfg, tiles_x, tiles_y)
     cand = jnp.concatenate(
@@ -139,6 +146,20 @@ def _prepare_candidates(batch, cfg, tiles_x, tiles_y, tri_class):
          jnp.broadcast_to(global_list[None], (nt, cfg.global_budget))],
         axis=1,
     )  # (NT, K)
+    n_tile = jnp.sum(tile_cand >= 0, axis=1, dtype=jnp.int32)  # (NT,)
+    n_glob = jnp.sum(global_list >= 0, dtype=jnp.int32)
+    counts = jnp.stack(
+        [n_tile, jnp.broadcast_to(n_glob, n_tile.shape)], axis=-1
+    )[:, None, :]  # (NT, 1, 2)
+    return cand, counts
+
+
+def _prepare_candidates(batch, cfg, tiles_x, tiles_y, tri_class,
+                        cand=None, counts=None):
+    """Pre-gather raster scalars for the candidate table. ``tri_class``:
+    (T,) f32 class per triangle (0 excluded, 1 opaque, 2 transparent)."""
+    if cand is None:
+        cand, counts = _candidate_table(batch, cfg, tiles_x, tiles_y)
     safe = jnp.clip(cand, 0, batch.budget - 1)
     x = batch.xy[..., 0][safe]  # (NT, K, 3)
     y = batch.xy[..., 1][safe]
@@ -154,15 +175,11 @@ def _prepare_candidates(batch, cfg, tiles_x, tiles_y, tri_class):
         axis=-1,
     )  # (NT, K, 10)
     ids = jnp.where(cand >= 0, cand, -1)[:, None, :]  # (NT, 1, K)
-    n_tile = jnp.sum(tile_cand >= 0, axis=1, dtype=jnp.int32)  # (NT,)
-    n_glob = jnp.sum(global_list >= 0, dtype=jnp.int32)
-    counts = jnp.stack(
-        [n_tile, jnp.broadcast_to(n_glob, n_tile.shape)], axis=-1
-    )[:, None, :]  # (NT, 1, 2)
     return data, ids, counts
 
 
-def _launch(batch, height, width, cfg, tri_class, two_pass, interpret):
+def _launch(batch, height, width, cfg, tri_class, two_pass, interpret,
+            cand=None, counts=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     th, tw = cfg.tile_h, cfg.tile_w
@@ -171,12 +188,12 @@ def _launch(batch, height, width, cfg, tri_class, two_pass, interpret):
     nt = tiles_x * tiles_y
 
     data, ids, counts = _prepare_candidates(batch, cfg, tiles_x, tiles_y,
-                                            tri_class)
+                                            tri_class, cand, counts)
     k = data.shape[1]
     kernel = functools.partial(_tile_kernel, tiles_x, th, tw,
                                cfg.tile_budget, two_pass)
-    n_out = 4 if two_pass else 2
-    out_dtypes = [jnp.float32, jnp.int32] * (n_out // 2)
+    n_out = 6 if two_pass else 3
+    out_dtypes = [jnp.float32, jnp.int32, jnp.int32] * (n_out // 3)
     outs = pl.pallas_call(
         kernel,
         grid=(nt,),
@@ -198,13 +215,13 @@ def _launch(batch, height, width, cfg, tri_class, two_pass, interpret):
         ],
         interpret=interpret,
     )(data, ids, counts)
+    return outs  # tiled (NT, th, tw) buffers
 
-    def untile(a):
-        a = a.reshape(tiles_y, tiles_x, th, tw)
-        a = jnp.transpose(a, (0, 2, 1, 3)).reshape(tiles_y * th, tiles_x * tw)
-        return a[:height, :width]
 
-    return tuple(untile(o) for o in outs)
+def _untile(a, tiles_y, tiles_x, th, tw, height, width):
+    a = a.reshape(tiles_y, tiles_x, th, tw)
+    a = jnp.transpose(a, (0, 2, 1, 3)).reshape(tiles_y * th, tiles_x * tw)
+    return a[:height, :width]
 
 
 def rasterize_depth_winner_pallas(
@@ -219,9 +236,12 @@ def rasterize_depth_winner_pallas(
     if tri_mask is not None:
         batch = dataclasses.replace(batch, valid=batch.valid & tri_mask)
     tri_class = batch.valid.astype(jnp.float32)
-    depth, winner = _launch(batch, height, width, cfg, tri_class,
-                            two_pass=False, interpret=interpret)
-    return depth, winner
+    th, tw = cfg.tile_h, cfg.tile_w
+    tiles_x, tiles_y = -(-width // tw), -(-height // th)
+    depth, winner, _slot = _launch(batch, height, width, cfg, tri_class,
+                                   two_pass=False, interpret=interpret)
+    u = lambda a: _untile(a, tiles_y, tiles_x, th, tw, height, width)
+    return u(depth), u(winner)
 
 
 def rasterize_two_pass_pallas(
@@ -242,5 +262,217 @@ def rasterize_two_pass_pallas(
         jnp.where(batch.transparent, 2.0, 1.0),
         0.0,
     ).astype(jnp.float32)
-    return _launch(batch, height, width, cfg, tri_class, two_pass=True,
-                   interpret=interpret)
+    th, tw = cfg.tile_h, cfg.tile_w
+    tiles_x, tiles_y = -(-width // tw), -(-height // th)
+    d, w, _s, td, twi, _ts = _launch(batch, height, width, cfg, tri_class,
+                                     two_pass=True, interpret=interpret)
+    u = lambda a: _untile(a, tiles_y, tiles_x, th, tw, height, width)
+    return u(d), u(w), u(td), u(twi)
+
+
+# ---------------------------------------------------------------------------
+# One-hot MXU resolve: kill the per-pixel attribute gather
+# ---------------------------------------------------------------------------
+# Channel layout of the per-candidate attribute table (A axis):
+#   0:10   x0 y0 x1 y1 x2 y2 z0 z1 z2 cls      (same as the raster data)
+#   10:19  world_pos vertex 0,1,2 (3 each)
+#   19:28  normal vertex 0,1,2
+#   28:34  uv vertex 0,1,2 (2 each)
+#   34:37  inv_w vertex 0,1,2
+#   37     material id (as f32; ids are small so the roundtrip is exact)
+#   38:41  albedo rgb      (material table folded in -> no per-pixel lookup)
+#   41     emissive
+#   42     alpha
+N_ATTR = 48  # padded to a multiple of 8 sublanes
+
+
+def _resolve_kernel(n_attr, tile_h, tile_w,
+                    slot_ref, attrs_ref, out_ref):
+    """Per tile: winner-slot one-hot (K,{tw}) x attrsT (A,K) on the MXU.
+
+    slot_ref: (1, th, tw) int32 winner candidate slots (-1 empty)
+    attrs_ref: (1, A, K) f32 candidate attribute table (transposed)
+    out_ref: (1, A, th, tw) f32 per-pixel winner attributes
+    """
+    attrs = attrs_ref[0]  # (A, K)
+    k = attrs.shape[1]
+    kio = jax.lax.broadcasted_iota(jnp.int32, (k, tile_w), 0)
+    for r in range(tile_h):  # static unroll: tile_h is 8
+        row = slot_ref[0, r, :]  # (tw,) int32
+        onehot = ((kio == row[None, :]) & (row[None, :] >= 0)).astype(
+            jnp.float32
+        )  # (K, tw)
+        out_ref[0, :, r, :] = jnp.dot(
+            attrs, onehot, preferred_element_type=jnp.float32
+        )
+
+
+def _gather_attr_table(batch, bank, cand):
+    """(NT, K) candidate ids -> (NT, A, K) attribute table (one row-gather
+    per candidate instead of per pixel)."""
+    safe = jnp.clip(cand, 0, batch.budget - 1)
+    x = batch.xy[..., 0][safe]
+    y = batch.xy[..., 1][safe]
+    z = batch.z[safe]
+    wp = batch.world_pos[safe].reshape(safe.shape + (9,))
+    nr = batch.normal[safe].reshape(safe.shape + (9,))
+    uv = batch.uv[safe].reshape(safe.shape + (6,))
+    iw = batch.inv_w[safe]
+    mat = batch.material[safe]
+    mat_safe = jnp.clip(mat, 0, bank.mat_albedo.shape[0] - 1)
+    alb = bank.mat_albedo[mat_safe]
+    emi = bank.mat_emissive[mat_safe][..., None]
+    alp = bank.mat_alpha[mat_safe][..., None]
+    cls = jnp.zeros(safe.shape + (1,), jnp.float32)  # unused in resolve
+    table = jnp.concatenate(
+        [
+            x[..., 0:1], y[..., 0:1], x[..., 1:2], y[..., 1:2],
+            x[..., 2:3], y[..., 2:3], z, cls,
+            wp, nr, uv, iw,
+            mat.astype(jnp.float32)[..., None], alb, emi, alp,
+            jnp.zeros(safe.shape + (N_ATTR - 43,), jnp.float32),
+        ],
+        axis=-1,
+    )  # (NT, K, A)
+    return jnp.swapaxes(table, 1, 2)  # (NT, A, K)
+
+
+def _gbuffer_from_channels(ch, depth, winner, height, width):
+    """Per-pixel interpolation from winner-vertex channel images — pure
+    elementwise math, zero gathers. ``ch``: (A, H, W)."""
+    from render_engine_tpu.render.gbuffer import GBuffer, MATERIAL_BACKGROUND
+
+    covered = winner >= 0
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    x0, y0, x1, y1, x2, y2 = ch[0], ch[1], ch[2], ch[3], ch[4], ch[5]
+
+    l0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    l1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+    l2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+    area = l0 + l1 + l2
+    inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+    b0, b1, b2 = l0 * inv_area, l1 * inv_area, l2 * inv_area
+    iw0, iw1, iw2 = ch[34], ch[35], ch[36]
+    w0, w1, w2 = b0 * iw0, b1 * iw1, b2 * iw2
+    denom = w0 + w1 + w2
+    inv_d = 1.0 / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    p0, p1, p2 = w0 * inv_d, w1 * inv_d, w2 * inv_d
+
+    def interp3(base):
+        return jnp.stack(
+            [
+                p0 * ch[base + i] + p1 * ch[base + 3 + i]
+                + p2 * ch[base + 6 + i]
+                for i in range(3)
+            ],
+            axis=-1,
+        )
+
+    pos = interp3(10)
+    nrm = interp3(19)
+    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.where(nlen > 1e-12, nlen, 1.0)
+    uv = jnp.stack(
+        [
+            p0 * ch[28 + i] + p1 * ch[30 + i] + p2 * ch[32 + i]
+            for i in range(2)
+        ],
+        axis=-1,
+    )
+    mat = ch[37].astype(jnp.int32)
+    albedo = jnp.stack([ch[38], ch[39], ch[40]], axis=-1)
+    emissive = ch[41]
+    alpha = ch[42]
+
+    cm = covered[..., None]
+    gbuf = GBuffer(
+        depth=depth,
+        position=jnp.where(cm, pos, 0.0),
+        normal=jnp.where(cm, nrm, 0.0),
+        albedo=jnp.where(cm, albedo, 0.0),
+        material=jnp.where(covered, mat, MATERIAL_BACKGROUND),
+        tri_id=winner,
+    )
+    extras = {
+        "emissive": jnp.where(covered, emissive, 0.0),
+        "alpha": jnp.where(covered, alpha, 1.0),
+        "uv": uv,
+    }
+    return gbuf, extras
+
+
+def render_gbuffers_pallas(
+    batch: TriangleBatch,
+    bank,
+    height: int,
+    width: int,
+    cfg: RasterConfig = RasterConfig(),
+    interpret: bool | None = None,
+):
+    """Full Pallas frame raster: ONE binning, ONE raster launch (opaque +
+    transparent layers), one one-hot MXU resolve per layer, zero per-pixel
+    gathers. Returns (gbuf, extras, t_gbuf, t_extras)."""
+    th, tw = cfg.tile_h, cfg.tile_w
+    tiles_x, tiles_y = -(-width // tw), -(-height // th)
+
+    tri_class = jnp.where(
+        batch.valid, jnp.where(batch.transparent, 2.0, 1.0), 0.0
+    ).astype(jnp.float32)
+    cand, counts = _candidate_table(batch, cfg, tiles_x, tiles_y)
+    d, w, s, td, twi, ts = _launch(
+        batch, height, width, cfg, tri_class, two_pass=True,
+        interpret=interpret, cand=cand, counts=counts,
+    )
+    attrs_t = _gather_attr_table(batch, bank, cand)
+    res_o = resolve_attributes_pallas(s, attrs_t, cfg, interpret=interpret)
+    res_t = resolve_attributes_pallas(ts, attrs_t, cfg, interpret=interpret)
+
+    def untile2(a):
+        return _untile(a, tiles_y, tiles_x, th, tw, height, width)
+
+    def untile_ch(r):  # (NT, A, th, tw) -> (A, H, W)
+        a_dim = r.shape[1]
+        r = r.reshape(tiles_y, tiles_x, a_dim, th, tw)
+        r = jnp.transpose(r, (2, 0, 3, 1, 4)).reshape(
+            a_dim, tiles_y * th, tiles_x * tw
+        )
+        return r[:, :height, :width]
+
+    depth, winner = untile2(d), untile2(w)
+    t_depth, t_winner = untile2(td), untile2(twi)
+    gbuf, extras = _gbuffer_from_channels(
+        untile_ch(res_o), depth, winner, height, width
+    )
+    t_gbuf, t_extras = _gbuffer_from_channels(
+        untile_ch(res_t), t_depth, t_winner, height, width
+    )
+    return gbuf, extras, t_gbuf, t_extras
+
+
+def resolve_attributes_pallas(slot_tiled, attrs_t, cfg,
+                              interpret: bool | None = None):
+    """Run the one-hot resolve kernel. ``slot_tiled``: (NT, th, tw) int32;
+    ``attrs_t``: (NT, A, K). Returns (NT, A, th, tw)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nt, th, tw = slot_tiled.shape
+    a = attrs_t.shape[1]
+    k = attrs_t.shape[2]
+    kernel = functools.partial(_resolve_kernel, a, th, tw)
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, a, th, tw), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((nt, a, th, tw), jnp.float32)],
+        interpret=interpret,
+    )(slot_tiled, attrs_t)[0]

@@ -72,6 +72,84 @@ class TestPallasEquivalence:
         np.testing.assert_allclose(np.asarray(d), np.asarray(d1), atol=1e-6)
         np.testing.assert_allclose(np.asarray(td), np.asarray(d2), atol=1e-6)
 
+    def test_full_pallas_gbuffer_path(self):
+        """render_gbuffers_pallas (one-hot MXU resolve) matches the jnp
+        resolve on a real scene."""
+        import jax.numpy as jnp
+
+        from render_engine_tpu.ecs import world as W
+        from render_engine_tpu.logic import kinematics as K
+        from render_engine_tpu.models import primitives
+        from render_engine_tpu.models.bank import ModelBankBuilder
+        from render_engine_tpu.render.geometry import (
+            build_triangle_batch, to_screen)
+        from render_engine_tpu.render.raster_jnp import render_gbuffer
+        from render_engine_tpu.render.raster_pallas import (
+            render_gbuffers_pallas)
+        from tests.test_render import front_camera, scene_world
+
+        bb = ModelBankBuilder()
+        m = bb.add_material(albedo=(0.8, 0.3, 0.1), emissive=2.0)
+        bb.add_model("cube", primitives.cube(2.0), material=m)
+        bank = bb.finalize()
+        w = scene_world(0, bank)
+        cam = front_camera()
+        batch = to_screen(build_triangle_batch(w, bank, cam, max_tris=64),
+                          WIDTH, H)
+        gb_p, extras, tgb, textras = render_gbuffers_pallas(
+            batch, bank, H, WIDTH, CFG, interpret=True)
+        gb_j = render_gbuffer(batch, bank, H, WIDTH, CFG,
+                              tri_mask=~batch.transparent)
+        # Cross-implementation FP association (FMA/fusion) can flip coverage
+        # at pixels numerically ON shared triangle edges; winners there may
+        # differ while depth stays equal. Determinism only requires each
+        # backend to agree with itself (replay reuses one backend), so allow
+        # a small edge-pixel disagreement here.
+        wp, wj = np.asarray(gb_p.tri_id), np.asarray(gb_j.tri_id)
+        mismatch = wp != wj
+        assert mismatch.mean() < 0.01, f"{mismatch.sum()} pixels differ"
+        np.testing.assert_allclose(np.asarray(gb_p.depth),
+                                   np.asarray(gb_j.depth), atol=0.05)
+        same = ~mismatch
+        np.testing.assert_allclose(np.asarray(gb_p.position)[same],
+                                   np.asarray(gb_j.position)[same], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gb_p.normal)[same],
+                                   np.asarray(gb_j.normal)[same], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gb_p.albedo)[same],
+                                   np.asarray(gb_j.albedo)[same], atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(gb_p.material)[same],
+                                      np.asarray(gb_j.material)[same])
+        # emissive channel folded in
+        cov = np.asarray(gb_p.covered())
+        assert (np.asarray(extras["emissive"])[cov] == 2.0).all()
+        assert not np.asarray(tgb.covered()).any()  # nothing transparent
+
+    def test_full_pallas_path_self_deterministic(self):
+        """Same backend twice => bit-identical (what replay relies on)."""
+        from render_engine_tpu.models import primitives
+        from render_engine_tpu.models.bank import ModelBankBuilder
+        from render_engine_tpu.render.geometry import (
+            build_triangle_batch, to_screen)
+        from render_engine_tpu.render.raster_pallas import (
+            render_gbuffers_pallas)
+        from tests.test_render import front_camera, scene_world
+
+        bb = ModelBankBuilder()
+        bb.add_model("cube", primitives.cube(2.0),
+                     material=bb.add_material(albedo=(1, 0, 0)))
+        bank = bb.finalize()
+        w = scene_world(0, bank)
+        batch = to_screen(
+            build_triangle_batch(w, bank, front_camera(), max_tris=64),
+            WIDTH, H)
+        a = render_gbuffers_pallas(batch, bank, H, WIDTH, CFG, interpret=True)
+        b = render_gbuffers_pallas(batch, bank, H, WIDTH, CFG, interpret=True)
+        import jax
+
+        for la, lb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
     def test_global_list_big_triangle(self):
         big = [[-10.0, -10.0], [300.0, -10.0], [-10.0, 80.0]]
         small = [[4.0, 4.0], [12.0, 4.0], [4.0, 12.0]]
