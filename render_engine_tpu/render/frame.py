@@ -100,7 +100,8 @@ def render_frame(
     if rasterizer is rasterize_depth_winner_pallas:
         # fused path: ONE binning + ONE raster launch + one-hot MXU resolve
         gbuf, extras, t_gbuf, t_extras = render_gbuffers_pallas(
-            batch, bank, h, w, settings.raster
+            batch, bank, h, w, settings.raster,
+            proj_view=camera.proj_view(),
         )
         if atlas is not None:
             from render_engine_tpu.render.textures import sample_atlas

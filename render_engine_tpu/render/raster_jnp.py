@@ -42,8 +42,8 @@ class RasterConfig:
     tile_h: int = 8
     tile_w: int = 128  # VPU lane width
     tile_budget: int = 128  # binned candidates per tile
-    max_tiles_per_tri: int = 16  # larger triangles go to the global list
-    global_budget: int = 32  # big-triangle list tested by every tile
+    max_tiles_per_tri: int = 8  # larger triangles go to the global list
+    global_budget: int = 64  # big-triangle list tested by every tile
     chunk: int = 8  # candidates evaluated per tile-loop iteration
     cull_backfaces: bool = False  # accept both windings by default
 
@@ -98,9 +98,9 @@ def _bin_triangles(batch: TriangleBatch, cfg: RasterConfig,
         jnp.arange(t, dtype=jnp.int32)[:, None], (t, mt)
     ).reshape(-1)
 
-    order = jnp.argsort(pair_tile, stable=True)
-    sorted_tile = pair_tile[order]
-    sorted_tri = pair_tri[order]
+    sorted_tile, sorted_tri = jax.lax.sort_key_val(
+        pair_tile, pair_tri, is_stable=True
+    )
 
     tile_ids = jnp.arange(nt, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(

@@ -273,17 +273,19 @@ def rasterize_two_pass_pallas(
 # ---------------------------------------------------------------------------
 # One-hot MXU resolve: kill the per-pixel attribute gather
 # ---------------------------------------------------------------------------
-# Channel layout of the per-candidate attribute table (A axis):
+# Channel layout of the per-candidate attribute table (A axis). World
+# position is NOT gathered — it reconstructs from depth + the inverse
+# proj-view per pixel (the standard deferred-shading unproject trick),
+# cutting 9 channels from the gather.
 #   0:10   x0 y0 x1 y1 x2 y2 z0 z1 z2 cls      (same as the raster data)
-#   10:19  world_pos vertex 0,1,2 (3 each)
-#   19:28  normal vertex 0,1,2
-#   28:34  uv vertex 0,1,2 (2 each)
-#   34:37  inv_w vertex 0,1,2
-#   37     material id (as f32; ids are small so the roundtrip is exact)
-#   38:41  albedo rgb      (material table folded in -> no per-pixel lookup)
-#   41     emissive
-#   42     alpha
-N_ATTR = 48  # padded to a multiple of 8 sublanes
+#   10:19  normal vertex 0,1,2 (3 each)
+#   19:25  uv vertex 0,1,2 (2 each)
+#   25:28  inv_w vertex 0,1,2
+#   28     material id (as f32; ids are small so the roundtrip is exact)
+#   29:32  albedo rgb      (material table folded in -> no per-pixel lookup)
+#   32     emissive
+#   33     alpha
+N_ATTR = 40  # padded to a multiple of 8 sublanes
 
 
 def _resolve_kernel(n_attr, tile_h, tile_w,
@@ -314,7 +316,6 @@ def _gather_attr_table(batch, bank, cand):
     x = batch.xy[..., 0][safe]
     y = batch.xy[..., 1][safe]
     z = batch.z[safe]
-    wp = batch.world_pos[safe].reshape(safe.shape + (9,))
     nr = batch.normal[safe].reshape(safe.shape + (9,))
     uv = batch.uv[safe].reshape(safe.shape + (6,))
     iw = batch.inv_w[safe]
@@ -328,18 +329,19 @@ def _gather_attr_table(batch, bank, cand):
         [
             x[..., 0:1], y[..., 0:1], x[..., 1:2], y[..., 1:2],
             x[..., 2:3], y[..., 2:3], z, cls,
-            wp, nr, uv, iw,
+            nr, uv, iw,
             mat.astype(jnp.float32)[..., None], alb, emi, alp,
-            jnp.zeros(safe.shape + (N_ATTR - 43,), jnp.float32),
+            jnp.zeros(safe.shape + (N_ATTR - 34,), jnp.float32),
         ],
         axis=-1,
     )  # (NT, K, A)
     return jnp.swapaxes(table, 1, 2)  # (NT, A, K)
 
 
-def _gbuffer_from_channels(ch, depth, winner, height, width):
+def _gbuffer_from_channels(ch, depth, winner, height, width, inv_proj_view):
     """Per-pixel interpolation from winner-vertex channel images — pure
-    elementwise math, zero gathers. ``ch``: (A, H, W)."""
+    elementwise math, zero gathers. ``ch``: (A, H, W). World position
+    reconstructs from depth via ``inv_proj_view`` (4, 4)."""
     from render_engine_tpu.render.gbuffer import GBuffer, MATERIAL_BACKGROUND
 
     covered = winner >= 0
@@ -353,7 +355,7 @@ def _gbuffer_from_channels(ch, depth, winner, height, width):
     area = l0 + l1 + l2
     inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
     b0, b1, b2 = l0 * inv_area, l1 * inv_area, l2 * inv_area
-    iw0, iw1, iw2 = ch[34], ch[35], ch[36]
+    iw0, iw1, iw2 = ch[25], ch[26], ch[27]
     w0, w1, w2 = b0 * iw0, b1 * iw1, b2 * iw2
     denom = w0 + w1 + w2
     inv_d = 1.0 / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
@@ -369,21 +371,37 @@ def _gbuffer_from_channels(ch, depth, winner, height, width):
             axis=-1,
         )
 
-    pos = interp3(10)
-    nrm = interp3(19)
+    # world position: unproject (pixel, depth) — deferred-shading standard
+    ndc_x = px / jnp.float32(width) * 2.0 - 1.0
+    ndc_y = 1.0 - py / jnp.float32(height) * 2.0
+    ndc = jnp.stack(
+        [
+            jnp.broadcast_to(ndc_x, depth.shape),
+            jnp.broadcast_to(ndc_y, depth.shape),
+            depth,
+            jnp.ones_like(depth),
+        ],
+        axis=-1,
+    )  # (H, W, 4)
+    wp = jnp.einsum("ij,hwj->hwi", inv_proj_view, ndc)
+    pos = wp[..., :3] / jnp.where(
+        jnp.abs(wp[..., 3:4]) > 1e-12, wp[..., 3:4], 1.0
+    )
+
+    nrm = interp3(10)
     nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
     nrm = nrm / jnp.where(nlen > 1e-12, nlen, 1.0)
     uv = jnp.stack(
         [
-            p0 * ch[28 + i] + p1 * ch[30 + i] + p2 * ch[32 + i]
+            p0 * ch[19 + i] + p1 * ch[21 + i] + p2 * ch[23 + i]
             for i in range(2)
         ],
         axis=-1,
     )
-    mat = ch[37].astype(jnp.int32)
-    albedo = jnp.stack([ch[38], ch[39], ch[40]], axis=-1)
-    emissive = ch[41]
-    alpha = ch[42]
+    mat = ch[28].astype(jnp.int32)
+    albedo = jnp.stack([ch[29], ch[30], ch[31]], axis=-1)
+    emissive = ch[32]
+    alpha = ch[33]
 
     cm = covered[..., None]
     gbuf = GBuffer(
@@ -409,6 +427,7 @@ def render_gbuffers_pallas(
     width: int,
     cfg: RasterConfig = RasterConfig(),
     interpret: bool | None = None,
+    proj_view: jnp.ndarray | None = None,
 ):
     """Full Pallas frame raster: ONE binning, ONE raster launch (opaque +
     transparent layers), one one-hot MXU resolve per layer, zero per-pixel
@@ -441,11 +460,15 @@ def render_gbuffers_pallas(
 
     depth, winner = untile2(d), untile2(w)
     t_depth, t_winner = untile2(td), untile2(twi)
+    if proj_view is None:
+        inv_pv = jnp.eye(4, dtype=jnp.float32)
+    else:
+        inv_pv = jnp.linalg.inv(proj_view)
     gbuf, extras = _gbuffer_from_channels(
-        untile_ch(res_o), depth, winner, height, width
+        untile_ch(res_o), depth, winner, height, width, inv_pv
     )
     t_gbuf, t_extras = _gbuffer_from_channels(
-        untile_ch(res_t), t_depth, t_winner, height, width
+        untile_ch(res_t), t_depth, t_winner, height, width, inv_pv
     )
     return gbuf, extras, t_gbuf, t_extras
 

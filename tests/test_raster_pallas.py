@@ -97,7 +97,8 @@ class TestPallasEquivalence:
         batch = to_screen(build_triangle_batch(w, bank, cam, max_tris=64),
                           WIDTH, H)
         gb_p, extras, tgb, textras = render_gbuffers_pallas(
-            batch, bank, H, WIDTH, CFG, interpret=True)
+            batch, bank, H, WIDTH, CFG, interpret=True,
+            proj_view=cam.proj_view())
         gb_j = render_gbuffer(batch, bank, H, WIDTH, CFG,
                               tri_mask=~batch.transparent)
         # Cross-implementation FP association (FMA/fusion) can flip coverage
