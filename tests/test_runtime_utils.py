@@ -1,0 +1,73 @@
+"""Engine utilities: scan-batched frames, input history, stage profiling."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from render_engine_tpu.demo.space_scene import build_space_engine
+from render_engine_tpu.logic.types import InputState, KEY_W, NUM_KEYS
+from render_engine_tpu.runtime.profiling import StageTimer
+
+ENGINE_KW = dict(width=128, height=32, capacity=64, num_asteroids=8,
+                 max_tris=1024)
+
+
+class TestInputHistory:
+    def test_pressed_held_released(self):
+        prev = jnp.zeros(NUM_KEYS, bool).at[KEY_W].set(True)
+        cur = InputState.idle(0).with_keys(KEY_W).with_prev(prev)
+        assert bool(cur.held(KEY_W))
+        assert not bool(cur.pressed(KEY_W))
+        fresh = InputState.idle(0).with_keys(KEY_W)
+        assert bool(fresh.pressed(KEY_W))
+        up = InputState.idle(0).with_prev(prev)
+        assert bool(up.released(KEY_W))
+
+    def test_engine_threads_prev_keys(self):
+        eng = build_space_engine(**ENGINE_KW)
+        eng.config.record_history = False
+        eng.frame(InputState.idle(0).with_keys(KEY_W), render=False)
+        assert bool(eng._prev_keys[KEY_W])
+        eng.frame(InputState.idle(1), render=False)
+        assert not bool(eng._prev_keys[KEY_W])
+
+
+class TestRunFrames:
+    def test_scan_batch_advances(self):
+        eng = build_space_engine(**ENGINE_KW)
+        eng.config.record_history = False
+        before = np.asarray(eng.world["position"]).copy()
+        inputs = [InputState.idle(i).with_keys(KEY_W) for i in range(4)]
+        eng.run_frames(inputs, [1 / 30] * 4)
+        after = np.asarray(eng.world["position"])
+        assert not np.array_equal(before, after)
+        assert eng.frame_index == 4
+
+    def test_scan_matches_sequential(self):
+        """Same math, one dispatch (allclose, not bitwise — different
+        compiled program)."""
+        a = build_space_engine(**ENGINE_KW)
+        a.config.record_history = False
+        b = build_space_engine(**ENGINE_KW)
+        b.config.record_history = False
+        inputs = [InputState.idle(i) for i in range(3)]
+        for inp in inputs:
+            a.frame(inp, 1 / 30, render=False)
+        b.run_frames(inputs, [1 / 30] * 3)
+        np.testing.assert_allclose(
+            np.asarray(a.world["position"]), np.asarray(b.world["position"]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+class TestStageTimer:
+    def test_ewma_report(self):
+        t = StageTimer()
+        for _ in range(3):
+            with t.stage("logic"):
+                pass
+            with t.stage("render", sync=jnp.ones(4)):
+                pass
+        rep = t.report()
+        assert set(rep) == {"logic", "render"}
+        assert all(v >= 0 for v in rep.values())
+        assert "logic=" in t.hud_line()
