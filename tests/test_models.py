@@ -1,0 +1,121 @@
+"""Model bank + OBJ/MTL loader tests (model_storage.rs loader parity)."""
+
+import numpy as np
+
+from render_engine_tpu.models import primitives
+from render_engine_tpu.models.bank import ModelBankBuilder
+from render_engine_tpu.models.obj_loader import load_obj
+
+
+class TestPrimitives:
+    def test_cube_geometry(self):
+        v, n, uv, f = primitives.cube(2.0)
+        assert v.shape == (24, 3) and f.shape == (12, 3)
+        np.testing.assert_allclose(np.abs(v).max(), 1.0)
+        np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0)
+
+    def test_sphere_radius(self):
+        v, n, uv, f = primitives.uv_sphere(0.5, 8, 12)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 0.5, atol=1e-5)
+        assert len(f) > 0
+
+    def test_asteroid_deterministic(self):
+        a = primitives.asteroid(1.0, seed=3)
+        b = primitives.asteroid(1.0, seed=3)
+        np.testing.assert_array_equal(a[0], b[0])
+        c = primitives.asteroid(1.0, seed=4)
+        assert not np.array_equal(a[0], c[0])
+
+    def test_skybox_winding_flipped(self):
+        _, n_out, _, f_out = primitives.cube(2.0)
+        _, n_in, _, f_in = primitives.skybox_cube()
+        np.testing.assert_array_equal(n_in, -n_out)
+
+
+class TestBankPacking:
+    def test_offsets_and_aabbs(self):
+        bb = ModelBankBuilder()
+        a = bb.add_model("a", primitives.cube(1.0))
+        b = bb.add_model("b", primitives.uv_sphere(2.0, 6, 8))
+        bank = bb.finalize()
+        assert int(bank.tri_offset[a]) == 0
+        assert int(bank.tri_count[a]) == 12
+        assert int(bank.tri_offset[b]) == 12
+        np.testing.assert_allclose(bank.aabb_min[a], [-0.5] * 3)
+        np.testing.assert_allclose(bank.aabb_max[b], [2.0] * 3, atol=1e-5)
+        assert bank.model_index("b") == b
+        # global triangle vertex ids index into the packed vertex buffer
+        assert int(bank.tri_v.max()) < bank.vertices.shape[0]
+
+    def test_error_material_zero(self):
+        bb = ModelBankBuilder()
+        bb.add_model("m", primitives.quad(1.0))
+        bank = bb.finalize()
+        np.testing.assert_allclose(bank.mat_albedo[0], [1.0, 0.0, 1.0])
+
+
+class TestObjLoader:
+    def _write(self, tmp_path, name, text):
+        p = tmp_path / name
+        p.write_text(text)
+        return str(p)
+
+    def test_triangle_with_mtl(self, tmp_path):
+        self._write(tmp_path, "m.mtl", """
+newmtl red
+Kd 0.9 0.1 0.2
+""")
+        path = self._write(tmp_path, "t.obj", """
+mtllib m.mtl
+v 0 0 0
+v 1 0 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 0 1
+vn 0 0 1
+usemtl red
+f 1/1/1 2/2/1 3/3/1
+""")
+        v, n, uv, f, tri_mat, mats = load_obj(path)
+        assert f.shape == (1, 3)
+        np.testing.assert_allclose(n[0], [0, 0, 1])
+        np.testing.assert_allclose(uv[1], [1, 0])
+        assert mats[tri_mat[0]]["name"] == "red"
+        np.testing.assert_allclose(mats[tri_mat[0]]["kd"], [0.9, 0.1, 0.2])
+
+    def test_quad_fan_triangulation(self, tmp_path):
+        path = self._write(tmp_path, "q.obj", """
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+f 1 2 3 4
+""")
+        v, n, uv, f, tri_mat, mats = load_obj(path)
+        assert f.shape == (2, 3)  # fan: (0,1,2), (0,2,3)
+        # missing normals get face normals
+        np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-6)
+
+    def test_negative_indices(self, tmp_path):
+        path = self._write(tmp_path, "neg.obj", """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+f -3 -2 -1
+""")
+        v, n, uv, f, tri_mat, mats = load_obj(path)
+        assert f.shape == (1, 3)
+        np.testing.assert_allclose(v[f[0, 1]], [1, 0, 0])
+
+    def test_bank_add_obj(self, tmp_path):
+        path = self._write(tmp_path, "t.obj", """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+f 1 2 3
+""")
+        bb = ModelBankBuilder()
+        mid = bb.add_obj("tri", path)
+        bank = bb.finalize()
+        assert int(bank.tri_count[mid]) == 1
