@@ -1,0 +1,71 @@
+"""Engine-level integration: demo scene rendering, shadows enabled, image
+determinism across engine instances."""
+
+import numpy as np
+
+from render_engine_tpu.demo.space_scene import build_space_engine, space_config
+from render_engine_tpu.logic.types import InputState, KEY_W
+from render_engine_tpu.math.camera import CameraBuilder
+from render_engine_tpu.runtime.engine import Engine
+
+KW = dict(width=128, height=32, capacity=128, num_asteroids=12,
+          max_tris=4096)
+
+
+class TestDemoScene:
+    def test_scene_population(self):
+        eng = build_space_engine(**KW)
+        alive = int(np.asarray(eng.world.alive).sum())
+        # 2 stars + 12 asteroids + wormhole + producer + user
+        assert alive == 17
+
+    def test_frame_renders_finite_image(self):
+        eng = build_space_engine(**KW)
+        eng.config.record_history = False
+        img = eng.frame(InputState.idle(0).with_keys(KEY_W), 1 / 30)
+        a = np.asarray(img)
+        assert a.shape == (32, 128, 3)
+        assert np.isfinite(a).all()
+        assert a.max() > 0.01  # skybox stars at least
+
+    def test_image_deterministic_across_engines(self):
+        a = build_space_engine(**KW)
+        b = build_space_engine(**KW)
+        for e in (a, b):
+            e.config.record_history = False
+        ia = a.frame(InputState.idle(0), 1 / 30)
+        ib = b.frame(InputState.idle(0), 1 / 30)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+
+    def test_mine_producer_spawns_over_time(self):
+        eng = build_space_engine(**KW)
+        eng.config.record_history = False
+        before = int(np.asarray(eng.world.alive).sum())
+        # producer fires every MINE_SPAWN_PERIOD=4s; 5 frames of 1s
+        for i in range(5):
+            eng.frame(InputState.idle(i), dt=1.0, render=False)
+        after = int(np.asarray(eng.world.alive).sum())
+        assert after > before
+
+
+class TestEngineShadows:
+    def test_shadowed_frame_runs(self):
+        cfg = space_config(**KW)
+        cfg.enable_shadows = True
+        cfg.shadow_resolution = 64
+        cfg.shadow_max_tris = 1024
+        camera = (
+            CameraBuilder().with_position(1000.0, 1000.0, 1150.0)
+            .with_yaw_pitch_degrees(-90.0, 0.0).with_fov_degrees(60.0)
+            .with_aspect(4.0).with_near_far(0.5, 2000.0)
+            .with_draw_distance(1500.0).build()
+        )
+        eng = Engine(cfg, camera=camera)
+        eng.config.record_history = False
+        img = eng.frame(InputState.idle(0), 1 / 30)
+        assert np.isfinite(np.asarray(img)).all()
+        assert eng.shadow_state is not None
+        # a second frame rotates the round-robin cursor
+        c0 = int(eng.shadow_state.cursor)
+        eng.frame(InputState.idle(1), 1 / 30)
+        assert int(eng.shadow_state.cursor) == c0 + 1
