@@ -27,7 +27,7 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     n_ast = int(os.environ.get("BENCH_ASTEROIDS", 10000))
     frames = int(os.environ.get("BENCH_FRAMES", 30))
-    max_tris = int(os.environ.get("BENCH_MAX_TRIS", 262144))
+    max_tris = int(os.environ.get("BENCH_MAX_TRIS", 65536))
 
     from render_engine_tpu.demo.space_scene import build_space_engine
     from render_engine_tpu.logic.types import InputState, KEY_W

@@ -183,8 +183,10 @@ def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42):
                              material=rock_mat)
     rock_lod = bb.add_model("asteroid_lod", primitives.icosahedron(2.0),
                             material=rock_mat)
-    bb.set_levels_of_view(rock_full, [rock_full, rock_full, rock_lod,
-                                      rock_lod, rock_lod, rock_lod])
+    rock_far = bb.add_model("asteroid_far", primitives.tetrahedron(2.0),
+                            material=rock_mat)
+    bb.set_levels_of_view(rock_full, [rock_full, rock_lod, rock_lod,
+                                      rock_far, rock_far, rock_far])
     worm_model = bb.add_model("wormhole", primitives.uv_sphere(6.0, 8, 12),
                               material=worm_mat)
     mine_model = bb.add_model("mine", primitives.cube(1.0), material=mine_mat)
@@ -217,9 +219,20 @@ def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42):
     )
 
     # --- asteroids orbiting the two stars (asteroid.rs) ------------------
+    # Small scenes orbit the stars like the reference demo; large synthetic
+    # fields (the 10k-asteroid benchmark config) orbit virtual centers
+    # scattered through a wide shell so frustum + grid culling have real
+    # work to do ("culling active", BASELINE config 2).
     n = num_asteroids
-    which_star = rng.integers(0, 2, n)
-    centers = star_pos[which_star]
+    if n <= 500:
+        which_star = rng.integers(0, 2, n)
+        centers = star_pos[which_star]
+    else:
+        dirs = rng.normal(size=(n, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        shell = rng.uniform(200.0, 1400.0, (n, 1)) ** 1.0
+        centers = (base + dirs * shell).astype(np.float32)
+        centers = np.clip(centers, 100.0, 16284.0)
     radii = rng.uniform(40.0, 160.0, n).astype(np.float32)
     angles = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
     speeds = rng.uniform(0.05, 0.3, n).astype(np.float32) * np.where(

@@ -120,6 +120,18 @@ def icosahedron(radius: float = 0.5):
     return _as_mesh(raw, n, uv, fs)
 
 
+def tetrahedron(radius: float = 0.5):
+    """4-triangle far-distance LoV stand-in."""
+    a = radius
+    v = np.array([[a, a, a], [a, -a, -a], [-a, a, -a], [-a, -a, a]],
+                 np.float32)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True) * radius
+    f = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]], np.int32)
+    n = v / np.linalg.norm(v, axis=1, keepdims=True)
+    uv = np.zeros((4, 2), np.float32)
+    return _as_mesh(v, n, uv, f)
+
+
 def skybox_cube():
     """Inward-facing unit cube for the skybox (normals point inward)."""
     v, n, uv, f = cube(2.0)

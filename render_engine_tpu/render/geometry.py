@@ -137,11 +137,22 @@ def build_triangle_batch(
     ones = jnp.ones(w_pos.shape[:-1] + (1,), jnp.float32)
     homo = jnp.concatenate([w_pos, ones], axis=-1)  # (T, 3, 4)
     clip = jnp.einsum("ij,tnj->tni", pv, homo)  # (T, 3, 4)
+
+    # transparency routing: material alpha < 1 or entity FLAG_TRANSPARENT
+    ent_flags = world["flags"][ent]
+    transparent = (bank.mat_alpha[material] < 1.0) | (
+        (ent_flags & R.FLAG_TRANSPARENT) != 0
+    )
+
+    # near-plane clipping: triangles crossing z_clip = -w are re-cut
+    # (vectorized; second triangles from quad cases reuse unused budget
+    # rows — see _near_clip)
+    (clip, w_pos, w_nrm, uv, material, ent, transparent,
+     valid) = _near_clip(
+        clip, w_pos, w_nrm, uv, material, ent, transparent, valid
+    )
+
     w = clip[..., 3]
-    # near-plane reject: any vertex behind the near plane drops the
-    # triangle (v0 limitation — no near clipping; fine for scenes where the
-    # camera stays out of geometry; the frustum AABB cull already removed
-    # most cases)
     valid = valid & jnp.all(w > 1e-6, axis=-1)
     inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
     ndc = clip[..., :3] * inv_w[..., None]  # (T, 3, 3)
@@ -152,12 +163,6 @@ def build_triangle_batch(
     xy_ndc = ndc[..., :2]
     z = ndc[..., 2]
     valid = valid & jnp.all(jnp.isfinite(xy_ndc), axis=(-2, -1))
-
-    # transparency routing: material alpha < 1 or entity FLAG_TRANSPARENT
-    ent_flags = world["flags"][ent]
-    transparent = (bank.mat_alpha[material] < 1.0) | (
-        (ent_flags & R.FLAG_TRANSPARENT) != 0
-    )
 
     return TriangleBatch(
         xy=xy_ndc,  # NDC here; to_screen() converts once dims are known
@@ -172,6 +177,117 @@ def build_triangle_batch(
         transparent=transparent,
         total_requested=total,
     )
+
+
+def _near_clip(clip, w_pos, w_nrm, uv, material, ent, transparent, valid):
+    """Vectorized near-plane clipping (the GL clipper's z_clip >= -w case).
+
+    Per triangle, classify vertices by signed distance s = z_clip + w:
+      * 3 inside: unchanged.
+      * 1 outside: the crossing produces a quad; the first sub-triangle
+        replaces the row, the second is scattered into an UNUSED budget row
+        (valid == False). Quads beyond the free-row supply are dropped —
+        the engine's usual budgeted conservatism.
+      * 2 outside: the single clipped triangle replaces the row.
+      * 0 inside: dropped.
+
+    Attributes interpolate with the clip-space parameter t, which equals
+    the world-space edge parameter because clip coords are affine in world
+    position.
+    """
+    s = clip[..., 2] + clip[..., 3]  # (T, 3) signed distance to near plane
+    inside = s > 0.0
+    n_in = jnp.sum(inside.astype(jnp.int32), axis=-1)  # (T,)
+
+    # canonical rotation: bring the "odd vertex out" to position 0
+    # (the single outside vertex when n_in == 2; the single inside vertex
+    # when n_in == 1). jnp.roll is a cheap shuffle, not a gather.
+    odd = jnp.where(
+        n_in == 2, jnp.argmin(inside, axis=-1), jnp.argmax(inside, axis=-1)
+    )  # (T,)
+
+    def rot(a):
+        r1 = jnp.roll(a, -1, axis=1)
+        r2 = jnp.roll(a, -2, axis=1)
+        o = odd.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(o == 1, r1, jnp.where(o == 2, r2, a))
+
+    clip_r, pos_r, nrm_r, uv_r = rot(clip), rot(w_pos), rot(w_nrm), rot(uv)
+    s_r = rot(s[..., None])[..., 0]
+
+    def lerp(a, t, j):
+        """Interpolate attribute a between vertex 0 and vertex j."""
+        tt = t.reshape((-1,) + (1,) * (a.ndim - 2))
+        return a[:, 0] + tt * (a[:, j] - a[:, 0])
+
+    eps = 1e-12
+    t1 = s_r[:, 0] / jnp.where(
+        jnp.abs(s_r[:, 0] - s_r[:, 1]) > eps, s_r[:, 0] - s_r[:, 1], 1.0)
+    t2 = s_r[:, 0] / jnp.where(
+        jnp.abs(s_r[:, 0] - s_r[:, 2]) > eps, s_r[:, 0] - s_r[:, 2], 1.0)
+
+    def cut(a):
+        a_v1 = lerp(a, t1, 1)  # intersection on edge 0-1
+        a_v2 = lerp(a, t2, 2)  # intersection on edge 0-2
+        # n_in == 2 (v0 outside): tri A = (a01, v1, v2); tri B = (a01, v2, a02)
+        tri_a2 = jnp.stack([a_v1, a_r1(a), a_r2(a)], axis=1)
+        tri_b2 = jnp.stack([a_v1, a_r2(a), a_v2], axis=1)
+        # n_in == 1 (v0 inside): tri A = (v0, a01, a02)
+        tri_a1 = jnp.stack([a[:, 0], a_v1, a_v2], axis=1)
+        return tri_a2, tri_b2, tri_a1
+
+    def a_r1(a):
+        return a[:, 1]
+
+    def a_r2(a):
+        return a[:, 2]
+
+    crosses2 = valid & (n_in == 2)  # quad case
+    crosses1 = valid & (n_in == 1)
+    keep = valid & (n_in == 3)
+    new_valid = keep | crosses2 | crosses1
+
+    outs = []
+    tri_bs = []
+    for a in (clip_r, pos_r, nrm_r, uv_r):
+        ta2, tb2, ta1 = cut(a)
+        sel2 = crosses2.reshape((-1,) + (1,) * (a.ndim - 1))
+        sel1 = crosses1.reshape((-1,) + (1,) * (a.ndim - 1))
+        outs.append(jnp.where(sel2, ta2, jnp.where(sel1, ta1, a)))
+        tri_bs.append(tb2)
+    clip_o, pos_o, nrm_o, uv_o = outs
+    clip_b, pos_b, nrm_b, uv_b = tri_bs
+
+    # scatter the quad second-triangles into unused budget rows
+    t_budget = clip.shape[0]
+    free = ~valid
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free rows
+    n_free = free_rank[-1] + 1 if t_budget else jnp.int32(0)
+    extra_rank = jnp.cumsum(crosses2.astype(jnp.int32)) - 1
+    # destination row for extra e = index of the e-th free row
+    # build: free row i accepts extra with rank == free_rank[i]
+    dest_ok = crosses2 & (extra_rank < n_free)
+    # scatter: for each source row with dest_ok, find its destination.
+    # Build the free-slot index list (first T entries; clipped scatter)
+    free_slots = jnp.nonzero(free, size=t_budget, fill_value=t_budget)[0]
+    dest = jnp.where(
+        dest_ok, free_slots[jnp.clip(extra_rank, 0, t_budget - 1)], t_budget
+    )  # rows without an extra scatter to t_budget -> dropped
+
+    def scat(base, val):
+        return base.at[dest].set(val, mode="drop")
+
+    clip_o = scat(clip_o, clip_b)
+    pos_o = scat(pos_o, pos_b)
+    nrm_o = scat(nrm_o, nrm_b)
+    uv_o = scat(uv_o, uv_b)
+    material = material.at[dest].set(material, mode="drop")
+    ent = ent.at[dest].set(ent, mode="drop")
+    transparent = transparent.at[dest].set(transparent, mode="drop")
+    new_valid = new_valid.at[dest].set(dest_ok, mode="drop")
+
+    return (clip_o, pos_o, nrm_o, uv_o, material, ent, transparent,
+            new_valid)
 
 
 def to_screen(batch: TriangleBatch, width: int, height: int) -> TriangleBatch:
