@@ -34,31 +34,44 @@ CAMERA_CUTOFF = 200.0  # same constant as logic_flow.rs collision cutoff
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["cand", "hit"],
+    data_fields=["query", "query_valid", "cand", "hit"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class CollisionResult:
-    """Per-entity candidate table: ``cand`` int32[CAP, K] neighbor entity
-    ids, ``hit`` bool[CAP, K] which of them overlap this entity's AABB."""
+    """Compact candidate table over a fixed QUERY budget: ``query``
+    int32[Q] entity ids actually checked this frame, ``cand`` int32[Q, K]
+    neighbor ids, ``hit`` bool[Q, K]. Queries are compacted (lowest entity
+    index first) so the per-frame gather cost scales with the query budget,
+    not the world capacity — the analogue of the reference only testing
+    *moved* entities (logic_flow.rs:537-654)."""
 
+    query: jnp.ndarray
+    query_valid: jnp.ndarray
     cand: jnp.ndarray
     hit: jnp.ndarray
 
     def any_hit(self) -> jnp.ndarray:
-        return jnp.any(self.hit, axis=-1)
+        """bool[CAP] scattered back to entity space (capacity from ids)."""
+        raise NotImplementedError("use first_hit_of_type")
 
     def first_hit_of_type(self, world: World, type_index: int
                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(other_idx int32[CAP], mask bool[CAP]): first colliding neighbor
-        whose type is ``type_index`` (or any type if ``type_index < 0``)."""
-        other_type = world["type_id"][self.cand]  # (CAP, K)
+        whose type is ``type_index`` (or any type if ``type_index < 0``),
+        scattered back to full entity space."""
+        other_type = world["type_id"][self.cand]  # (Q, K)
         ok = self.hit
         if type_index >= 0:
             ok = ok & (other_type == type_index)
-        has = jnp.any(ok, axis=-1)
+        has_q = jnp.any(ok, axis=-1) & self.query_valid
         first = jnp.argmax(ok, axis=-1)
-        other = jnp.take_along_axis(self.cand, first[:, None], axis=-1)[:, 0]
+        other_q = jnp.take_along_axis(self.cand, first[:, None], axis=-1)[:, 0]
+        cap = world.capacity
+        dest = jnp.where(self.query_valid, self.query, cap)
+        other = jnp.full(cap, -1, jnp.int32).at[dest].set(other_q,
+                                                          mode="drop")
+        has = jnp.zeros(cap, bool).at[dest].set(has_q, mode="drop")
         return other, has
 
 
@@ -68,10 +81,12 @@ def find_collisions(
     camera_position: jnp.ndarray,
     query_mask: jnp.ndarray,
     per_cell_budget: int = 8,
+    query_budget: int = 1024,
 ) -> CollisionResult:
-    """AABB-overlap candidates for every entity in ``query_mask``
-    (typically moved & CanCauseCollisions, plus the user entity when
-    UserAlwaysCausesCollisions is set — logic_flow.rs:454-537)."""
+    """AABB-overlap candidates for entities in ``query_mask`` (typically
+    moved & CanCauseCollisions, plus the user entity when
+    UserAlwaysCausesCollisions is set — logic_flow.rs:454-537), compacted
+    to at most ``query_budget`` queries (overflow drops highest indices)."""
     cfg = world.config
     # camera cutoff (logic_flow.rs: collisions only near the camera)
     near_cam = (
@@ -80,16 +95,23 @@ def find_collisions(
     )
     q = query_mask & near_cam
 
-    cand, valid = G.neighbor_candidates(grid, grid.keys, cfg, per_cell_budget)
     cap = world.capacity
-    self_ids = jnp.arange(cap, dtype=jnp.int32)[:, None]
-    valid = valid & (cand != self_ids) & world.alive[cand] & q[:, None]
+    qb = min(query_budget, cap)
+    key = jnp.where(q, jnp.arange(cap, dtype=jnp.int32), cap)
+    qidx = jnp.sort(key)[:qb]
+    qvalid = qidx < cap
+    qidx = jnp.clip(qidx, 0, cap - 1)
+
+    cand, valid = G.neighbor_candidates(
+        grid, grid.keys[qidx], cfg, per_cell_budget
+    )  # (Q, K)
+    valid = valid & (cand != qidx[:, None]) & world.alive[cand] & qvalid[:, None]
 
     mn, mx = world["aabb_min"], world["aabb_max"]
     hit = valid & A.intersects(
-        mn[:, None, :], mx[:, None, :], mn[cand], mx[cand]
+        mn[qidx][:, None, :], mx[qidx][:, None, :], mn[cand], mx[cand]
     )
-    return CollisionResult(cand=cand, hit=hit)
+    return CollisionResult(query=qidx, query_valid=qvalid, cand=cand, hit=hit)
 
 
 def collision_query_mask(world: World, moved: jnp.ndarray) -> jnp.ndarray:

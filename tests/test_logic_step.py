@@ -139,7 +139,8 @@ class TestCollisions:
         g = G.build_grid(w)
         qmask = jnp.asarray(w.alive)
         res = COL.find_collisions(w, g, jnp.array([10.0, 10.0, 10.0]), qmask)
-        hits = np.asarray(res.any_hit())
+        other_any, has_any = res.first_hit_of_type(w, -1)
+        hits = np.asarray(has_any)
         assert hits[0] and hits[1] and not hits[2]
         other, has = res.first_hit_of_type(w, 1)
         assert bool(has[0]) and int(other[0]) == 1
@@ -151,7 +152,21 @@ class TestCollisions:
         g = G.build_grid(w)
         far_cam_pos = jnp.array([500.0, 500.0, 500.0])
         res = COL.find_collisions(w, g, far_cam_pos, jnp.asarray(w.alive))
-        assert not np.asarray(res.any_hit()).any()
+        _, has = res.first_hit_of_type(w, -1)
+        assert not np.asarray(has).any()
+
+    def test_query_budget_compaction(self):
+        """Queries beyond the budget drop (highest indices first);
+        within-budget behaviour is unchanged."""
+        w = self._collide_world()
+        g = G.build_grid(w)
+        res = COL.find_collisions(
+            w, g, jnp.array([10.0, 10.0, 10.0]), jnp.asarray(w.alive),
+            query_budget=1,
+        )
+        _, has = res.first_hit_of_type(w, -1)
+        assert bool(has[0])  # lowest index kept
+        assert not bool(has[1])  # dropped by the budget
 
 
 class TestFullStep:
