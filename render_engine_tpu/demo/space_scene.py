@@ -288,7 +288,9 @@ def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42):
             np.uint32),
     )
 
-    engine.set_skybox(SB.starfield_cubemap(128))
+    # star-splat skybox: gather-free background (see render/skybox.py);
+    # a cubemap can be swapped in via engine.set_skybox(cubemap_array)
+    engine.set_skybox(SB.make_starfield(2400))
 
 
 def space_config(

@@ -141,8 +141,10 @@ def render_frame(
             {"dir": lights.dir_entity, "spot": lights.sp_entity},
         )
 
-    # --- background: skybox or clear color ------------------------------
-    if cubemap is not None:
+    # --- background: starfield splats, cubemap, or clear color ----------
+    if isinstance(cubemap, SB.Starfield):
+        background = SB.starfield_background(camera, cubemap, h, w)
+    elif cubemap is not None:
         dirs = SB.pixel_ray_directions(camera, h, w)
         background = SB.sample_cubemap(cubemap, dirs)
     else:

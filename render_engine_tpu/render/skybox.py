@@ -83,6 +83,82 @@ def sample_cubemap(cubemap: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# Star-geometry skybox: gather-free background for the space demo
+# ---------------------------------------------------------------------------
+# Per-pixel cubemap gathers are the single most expensive op on this TPU
+# path (XLA lowers generic gathers poorly); a starfield is really N point
+# lights at infinity, so we project the N directions and SCATTER 2x2 splats
+# into the background — O(N) instead of O(H*W) work, and sharper stars.
+
+
+import dataclasses
+from functools import partial
+
+import jax
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["dirs", "colors"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class Starfield:
+    dirs: jnp.ndarray  # (N, 3) unit directions
+    colors: jnp.ndarray  # (N, 3) linear color
+
+
+def make_starfield(n_stars: int = 2400, seed: int = 7) -> Starfield:
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n_stars, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    brightness = rng.uniform(0.25, 1.0, (n_stars, 1)).astype(np.float32)
+    tint = rng.uniform(0.85, 1.0, (n_stars, 3)).astype(np.float32)
+    return Starfield(
+        dirs=jnp.asarray(d, jnp.float32),
+        colors=jnp.asarray(brightness * tint),
+    )
+
+
+SPACE_BASE_COLOR = (0.004, 0.005, 0.012)
+
+
+def starfield_background(camera, stars: Starfield, height: int, width: int,
+                         base_color=SPACE_BASE_COLOR) -> jnp.ndarray:
+    """(H, W, 3) background: deep-space base + scattered star splats."""
+    fwd = camera.direction()
+    up0 = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    right = jnp.cross(fwd, up0)
+    right = right / jnp.linalg.norm(right)
+    up = jnp.cross(right, fwd)
+    # view-space components
+    dx = stars.dirs @ right
+    dy = stars.dirs @ up
+    dz = stars.dirs @ fwd  # positive = in front
+    t = jnp.tan(0.5 * jnp.float32(camera.fov_y))
+    safe = jnp.where(dz > 1e-6, dz, 1.0)
+    ndc_x = dx / (safe * t * camera.aspect)
+    ndc_y = dy / (safe * t)
+    px = ((ndc_x * 0.5 + 0.5) * width).astype(jnp.int32)
+    py = ((0.5 - ndc_y * 0.5) * height).astype(jnp.int32)
+    ok = (dz > 1e-6) & (px >= 0) & (px < width - 1) & (py >= 0) & (
+        py < height - 1
+    )
+    pxs = jnp.where(ok, px, width + 8)  # out-of-range -> dropped
+    pys = jnp.where(ok, py, height + 8)
+
+    bg = jnp.broadcast_to(
+        jnp.asarray(base_color, jnp.float32), (height, width, 3)
+    )
+    for oy in (0, 1):  # 2x2 splat
+        for ox in (0, 1):
+            w_ = 1.0 if (ox == 0 and oy == 0) else 0.45
+            bg = bg.at[pys + oy, pxs + ox].max(stars.colors * w_,
+                                               mode="drop")
+    return bg
+
+
 def starfield_cubemap(size: int = 256, stars_per_face: int = 400,
                       seed: int = 7) -> jnp.ndarray:
     """Procedural space skybox for the demo (the reference's 6-face space

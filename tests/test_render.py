@@ -305,3 +305,24 @@ class TestSkybox:
         np.testing.assert_allclose(center, [0, 0, -1], atol=0.05)
         np.testing.assert_allclose(np.linalg.norm(dirs, axis=-1), 1.0,
                                    atol=1e-5)
+
+    def test_starfield_splats(self):
+        """A star straight ahead lands at the screen center; one behind the
+        camera does not draw."""
+        cam = front_camera()
+        stars = SB.Starfield(
+            dirs=jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]]),
+            colors=jnp.array([[1.0, 1.0, 1.0], [1.0, 0.0, 0.0]]),
+        )
+        bg = np.asarray(SB.starfield_background(cam, stars, H, WIDTH))
+        assert bg.shape == (H, WIDTH, 3)
+        center = bg[H // 2, WIDTH // 2]
+        assert center.min() >= 0.99  # the forward star
+        assert not (bg[:, :, 0] > 0.5).sum() > 8  # behind-star never drawn
+        base = np.asarray(SB.SPACE_BASE_COLOR)
+        np.testing.assert_allclose(bg[0, 0], base, atol=1e-6)
+
+    def test_starfield_deterministic(self):
+        a = SB.make_starfield(64, seed=3)
+        b = SB.make_starfield(64, seed=3)
+        np.testing.assert_array_equal(np.asarray(a.dirs), np.asarray(b.dirs))
