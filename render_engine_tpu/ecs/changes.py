@@ -193,8 +193,16 @@ def apply_changeset(world: World, cs: ChangeSet) -> World:
     flags = (flags | cs.set_flags) & ~cs.clear_flags
     comps["flags"] = flags
 
-    alive = world.alive & ~cs.despawn_mask
-    comp_mask = jnp.where(cs.despawn_mask, jnp.uint32(0), comp_mask)
+    # owned-entity cascade (the reference's owned_entities graph,
+    # ecs.rs:70-71,145-181): children whose parent dies die too. One level
+    # per frame; deeper chains resolve over successive frames.
+    parent = comps["parent"]
+    parent_safe = jnp.clip(parent, 0, world.capacity - 1)
+    orphaned = world.alive & (parent >= 0) & cs.despawn_mask[parent_safe]
+    despawn = cs.despawn_mask | orphaned
+
+    alive = world.alive & ~despawn
+    comp_mask = jnp.where(despawn, jnp.uint32(0), comp_mask)
 
     world = dataclasses.replace(
         world, alive=alive, comp_mask=comp_mask, comps=comps

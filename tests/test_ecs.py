@@ -166,6 +166,20 @@ class TestChangeSet:
         w3 = C.apply_changeset(w2, cs2)
         assert not bool(w3.flag_set(R.FLAG_STATIC)[0])
 
+    def test_owned_entity_cascade(self):
+        """Killing a parent kills its owned children (ecs.rs owned graph)."""
+        w = W.create_world(small_config())
+        w, pidx = W.spawn_host(w, 1, type_id=np.array([1], np.int32))
+        w, cidx = W.spawn_host(
+            w, 2,
+            type_id=np.full(2, 2, np.int32),
+            parent=np.full(2, pidx[0], np.int32),
+        )
+        cs = C.with_despawn(C.empty_changeset(w),
+                            jnp.zeros(16, bool).at[pidx[0]].set(True))
+        w2 = C.apply_changeset(w, cs)
+        assert int(w2.count_alive()) == 0  # parent + both children
+
     def test_despawn_via_changeset(self):
         w = W.create_world(small_config())
         w, _ = W.spawn_host(w, 2)
