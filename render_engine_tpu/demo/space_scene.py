@@ -303,6 +303,8 @@ def space_config(
     is_debugging: bool = False,
     spawn_budget: int = 4,
 ) -> EngineConfig:
+    from render_engine_tpu.render.raster_jnp import RasterConfig
+
     registry = R.ComponentRegistry(custom=CUSTOM_COMPONENTS)
     return EngineConfig(
         capacity=capacity,
@@ -310,7 +312,9 @@ def space_config(
         section_length=64.0,
         registry=registry,
         render=RenderSettings(width=width, height=height, max_tris=max_tris,
-                              max_point_lights=8, max_spot_lights=8),
+                              max_point_lights=8, max_spot_lights=8,
+                              raster=RasterConfig(tile_budget=64,
+                                                  global_budget=32)),
         entity_types=ENTITY_TYPES,
         spawn_budget=spawn_budget,
         build_scene=lambda e: build_scene(e, num_asteroids=num_asteroids),
