@@ -98,25 +98,13 @@ def render_frame(
 
     extras = t_extras = None
     if rasterizer is rasterize_depth_winner_pallas:
-        # fused path: ONE binning + ONE raster launch + one-hot MXU resolve
-        gbuf, extras, t_gbuf, t_extras = render_gbuffers_pallas(
-            batch, bank, h, w, settings.raster,
-            proj_view=camera.proj_view(),
+        # fully tiled fast path: raster + resolve + shading stay in the
+        # (NT*th, tw) "tall image" layout; only the final color untiles
+        return _render_frame_pallas_tiled(
+            world, camera, bank, settings,
+            cubemap=cubemap, atlas=atlas, shadow_state=shadow_state,
+            shadow_factor=shadow_factor, batch=batch,
         )
-        if atlas is not None:
-            from render_engine_tpu.render.textures import sample_atlas
-
-            def texture(g, ex):
-                layer = bank.mat_texture[
-                    jnp.clip(g.material, 0, bank.mat_texture.shape[0] - 1)]
-                tex = sample_atlas(atlas, layer, ex["uv"])
-                return dataclasses.replace(
-                    g,
-                    albedo=jnp.where((layer >= 0)[..., None], tex, g.albedo),
-                )
-
-            gbuf = texture(gbuf, extras)
-            t_gbuf = texture(t_gbuf, t_extras)
     else:
         depth, winner = rasterizer(batch, h, w, settings.raster,
                                    ~batch.transparent)
@@ -176,6 +164,137 @@ def render_frame(
     )
 
     return jnp.clip(color, 0.0, 1.0)
+
+
+def _render_frame_pallas_tiled(
+    world, camera, bank, settings: RenderSettings, *,
+    cubemap, atlas, shadow_state, shadow_factor, batch,
+) -> jnp.ndarray:
+    """Pallas frame in tiled layout: all shading math runs on the
+    contiguous (NT*th, tw) view of the tile buffers (zero transposes); only
+    the final color + compose masks untile. Cuts hundreds of MB of
+    transpose traffic per frame at 1080p."""
+    from render_engine_tpu.render import raster_pallas as RP
+
+    cfg = settings.raster
+    h, w = settings.height, settings.width
+    th, twd = cfg.tile_h, cfg.tile_w
+    tiles_x, tiles_y = -(-w // twd), -(-h // th)
+    nt = tiles_x * tiles_y
+
+    tri_class = jnp.where(
+        batch.valid, jnp.where(batch.transparent, 2.0, 1.0), 0.0
+    ).astype(jnp.float32)
+    cand, counts = RP._candidate_table(batch, cfg, tiles_x, tiles_y, tri_class)
+    d, wn, s, td, twn, ts = RP._launch(
+        batch, h, w, cfg, tri_class, two_pass=True, interpret=None,
+        cand=cand, counts=counts,
+    )
+    attrs_t = RP._gather_attr_table(batch, bank, cand)
+    res_o = RP.resolve_attributes_pallas(s, attrs_t, cfg)  # (A, NT, th, tw)
+    res_t = RP.resolve_attributes_pallas(ts, attrs_t, cfg)
+
+    a_dim = res_o.shape[0]
+
+    def tall(x):  # (NT, th, tw) -> (NT*th, tw), contiguous
+        return x.reshape(nt * th, twd)
+
+    ch_o = res_o.reshape(a_dim, nt * th, twd)
+    ch_t = res_t.reshape(a_dim, nt * th, twd)
+
+    # pixel-center coordinates in the tall layout
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    oy = ((tids // tiles_x) * th).astype(jnp.float32)
+    ox = ((tids % tiles_x) * twd).astype(jnp.float32)
+    py_t = (oy[:, None, None]
+            + jnp.arange(th, dtype=jnp.float32)[None, :, None] + 0.5)
+    px_t = (ox[:, None, None]
+            + jnp.arange(twd, dtype=jnp.float32)[None, None, :] + 0.5)
+    py_tall = jnp.broadcast_to(py_t, (nt, th, twd)).reshape(nt * th, twd)
+    px_tall = jnp.broadcast_to(px_t, (nt, th, twd)).reshape(nt * th, twd)
+
+    inv_pv = jnp.linalg.inv(camera.proj_view())
+    gbuf, extras = RP._gbuffer_from_channels(
+        ch_o, tall(d), tall(wn), h, w, inv_pv, px=px_tall, py=py_tall)
+    t_gbuf, t_extras = RP._gbuffer_from_channels(
+        ch_t, tall(td), tall(twn), h, w, inv_pv, px=px_tall, py=py_tall)
+
+    if atlas is not None:
+        from render_engine_tpu.render.textures import sample_atlas
+
+        def texture(g, ex):
+            layer = bank.mat_texture[
+                jnp.clip(g.material, 0, bank.mat_texture.shape[0] - 1)]
+            tex = sample_atlas(atlas, layer, ex["uv"])
+            return dataclasses.replace(
+                g, albedo=jnp.where((layer >= 0)[..., None], tex, g.albedo))
+
+        gbuf = texture(gbuf, extras)
+        t_gbuf = texture(t_gbuf, t_extras)
+
+    lights = L.extract_lights(
+        world,
+        max_dir=settings.max_dir_lights,
+        max_point=settings.max_point_lights,
+        max_spot=settings.max_spot_lights,
+    )
+    if shadow_factor is None and shadow_state is not None:
+        from render_engine_tpu.render.shadows import make_shadow_factor
+
+        shadow_factor = make_shadow_factor(
+            shadow_state, world,
+            {"dir": lights.dir_entity, "spot": lights.sp_entity},
+        )
+
+    zeros_bg = jnp.zeros((nt * th, twd, 3), jnp.float32)
+    color = L.shade(gbuf, lights, bank, camera.position,
+                    background=zeros_bg, shadow_factor=shadow_factor,
+                    emissive_image=extras["emissive"])
+    t_lit = L.shade(t_gbuf, lights, bank, camera.position,
+                    background=zeros_bg, shadow_factor=shadow_factor,
+                    emissive_image=t_extras["emissive"])
+    alpha = t_extras["alpha"][..., None]
+    t_front = t_gbuf.covered() & (t_gbuf.depth <= gbuf.depth)
+
+    def untile(x):  # (NT*th, tw[, C]) -> (h, w[, C])
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[..., None]
+        c = x.shape[-1]
+        x = x.reshape(tiles_y, tiles_x, th, twd, c)
+        x = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(
+            tiles_y * th, tiles_x * twd, c)[:h, :w]
+        return x[..., 0] if squeeze else x
+
+    # one packed untile for everything the compose needs (11 channels)
+    packed = jnp.concatenate(
+        [
+            color, t_lit, alpha,
+            gbuf.covered().astype(jnp.float32)[..., None],
+            t_front.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )
+    img = untile(packed)
+    color_i, t_lit_i = img[..., 0:3], img[..., 3:6]
+    alpha_i = img[..., 6:7]
+    covered_i = img[..., 7:8] > 0.5
+    t_front_i = img[..., 8:9] > 0.5
+
+    # background (image space): starfield splats / cubemap / clear color
+    if isinstance(cubemap, SB.Starfield):
+        background = SB.starfield_background(camera, cubemap, h, w)
+    elif cubemap is not None:
+        dirs = SB.pixel_ray_directions(camera, h, w)
+        background = SB.sample_cubemap(cubemap, dirs)
+    else:
+        background = jnp.broadcast_to(
+            jnp.asarray(settings.clear_color, jnp.float32), (h, w, 3))
+
+    base = jnp.where(covered_i, color_i, background)
+    out = jnp.where(t_front_i, alpha_i * t_lit_i + (1.0 - alpha_i) * base,
+                    base)
+    return jnp.clip(out, 0.0, 1.0)
 
 
 def to_srgb_u8(color: jnp.ndarray) -> jnp.ndarray:

@@ -42,6 +42,7 @@ class RasterConfig:
     tile_h: int = 8
     tile_w: int = 128  # VPU lane width
     tile_budget: int = 128  # binned candidates per tile
+    trans_tile_budget: int = 16  # transparent-class candidates per tile
     max_tiles_per_tri: int = 8  # larger triangles go to the global list
     global_budget: int = 64  # big-triangle list tested by every tile
     chunk: int = 8  # candidates evaluated per tile-loop iteration
@@ -54,9 +55,12 @@ def _edge(ax, ay, bx, by, px, py):
 
 
 def _bin_triangles(batch: TriangleBatch, cfg: RasterConfig,
-                   tiles_x: int, tiles_y: int):
+                   tiles_x: int, tiles_y: int, tri_class=None):
     """Returns (tile_cand (NT,B) int32 ids or -1, global_list (GB,) ids or -1,
-    tri_valid (T,))."""
+    tri_valid (T,)); with ``tri_class`` (T,) in {0,1,2} also a 4th element
+    ``trans_cand (NT, BT)`` — transparent-class triangles get their OWN
+    per-tile window (one shared sort keyed by (tile, class)) so a saturated
+    opaque budget cannot starve the transparency layer."""
     t = batch.budget
     nt = tiles_x * tiles_y
     xy = batch.xy  # (T,3,2) pixels
@@ -93,28 +97,46 @@ def _bin_triangles(batch: TriangleBatch, cfg: RasterConfig,
     dx = m[None, :] % jnp.maximum(wx, 1)[:, None]
     pair_ok = binned[:, None] & (m[None, :] < ncover[:, None])
     tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
-    pair_tile = jnp.where(pair_ok, tile, nt).reshape(-1)  # sentinel nt
+
+    # key = tile * 2 + class_bit when class-separated: one sort, two
+    # windows per tile (opaque then transparent)
+    classed = tri_class is not None
+    if classed:
+        cls_bit = (tri_class >= 1.5).astype(jnp.int32)  # (T,)
+        key = tile * 2 + cls_bit[:, None]
+        sentinel = nt * 2
+    else:
+        key = tile
+        sentinel = nt
+    pair_key = jnp.where(pair_ok, key, sentinel).reshape(-1)
     pair_tri = jnp.broadcast_to(
         jnp.arange(t, dtype=jnp.int32)[:, None], (t, mt)
     ).reshape(-1)
 
-    sorted_tile, sorted_tri = jax.lax.sort_key_val(
-        pair_tile, pair_tri, is_stable=True
+    sorted_key, sorted_tri = jax.lax.sort_key_val(
+        pair_key, pair_tri, is_stable=True
     )
 
+    def window(keys, budget):
+        start = jnp.searchsorted(sorted_key, keys, side="left").astype(
+            jnp.int32
+        )
+        end = jnp.searchsorted(sorted_key, keys, side="right").astype(
+            jnp.int32
+        )
+        j = jnp.arange(budget, dtype=jnp.int32)
+        slots = start[:, None] + j[None, :]
+        ok = slots < end[:, None]
+        slots = jnp.clip(slots, 0, sorted_tri.shape[0] - 1)
+        return jnp.where(ok, sorted_tri[slots], -1)
+
     tile_ids = jnp.arange(nt, dtype=jnp.int32)
-    start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(
-        jnp.int32
-    )
-    end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(
-        jnp.int32
-    )
-    b = cfg.tile_budget
-    j = jnp.arange(b, dtype=jnp.int32)
-    slots = start[:, None] + j[None, :]  # (NT, B)
-    ok = slots < end[:, None]
-    slots = jnp.clip(slots, 0, sorted_tri.shape[0] - 1)
-    tile_cand = jnp.where(ok, sorted_tri[slots], -1)
+    if classed:
+        tile_cand = window(tile_ids * 2, cfg.tile_budget)
+        trans_cand = window(tile_ids * 2 + 1, cfg.trans_tile_budget)
+    else:
+        tile_cand = window(tile_ids, cfg.tile_budget)
+        trans_cand = None
 
     # ---- global list ----------------------------------------------------
     gb = cfg.global_budget
@@ -123,6 +145,8 @@ def _bin_triangles(batch: TriangleBatch, cfg: RasterConfig,
     global_list = jnp.full(gb, -1, jnp.int32).at[dest].set(
         jnp.arange(t, dtype=jnp.int32), mode="drop"
     )
+    if classed:
+        return tile_cand, global_list, valid, trans_cand
     return tile_cand, global_list, valid
 
 

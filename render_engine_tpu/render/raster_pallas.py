@@ -38,10 +38,11 @@ def _tile_kernel(
     tile_h: int,
     tile_w: int,
     tile_budget: int,
+    trans_budget: int,
     two_pass: bool,
     data_ref,  # SMEM (1, n_cand, 10): x0 y0 x1 y1 x2 y2 z0 z1 z2 classf
     ids_ref,  # SMEM (1, 1, n_cand) int32 global tri ids
-    counts_ref,  # SMEM (1, 1, 2) int32: (this tile's window count, global)
+    counts_ref,  # SMEM (1, 1, 3) int32: (opaque, transparent, global)
     depth_ref,  # VMEM (1, tile_h, tile_w) f32
     winner_ref,  # VMEM (1, tile_h, tile_w) int32
     slot_ref=None,  # VMEM (1, th, tw) int32: winner's candidate slot
@@ -115,13 +116,20 @@ def _tile_kernel(
     neg = jnp.full((tile_h, tile_w), -1, jnp.int32)
     init = (inf, neg, neg, inf, neg, neg) if two_pass else (inf, neg, neg)
     # dynamic trip counts: only march candidates that actually exist — the
-    # occupancy win that makes sparse tiles nearly free
+    # occupancy win that makes sparse tiles nearly free. Segments:
+    # [0, B) opaque window, [B, B+BT) transparent window, [B+BT, ..) global.
     n_tile = counts_ref[0, 0, 0]
-    n_glob = counts_ref[0, 0, 1]
+    n_trans = counts_ref[0, 0, 1]
+    n_glob = counts_ref[0, 0, 2]
     carry = jax.lax.fori_loop(0, n_tile, body, init)
 
-    def gbody(k, c):
+    def tbody(k, c):
         return body(tile_budget + k, c)
+
+    carry = jax.lax.fori_loop(0, n_trans, tbody, carry)
+
+    def gbody(k, c):
+        return body(tile_budget + trans_budget + k, c)
 
     carry = jax.lax.fori_loop(0, n_glob, gbody, carry)
     if two_pass:
@@ -136,30 +144,44 @@ def _tile_kernel(
     slot_ref[0] = best_k
 
 
-def _candidate_table(batch, cfg, tiles_x, tiles_y):
+def _candidate_table(batch, cfg, tiles_x, tiles_y, tri_class=None):
     """Bin once: (NT, K) candidate ids (-1 invalid) + per-tile/global
-    counts for the kernel's dynamic trip bounds."""
+    counts for the kernel's dynamic trip bounds. With ``tri_class`` the
+    table is [opaque window | transparent window | global list] and counts
+    carry 3 entries; otherwise [window | global] with a zero middle count."""
     nt = tiles_x * tiles_y
-    tile_cand, global_list, _ = _bin_triangles(batch, cfg, tiles_x, tiles_y)
+    if tri_class is not None:
+        tile_cand, global_list, _, trans_cand = _bin_triangles(
+            batch, cfg, tiles_x, tiles_y, tri_class
+        )
+    else:
+        tile_cand, global_list, _ = _bin_triangles(
+            batch, cfg, tiles_x, tiles_y
+        )
+        trans_cand = jnp.full((nt, cfg.trans_tile_budget), -1, jnp.int32)
     cand = jnp.concatenate(
-        [tile_cand,
+        [tile_cand, trans_cand,
          jnp.broadcast_to(global_list[None], (nt, cfg.global_budget))],
         axis=1,
     )  # (NT, K)
     n_tile = jnp.sum(tile_cand >= 0, axis=1, dtype=jnp.int32)  # (NT,)
+    n_trans = jnp.sum(trans_cand >= 0, axis=1, dtype=jnp.int32)
     n_glob = jnp.sum(global_list >= 0, dtype=jnp.int32)
     counts = jnp.stack(
-        [n_tile, jnp.broadcast_to(n_glob, n_tile.shape)], axis=-1
-    )[:, None, :]  # (NT, 1, 2)
+        [n_tile, n_trans, jnp.broadcast_to(n_glob, n_tile.shape)], axis=-1
+    )[:, None, :]  # (NT, 1, 3)
     return cand, counts
 
 
 def _prepare_candidates(batch, cfg, tiles_x, tiles_y, tri_class,
-                        cand=None, counts=None):
+                        cand=None, counts=None, classed=False):
     """Pre-gather raster scalars for the candidate table. ``tri_class``:
     (T,) f32 class per triangle (0 excluded, 1 opaque, 2 transparent)."""
     if cand is None:
-        cand, counts = _candidate_table(batch, cfg, tiles_x, tiles_y)
+        cand, counts = _candidate_table(
+            batch, cfg, tiles_x, tiles_y,
+            tri_class if classed else None,
+        )
     safe = jnp.clip(cand, 0, batch.budget - 1)
     x = batch.xy[..., 0][safe]  # (NT, K, 3)
     y = batch.xy[..., 1][safe]
@@ -179,7 +201,7 @@ def _prepare_candidates(batch, cfg, tiles_x, tiles_y, tri_class,
 
 
 def _launch(batch, height, width, cfg, tri_class, two_pass, interpret,
-            cand=None, counts=None):
+            cand=None, counts=None, classed=False):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     th, tw = cfg.tile_h, cfg.tile_w
@@ -187,11 +209,14 @@ def _launch(batch, height, width, cfg, tri_class, two_pass, interpret,
     tiles_y = -(-height // th)
     nt = tiles_x * tiles_y
 
-    data, ids, counts = _prepare_candidates(batch, cfg, tiles_x, tiles_y,
-                                            tri_class, cand, counts)
+    data, ids, counts = _prepare_candidates(
+        batch, cfg, tiles_x, tiles_y, tri_class, cand, counts,
+        classed=classed,
+    )
     k = data.shape[1]
     kernel = functools.partial(_tile_kernel, tiles_x, th, tw,
-                               cfg.tile_budget, two_pass)
+                               cfg.tile_budget, cfg.trans_tile_budget,
+                               two_pass)
     n_out = 6 if two_pass else 3
     out_dtypes = [jnp.float32, jnp.int32, jnp.int32] * (n_out // 3)
     outs = pl.pallas_call(
@@ -202,7 +227,7 @@ def _launch(batch, height, width, cfg, tri_class, two_pass, interpret,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -265,7 +290,8 @@ def rasterize_two_pass_pallas(
     th, tw = cfg.tile_h, cfg.tile_w
     tiles_x, tiles_y = -(-width // tw), -(-height // th)
     d, w, _s, td, twi, _ts = _launch(batch, height, width, cfg, tri_class,
-                                     two_pass=True, interpret=interpret)
+                                     two_pass=True, interpret=interpret,
+                                     classed=True)
     u = lambda a: _untile(a, tiles_y, tiles_x, th, tw, height, width)
     return u(d), u(w), u(td), u(twi)
 
@@ -294,7 +320,8 @@ def _resolve_kernel(n_attr, tile_h, tile_w,
 
     slot_ref: (1, th, tw) int32 winner candidate slots (-1 empty)
     attrs_ref: (1, A, K) f32 candidate attribute table (transposed)
-    out_ref: (1, A, th, tw) f32 per-pixel winner attributes
+    out_ref: (A, 1, th, tw) f32 per-pixel winner attributes — channels
+    LEADING so the host-side channels-first view is a free reshape
     """
     attrs = attrs_ref[0]  # (A, K)
     k = attrs.shape[1]
@@ -304,7 +331,7 @@ def _resolve_kernel(n_attr, tile_h, tile_w,
         onehot = ((kio == row[None, :]) & (row[None, :] >= 0)).astype(
             jnp.float32
         )  # (K, tw)
-        out_ref[0, :, r, :] = jnp.dot(
+        out_ref[:, 0, r, :] = jnp.dot(
             attrs, onehot, preferred_element_type=jnp.float32
         )
 
@@ -338,15 +365,21 @@ def _gather_attr_table(batch, bank, cand):
     return jnp.swapaxes(table, 1, 2)  # (NT, A, K)
 
 
-def _gbuffer_from_channels(ch, depth, winner, height, width, inv_proj_view):
+def _gbuffer_from_channels(ch, depth, winner, height, width, inv_proj_view,
+                           px=None, py=None):
     """Per-pixel interpolation from winner-vertex channel images — pure
     elementwise math, zero gathers. ``ch``: (A, H, W). World position
-    reconstructs from depth via ``inv_proj_view`` (4, 4)."""
+    reconstructs from depth via ``inv_proj_view`` (4, 4).
+
+    ``px``/``py`` override the pixel-center coordinate arrays (the tiled
+    fast path passes tile-derived coordinates; then ``height``/``width``
+    refer to the ORIGINAL image for the unproject NDC mapping)."""
     from render_engine_tpu.render.gbuffer import GBuffer, MATERIAL_BACKGROUND
 
     covered = winner >= 0
-    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
-    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    if px is None:
+        px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+        py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
     x0, y0, x1, y1, x2, y2 = ch[0], ch[1], ch[2], ch[3], ch[4], ch[5]
 
     l0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
@@ -438,7 +471,7 @@ def render_gbuffers_pallas(
     tri_class = jnp.where(
         batch.valid, jnp.where(batch.transparent, 2.0, 1.0), 0.0
     ).astype(jnp.float32)
-    cand, counts = _candidate_table(batch, cfg, tiles_x, tiles_y)
+    cand, counts = _candidate_table(batch, cfg, tiles_x, tiles_y, tri_class)
     d, w, s, td, twi, ts = _launch(
         batch, height, width, cfg, tri_class, two_pass=True,
         interpret=interpret, cand=cand, counts=counts,
@@ -450,10 +483,10 @@ def render_gbuffers_pallas(
     def untile2(a):
         return _untile(a, tiles_y, tiles_x, th, tw, height, width)
 
-    def untile_ch(r):  # (NT, A, th, tw) -> (A, H, W)
-        a_dim = r.shape[1]
-        r = r.reshape(tiles_y, tiles_x, a_dim, th, tw)
-        r = jnp.transpose(r, (2, 0, 3, 1, 4)).reshape(
+    def untile_ch(r):  # (A, NT, th, tw) -> (A, H, W)
+        a_dim = r.shape[0]
+        r = r.reshape(a_dim, tiles_y, tiles_x, th, tw)
+        r = jnp.transpose(r, (0, 1, 3, 2, 4)).reshape(
             a_dim, tiles_y * th, tiles_x * tw
         )
         return r[:, :height, :width]
@@ -476,7 +509,8 @@ def render_gbuffers_pallas(
 def resolve_attributes_pallas(slot_tiled, attrs_t, cfg,
                               interpret: bool | None = None):
     """Run the one-hot resolve kernel. ``slot_tiled``: (NT, th, tw) int32;
-    ``attrs_t``: (NT, A, K). Returns (NT, A, th, tw)."""
+    ``attrs_t``: (NT, A, K). Returns (A, NT, th, tw) — channels leading, so
+    ``out.reshape(A, NT*th, tw)`` is a contiguous "tall image" view."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nt, th, tw = slot_tiled.shape
@@ -493,9 +527,9 @@ def resolve_attributes_pallas(slot_tiled, attrs_t, cfg,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, a, th, tw), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((a, 1, th, tw), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((nt, a, th, tw), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((a, nt, th, tw), jnp.float32)],
         interpret=interpret,
     )(slot_tiled, attrs_t)[0]

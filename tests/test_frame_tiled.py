@@ -1,0 +1,93 @@
+"""The tiled Pallas frame path (interpret mode on CPU) vs the jnp path."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from render_engine_tpu.ecs import registry as R
+from render_engine_tpu.ecs import world as W
+from render_engine_tpu.logic import kinematics as K
+from render_engine_tpu.math.camera import CameraBuilder
+from render_engine_tpu.models import primitives
+from render_engine_tpu.models.bank import ModelBankBuilder
+from render_engine_tpu.render import skybox as SB
+from render_engine_tpu.render.frame import RenderSettings, render_frame
+from render_engine_tpu.render.raster_jnp import RasterConfig
+
+H, WIDTH = 32, 128
+
+
+def scene():
+    bb = ModelBankBuilder()
+    red = bb.add_material(albedo=(1.0, 0.1, 0.1))
+    glow = bb.add_material(albedo=(1.0, 0.9, 0.6), emissive=4.0)
+    glass = bb.add_material(albedo=(0.2, 0.9, 0.4), alpha=0.4)
+    cube = bb.add_model("cube", primitives.cube(1.5), material=red)
+    star = bb.add_model("star", primitives.uv_sphere(0.7, 6, 8),
+                        material=glow)
+    pane = bb.add_model("pane", primitives.quad(2.0), material=glass)
+    bank = bb.finalize()
+
+    cfg = W.WorldConfig(capacity=16, world_length=128.0, section_length=16.0)
+    w = W.create_world(cfg)
+    w, _ = W.spawn_host(
+        w, 4,
+        position=np.array(
+            [[62.0, 64.0, 58.0], [66.0, 64.0, 58.0],
+             [64.0, 65.5, 57.0], [64.0, 64.0, 60.5]], np.float32),
+        model_id=np.array([cube, star, cube, pane], np.int32),
+        sortable=np.array(
+            [0, R.SORTABLE_POINT, 0, 0], np.int32),
+        light_diffuse=np.array(
+            [[0, 0, 0], [1.0, 0.9, 0.8], [0, 0, 0], [0, 0, 0]], np.float32),
+        light_atten=np.array(
+            [[0, 0], [0.05, 0.01], [0, 0], [0, 0]], np.float32),
+    )
+    w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                             jnp.asarray(w.alive))
+    cam = (CameraBuilder().with_position(64.0, 64.0, 64.0)
+           .with_yaw_pitch_degrees(-90.0, 0.0).with_fov_degrees(60.0)
+           .with_aspect(WIDTH / H).with_near_far(0.1, 100.0)
+           .with_draw_distance(100.0).build())
+    return w, bank, cam
+
+
+def settings(backend):
+    return RenderSettings(
+        width=WIDTH, height=H, max_tris=256, backend=backend,
+        raster=RasterConfig(tile_budget=32, max_tiles_per_tri=8,
+                            global_budget=16, chunk=4),
+        max_point_lights=4,
+    )
+
+
+class TestTiledFramePath:
+    def test_matches_jnp_path(self):
+        w, bank, cam = scene()
+        stars = SB.make_starfield(128, seed=5)
+        img_p = np.asarray(render_frame(w, cam, bank, settings("pallas"),
+                                        cubemap=stars))
+        img_j = np.asarray(render_frame(w, cam, bank, settings("jnp"),
+                                        cubemap=stars))
+        assert img_p.shape == img_j.shape == (H, WIDTH, 3)
+        # different implementations: allow shared-edge pixel flips, compare
+        # the bulk of the image tightly
+        diff = np.abs(img_p - img_j).max(axis=-1)
+        assert (diff < 2e-2).mean() > 0.98, f"max diff {diff.max():.4f}"
+        np.testing.assert_allclose(np.median(diff), 0.0, atol=1e-5)
+
+    def test_tiled_path_emissive_and_transparency(self):
+        w, bank, cam = scene()
+        img = np.asarray(render_frame(w, cam, bank, settings("pallas")))
+        assert np.isfinite(img).all()
+        # emissive star visible at right of center (clipped bright)
+        assert img.max() > 0.9
+        # transparent pane tints the region it covers
+        assert (img[..., 1] > img[..., 2]).any()
+
+    def test_tiled_path_self_deterministic(self):
+        w, bank, cam = scene()
+        a = np.asarray(render_frame(w, cam, bank, settings("pallas")))
+        b = np.asarray(render_frame(w, cam, bank, settings("pallas")))
+        np.testing.assert_array_equal(a, b)
