@@ -93,23 +93,33 @@ class InputState:
     rng_seed: jnp.ndarray  # uint32 scalar: per-frame randomness source
     prev_keys: jnp.ndarray = None  # bool[NUM_KEYS], engine-maintained
 
+    # NOTE: host-side constructors use NUMPY deliberately — every eager jnp
+    # op is a device dispatch, and through the remote-TPU tunnel a handful
+    # of those per frame costs more than the whole world tick.
+
     def __post_init__(self):
         if self.prev_keys is None:
+            import numpy as _np
+
             object.__setattr__(self, "prev_keys",
-                               jnp.zeros(NUM_KEYS, bool))
+                               _np.zeros(NUM_KEYS, bool))
 
     @staticmethod
     def idle(seed: int = 0) -> "InputState":
+        import numpy as _np
+
         return InputState(
-            keys=jnp.zeros(NUM_KEYS, bool),
-            mouse_delta=jnp.zeros(2, jnp.float32),
-            rng_seed=jnp.uint32(seed),
+            keys=_np.zeros(NUM_KEYS, bool),
+            mouse_delta=_np.zeros(2, _np.float32),
+            rng_seed=_np.uint32(seed),
         )
 
     def with_keys(self, *indices: int) -> "InputState":
-        keys = self.keys
+        import numpy as _np
+
+        keys = _np.array(self.keys)
         for i in indices:
-            keys = keys.at[i].set(True)
+            keys[i] = True
         return dataclasses.replace(self, keys=keys)
 
     # -- InputHistory queries (input_state.rs pressed/held/released) -----
@@ -127,18 +137,24 @@ class InputState:
     def with_prev(self, prev_keys) -> "InputState":
         return dataclasses.replace(self, prev_keys=prev_keys)
 
-    def serialize(self) -> jnp.ndarray:
-        """Flatten to one f32 vector for the history log."""
-        return jnp.concatenate([
-            self.keys.astype(jnp.float32),
-            self.mouse_delta,
-            jnp.asarray(self.rng_seed, jnp.float32)[None],
+    def serialize(self):
+        """Flatten to one f32 vector for the history log (host-side numpy —
+        recording must not cost device dispatches)."""
+        import numpy as _np
+
+        return _np.concatenate([
+            _np.asarray(self.keys, _np.float32),
+            _np.asarray(self.mouse_delta, _np.float32),
+            _np.asarray([self.rng_seed], _np.float32),
         ])
 
     @staticmethod
-    def deserialize(v: jnp.ndarray) -> "InputState":
+    def deserialize(v) -> "InputState":
+        import numpy as _np
+
+        v = _np.asarray(v, _np.float32)
         return InputState(
             keys=v[:NUM_KEYS] > 0.5,
             mouse_delta=v[NUM_KEYS:NUM_KEYS + 2],
-            rng_seed=v[NUM_KEYS + 2].astype(jnp.uint32),
+            rng_seed=_np.uint32(v[NUM_KEYS + 2]),
         )

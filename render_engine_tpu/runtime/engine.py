@@ -48,9 +48,10 @@ class Engine:
         self.shadow_state = None
         self.history = HistoryLog()
         self.frame_index = 0
+        import numpy as np
         from render_engine_tpu.logic.types import NUM_KEYS
 
-        self._prev_keys = jnp.zeros(NUM_KEYS, bool)
+        self._prev_keys = np.zeros(NUM_KEYS, bool)
         self._step = None
         self._step_render = None
         self._frame_times: list[float] = []
@@ -171,9 +172,11 @@ class Engine:
         # the stream, so replay reconstructs it identically)
         inputs = inputs.with_prev(self._prev_keys)
         self._prev_keys = inputs.keys
+        import numpy as np
+
         t0 = time.perf_counter()
         self.world, self.camera = self._step(
-            self.world, self.camera, inputs, jnp.float32(dt))
+            self.world, self.camera, inputs, np.float32(dt))
         img = None
         if render:
             if self.shadow_state is not None:

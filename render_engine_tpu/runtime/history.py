@@ -121,6 +121,6 @@ class HistoryLog:
 
     def frame(self, i: int) -> tuple[InputState, float]:
         return (
-            InputState.deserialize(jnp.asarray(self.frames_inputs[i])),
+            InputState.deserialize(self.frames_inputs[i]),
             float(self.frames_dt[i]),
         )
