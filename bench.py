@@ -27,7 +27,10 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     n_ast = int(os.environ.get("BENCH_ASTEROIDS", 10000))
     frames = int(os.environ.get("BENCH_FRAMES", 30))
-    max_tris = int(os.environ.get("BENCH_MAX_TRIS", 65536))
+    # budget sizing: the scattered 10k-asteroid field leaves ~8.6k visible
+    # triangles after culling+LoV; every geometry/binning stage pays for the
+    # full budget, so keep headroom modest (~3x)
+    max_tris = int(os.environ.get("BENCH_MAX_TRIS", 24576))
 
     from render_engine_tpu.demo.space_scene import build_space_engine
     from render_engine_tpu.logic.types import InputState, KEY_W
