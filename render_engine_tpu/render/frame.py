@@ -126,7 +126,8 @@ def render_frame(
 
         shadow_factor = make_shadow_factor(
             shadow_state, world,
-            {"dir": lights.dir_entity, "spot": lights.sp_entity},
+            {"dir": lights.dir_entity, "spot": lights.sp_entity,
+             "point": lights.pt_entity},
         )
 
     # --- background: starfield splats, cubemap, or clear color ----------
@@ -243,7 +244,8 @@ def _render_frame_pallas_tiled(
 
         shadow_factor = make_shadow_factor(
             shadow_state, world,
-            {"dir": lights.dir_entity, "spot": lights.sp_entity},
+            {"dir": lights.dir_entity, "spot": lights.sp_entity,
+             "point": lights.pt_entity},
         )
 
     zeros_bg = jnp.zeros((nt * th, twd, 3), jnp.float32)

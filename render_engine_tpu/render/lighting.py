@@ -199,9 +199,30 @@ def shade(
         )
         color = color + on * c * sf("dir", i)
 
-    # point lights (chunk-scanned: budget can be 256+)
+    # point lights. The first few unroll so cube-shadow factors can apply
+    # (callbacks need a static light index); the rest chunk-scan.
     np_ = lights.pt_position.shape[0]
-    if np_:
+    n_head = min(4, np_) if shadow_factor is not None else 0
+    for i in range(n_head):
+        on = (i < lights.pt_count).astype(jnp.float32)
+        lv = lights.pt_position[i][None, None, :] - pos
+        dist = jnp.linalg.norm(lv, axis=-1, keepdims=True)
+        ld = lv / jnp.where(dist > 1e-9, dist, 1.0)
+        atten = 1.0 / (
+            1.0
+            + lights.pt_atten[i, 0] * dist
+            + lights.pt_atten[i, 1] * dist * dist
+        )
+        c = _blinn_phong(
+            n, view_dir, ld, albedo,
+            lights.pt_diffuse[i], lights.pt_specular[i],
+            lights.pt_ambient[i],
+        )
+        color = color + on * c * atten * sf("point", i)
+
+    np_tail = np_ - n_head
+    if np_tail > 0:
+        np_ = np_tail
         n_chunks = -(-np_ // light_chunk)
         pad = n_chunks * light_chunk - np_
 
@@ -212,12 +233,17 @@ def shade(
                 )
             return a
 
-        pt_pos = padc(lights.pt_position).reshape(n_chunks, light_chunk, 3)
-        pt_dif = padc(lights.pt_diffuse).reshape(n_chunks, light_chunk, 3)
-        pt_spe = padc(lights.pt_specular).reshape(n_chunks, light_chunk, 3)
-        pt_amb = padc(lights.pt_ambient).reshape(n_chunks, light_chunk, 3)
-        pt_att = padc(lights.pt_atten).reshape(n_chunks, light_chunk, 2)
-        pt_ids = jnp.arange(n_chunks * light_chunk).reshape(
+        h0 = n_head
+        pt_pos = padc(lights.pt_position[h0:]).reshape(
+            n_chunks, light_chunk, 3)
+        pt_dif = padc(lights.pt_diffuse[h0:]).reshape(
+            n_chunks, light_chunk, 3)
+        pt_spe = padc(lights.pt_specular[h0:]).reshape(
+            n_chunks, light_chunk, 3)
+        pt_amb = padc(lights.pt_ambient[h0:]).reshape(
+            n_chunks, light_chunk, 3)
+        pt_att = padc(lights.pt_atten[h0:]).reshape(n_chunks, light_chunk, 2)
+        pt_ids = (h0 + jnp.arange(n_chunks * light_chunk)).reshape(
             n_chunks, light_chunk
         )
 

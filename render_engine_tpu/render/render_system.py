@@ -199,7 +199,8 @@ def render_frame_systems(
 
         shadow_factor = make_shadow_factor(
             shadow_state, world,
-            {"dir": lights.dir_entity, "spot": lights.sp_entity},
+            {"dir": lights.dir_entity, "spot": lights.sp_entity,
+             "point": lights.pt_entity},
         )
 
     if cubemap is not None:

@@ -38,7 +38,7 @@ PCF_BIAS = 2e-3
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["maps", "light_mats", "slot_entity", "cursor"],
+    data_fields=["maps", "light_mats", "slot_entity", "slot_face", "cursor"],
     meta_fields=["resolution"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +46,7 @@ class ShadowState:
     maps: jnp.ndarray  # (BUDGET, S, S) NDC depth from the light camera
     light_mats: jnp.ndarray  # (BUDGET, 4, 4) light proj_view per slot
     slot_entity: jnp.ndarray  # (BUDGET,) entity index of the light, -1 free
+    slot_face: jnp.ndarray  # (BUDGET,) cube face 0-5 (point lights), else 0
     cursor: jnp.ndarray  # int32 round-robin cursor
     resolution: int
 
@@ -57,9 +58,21 @@ def create_shadow_state(resolution: int = SHADOW_RES,
         light_mats=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                                     (budget, 4, 4)),
         slot_entity=jnp.full(budget, -1, jnp.int32),
+        slot_face=jnp.zeros(budget, jnp.int32),
         cursor=jnp.int32(0),
         resolution=resolution,
     )
+
+
+# cube face directions / ups, GL order +X -X +Y -Y +Z -Z
+_FACE_DIRS = jnp.array(
+    [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+    jnp.float32,
+)
+_FACE_UPS = jnp.array(
+    [[0, -1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1], [0, -1, 0], [0, -1, 0]],
+    jnp.float32,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -67,28 +80,37 @@ def create_shadow_state(resolution: int = SHADOW_RES,
 # ---------------------------------------------------------------------------
 def light_proj_view(world: World, entity: jnp.ndarray,
                     ortho_extent: float = 200.0,
-                    near: float = 1.0, far: float = 600.0) -> jnp.ndarray:
+                    near: float = 1.0, far: float = 600.0,
+                    face: jnp.ndarray | int = 0) -> jnp.ndarray:
     """proj_view for a light entity, selected by its sortable bucket.
 
     directional: ortho box looking along light_direction from the light's
-    position; spot/point: perspective along light_direction with the light's
-    fov (shadow_flow.rs:140-260 semantics)."""
+    position; spot: perspective along light_direction with the light's fov;
+    point: one 90-degree cube ``face`` (+X -X +Y -Y +Z -Z), rendered one
+    face per frame (shadow_flow.rs:140-358 semantics, with the reference's
+    6-face schedule applied to point lights)."""
     e = jnp.clip(entity, 0, world.capacity - 1)
     pos = world["position"][e]
+    is_dir = world["sortable"][e] == R.SORTABLE_DIRECTIONAL
+    is_point = world["sortable"][e] == R.SORTABLE_POINT
+
     direction = world["light_direction"][e]
     dlen = jnp.linalg.norm(direction)
     direction = jnp.where(dlen > 1e-6, direction / jnp.maximum(dlen, 1e-6),
                           jnp.array([0.0, -1.0, 0.0]))
+    face = jnp.asarray(face, jnp.int32)
+    direction = jnp.where(is_point, _FACE_DIRS[face], direction)
     # avoid a degenerate up vector
     up = jnp.where(jnp.abs(direction[1]) > 0.99,
                    jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    up = jnp.where(is_point, _FACE_UPS[face], up)
     view = T.look_at(pos, pos + direction, up)
 
     fov = jnp.clip(world["light_fov"][e], 0.2, 3.0)
+    fov = jnp.where(is_point, jnp.float32(jnp.pi / 2), fov)  # cube face 90deg
     persp = T.perspective(fov, 1.0, near, far)
     ortho = T.orthographic(-ortho_extent, ortho_extent, -ortho_extent,
                            ortho_extent, near, far)
-    is_dir = world["sortable"][e] == R.SORTABLE_DIRECTIONAL
     proj = jnp.where(is_dir, ortho, persp)
     return proj @ view
 
@@ -111,18 +133,21 @@ def choose_light(shadow: ShadowState, world: World,
     )
     candidate = is_light & near
 
-    # does each candidate already own a slot?
+    # slots each candidate already owns (point lights need 6 cube faces,
+    # one rendered per frame; others need 1)
     cap = world.capacity
-    owned = jnp.zeros(cap, bool)
+    owned_count = jnp.zeros(cap, jnp.int32)
     for s in range(shadow.slot_entity.shape[0]):
         ent = shadow.slot_entity[s]
-        owned = owned | (
+        owned_count = owned_count + (
             (jnp.arange(cap) == ent) & (ent >= 0)
-        )
-    unmapped = candidate & ~owned
+        ).astype(jnp.int32)
+    needed = jnp.where(world["sortable"] == R.SORTABLE_POINT, 6, 1)
+    unmapped = candidate & (owned_count < needed)
 
     any_unmapped = jnp.any(unmapped)
     pick_new = jnp.argmax(unmapped)  # first unmapped nearby light
+    pick_face = owned_count[pick_new]  # next cube face for point lights
 
     # eviction: slots whose light left the neighborhood free up
     budget = shadow.slot_entity.shape[0]
@@ -140,15 +165,17 @@ def choose_light(shadow: ShadowState, world: World,
     rr_slot = shadow.cursor % budget
     slot = jnp.where(any_unmapped & any_free, first_free, rr_slot)
     light = jnp.where(
-        any_unmapped,
+        any_unmapped & any_free,
         pick_new,
         jnp.clip(slot_ent[rr_slot], 0, cap - 1),
     )
-    do_render = any_unmapped | (slot_ent[rr_slot] >= 0)
+    face = jnp.where(any_unmapped & any_free, pick_face,
+                     shadow.slot_face[rr_slot])
+    do_render = (any_unmapped & any_free) | (slot_ent[rr_slot] >= 0)
     shadow = dataclasses.replace(
         shadow, slot_entity=slot_ent, cursor=shadow.cursor + 1
     )
-    return shadow, slot, light, do_render
+    return shadow, slot, light, face, do_render
 
 
 def render_shadow_map(
@@ -164,10 +191,10 @@ def render_shadow_map(
     its slot (the shadow render system, render_flow.rs:267-308,1111-1178)."""
     cfg = raster_cfg or RasterConfig(tile_budget=64, global_budget=16)
     res = shadow.resolution
-    shadow, slot, light, do_render = choose_light(
+    shadow, slot, light, face, do_render = choose_light(
         shadow, world, camera.position
     )
-    pv = light_proj_view(world, light)
+    pv = light_proj_view(world, light, face=face)
 
     batch = build_triangle_batch(
         world, bank, camera, max_tris=max_tris,
@@ -185,8 +212,12 @@ def render_shadow_map(
     new_ents = shadow.slot_entity.at[slot].set(
         jnp.where(do_render, light.astype(jnp.int32), shadow.slot_entity[slot])
     )
+    new_faces = shadow.slot_face.at[slot].set(
+        jnp.where(do_render, face.astype(jnp.int32), shadow.slot_face[slot])
+    )
     return dataclasses.replace(
-        shadow, maps=new_maps, light_mats=new_mats, slot_entity=new_ents
+        shadow, maps=new_maps, light_mats=new_mats, slot_entity=new_ents,
+        slot_face=new_faces,
     )
 
 
@@ -245,7 +276,10 @@ def make_shadow_factor(shadow: ShadowState, world: World, lights_entity_map):
         for s in range(budget):
             hit = (shadow.slot_entity[s] == ent) & (ent >= 0)
             term = pcf_factor(shadow, s, world_pos)
-            out = jnp.where(hit, term, out)
+            # multiplicative combine: a light owning several slots (cube
+            # faces) shadows a pixel if ANY covering face says shadowed;
+            # faces whose frustum misses the pixel return 1 (neutral)
+            out = jnp.where(hit, out * term, out)
         return out
 
     return factor

@@ -88,9 +88,67 @@ class TestShadowState:
         assert (np.asarray(shadow.slot_entity) >= 0).any()
         # move camera far away: light leaves the neighborhood -> slot frees
         far_cam = cam.with_position(jnp.array([5000.0, 5000.0, 5000.0]))
-        shadow2, slot, light, do = SH.choose_light(shadow, w,
-                                                   far_cam.position)
+        shadow2, slot, light, face, do = SH.choose_light(shadow, w,
+                                                         far_cam.position)
         assert (np.asarray(shadow2.slot_entity) == -1).all()
+
+
+class TestCubeShadows:
+    def test_point_light_fills_faces_over_frames(self):
+        """A point light claims one cube face per frame (the reference's
+        6-face one-per-frame schedule, shadow_flow.rs:267-358)."""
+        bank = make_bank()
+        cfg = W.WorldConfig(capacity=8, world_length=256.0,
+                            section_length=32.0)
+        w = W.create_world(cfg)
+        w, _ = W.spawn_host(
+            w, 2,
+            position=np.array([[64.0, 40.0, 64.0], [80.0, 40.0, 64.0]],
+                              np.float32),
+            model_id=np.array([-1, 0], np.int32),
+            sortable=np.array([R.SORTABLE_POINT, R.SORTABLE_DEFAULT],
+                              np.int32),
+        )
+        w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                 jnp.asarray(w.alive))
+        cam = (CameraBuilder().with_position(64.0, 45.0, 80.0)
+               .with_draw_distance(500.0).build())
+        shadow = SH.create_shadow_state(resolution=32, budget=6)
+        for _ in range(6):
+            shadow = SH.render_shadow_map(shadow, w, cam, bank, max_tris=64)
+        ents = np.asarray(shadow.slot_entity)
+        faces = np.asarray(shadow.slot_face)
+        assert (ents == 0).sum() == 6  # light 0 owns all six slots
+        assert sorted(faces.tolist()) == [0, 1, 2, 3, 4, 5]
+
+    def test_cube_face_shadows_blocker_direction(self):
+        """The blocker sits +X of the light: the +X face map records it and
+        PCF reports shadow behind it; the -X side stays lit."""
+        bank = make_bank()
+        cfg = W.WorldConfig(capacity=8, world_length=256.0,
+                            section_length=32.0)
+        w = W.create_world(cfg)
+        w, _ = W.spawn_host(
+            w, 2,
+            position=np.array([[64.0, 40.0, 64.0], [72.0, 40.0, 64.0]],
+                              np.float32),
+            model_id=np.array([-1, 0], np.int32),
+            sortable=np.array([R.SORTABLE_POINT, R.SORTABLE_DEFAULT],
+                              np.int32),
+        )
+        w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                 jnp.asarray(w.alive))
+        cam = (CameraBuilder().with_position(64.0, 45.0, 80.0)
+               .with_draw_distance(500.0).build())
+        shadow = SH.create_shadow_state(resolution=64, budget=6)
+        for _ in range(6):
+            shadow = SH.render_shadow_map(shadow, w, cam, bank, max_tris=64)
+        factor = SH.make_shadow_factor(shadow, w,
+                                       {"point": jnp.array([0], jnp.int32)})
+        pts = jnp.array([[[90.0, 40.0, 64.0], [40.0, 40.0, 64.0]]])
+        f = np.asarray(factor("point", 0, pts))
+        assert f[0, 0, 0] < 0.5  # behind the blocker (+X)
+        assert f[0, 1, 0] > 0.5  # the -X side is lit
 
 
 class TestTextures:
