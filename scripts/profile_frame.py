@@ -1,0 +1,83 @@
+"""Capture + parse a device trace of demo frames (no TensorBoard needed).
+
+Usage:  python scripts/profile_frame.py [width height asteroids max_tris]
+
+Captures 3 frames with jax.profiler, then parses the Chrome-format
+trace.json.gz: per-program totals and top HLO ops inside one step and one
+render window. This is how the round-1 perf work attributed time; see
+CLAUDE.md 'Perf model'.
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def main():
+    args = sys.argv[1:]
+    width = int(args[0]) if len(args) > 0 else 1920
+    height = int(args[1]) if len(args) > 1 else 1080
+    n_ast = int(args[2]) if len(args) > 2 else 10000
+    max_tris = int(args[3]) if len(args) > 3 else 24576
+
+    from render_engine_tpu.demo.space_scene import build_space_engine
+    from render_engine_tpu.logic.types import InputState, KEY_W
+
+    cap = 1 << (n_ast + 64).bit_length()
+    eng = build_space_engine(width=width, height=height, capacity=cap,
+                             num_asteroids=n_ast, max_tris=max_tris)
+    eng.config.record_history = False
+    img = eng.frame(InputState.idle(0).with_keys(KEY_W), 1 / 60)
+    float(img.sum())
+
+    out_dir = "/tmp/retpu_trace"
+    jax.profiler.start_trace(out_dir)
+    for i in range(3):
+        img = eng.frame(InputState.idle(1 + i).with_keys(KEY_W), 1 / 60)
+    float(img.sum())
+    jax.profiler.stop_trace()
+
+    traces = sorted(glob.glob(f"{out_dir}/**/*.trace.json.gz",
+                              recursive=True))
+    with gzip.open(traces[-1]) as f:
+        ev = json.load(f)["traceEvents"]
+
+    spans = [e for e in ev if e.get("ph") == "X"
+             and e.get("name", "").startswith("jit_")]
+    per_program = collections.Counter()
+    for s in spans:
+        per_program[s["name"].split("(")[0]] += s["dur"]
+    print("=== per-program totals (3 frames)")
+    for n, d in per_program.most_common():
+        print(f"{d/3e3:8.2f} ms/frame  {n}")
+
+    def ops_in(win):
+        t0, t1 = win["ts"], win["ts"] + win["dur"]
+        tot = collections.Counter()
+        for e in ev:
+            if (e.get("ph") == "X" and "dur" in e
+                    and not e.get("name", "").startswith("jit_")
+                    and e["ts"] >= t0 and e["ts"] + e["dur"] <= t1):
+                tot[e["name"]] += e["dur"]
+        return tot
+
+    for label, prefix in (("STEP", "jit_step_only"),
+                          ("RENDER", "jit_render_pure")):
+        win = next((s for s in spans if s["name"].startswith(prefix)), None)
+        if win is None:
+            continue
+        print(f"=== {label} top ops (one frame window, {win['dur']/1e3:.1f} ms)")
+        for n, d in ops_in(win).most_common(15):
+            print(f"{d/1e3:8.2f} ms  {n[:80]}")
+
+
+if __name__ == "__main__":
+    main()
