@@ -208,7 +208,14 @@ def apply_changeset(world: World, cs: ChangeSet) -> World:
         world, alive=alive, comp_mask=comp_mask, comps=comps
     )
     if cs.spawns is not None:
-        world = _drain_spawns(world, cs.spawns)
+        # most frames spawn nothing: gate the full-world drain (a gather +
+        # select over EVERY component array) behind a cond
+        world = jax.lax.cond(
+            cs.spawns.count > 0,
+            lambda w: _drain_spawns(w, cs.spawns),
+            lambda w: w,
+            world,
+        )
     return world
 
 

@@ -64,14 +64,20 @@ def integrate(world: World, dt, mask) -> tuple[World, jnp.ndarray, jnp.ndarray]:
 
 def refresh_transforms(world: World, model_aabb_min, model_aabb_max,
                        dirty) -> World:
-    """Recompute TRS matrices and world AABBs where ``dirty``.
+    """Recompute world AABBs where ``dirty``.
 
     ``model_aabb_min/max``: (num_models, 3) object-space AABBs from the model
     bank; entities with model_id < 0 get a unit box at their position
-    (the user/camera entity's camera-coupled AABB, pipeline.rs:125-144)."""
-    m = T.compose_trs(world["position"], world["orientation"], world["scale"])
-    new_transform = jnp.where(dirty[:, None, None], m, world["transform"])
+    (the user/camera entity's camera-coupled AABB, pipeline.rs:125-144).
 
+    PERF NOTE: the reference materializes a TransformationMatrix per entity;
+    a (CAP, 4, 4) array is poison on TPU (the trailing (4,4) dims tile to
+    (8,128) — a 32x padding blowup, measured as the single biggest cost in
+    the world tick). TRS therefore composes ON THE FLY wherever needed
+    (here via direct quaternion rotation of the 8 AABB corners; in the
+    geometry stage per vertex). The ``transform`` component column remains
+    for user reads via ``world_transforms`` but is not maintained per frame.
+    """
     mid = jnp.clip(world["model_id"], 0, model_aabb_min.shape[0] - 1)
     obj_mn = model_aabb_min[mid]
     obj_mx = model_aabb_max[mid]
@@ -80,12 +86,31 @@ def refresh_transforms(world: World, model_aabb_min, model_aabb_max,
     obj_mn = jnp.where(no_model[:, None], jnp.full(3, -half), obj_mn)
     obj_mx = jnp.where(no_model[:, None], jnp.full(3, half), obj_mx)
 
-    w_mn, w_mx = A.transform(obj_mn, obj_mx, m)
+    # scaled corners rotated by the quaternion, translated by position —
+    # the 8-corner AABB transform without a matrix
+    corners = A.corners(obj_mn, obj_mx)  # (CAP, 8, 3)
+    corners = corners * world["scale"][:, None, :]
+    rotated = T.quat_rotate(world["orientation"][:, None, :], corners)
+    moved = rotated + world["position"][:, None, :]
+    w_mn = jnp.min(moved, axis=-2)
+    w_mx = jnp.max(moved, axis=-2)
     return world.replace(
-        transform=new_transform,
         aabb_min=jnp.where(dirty[:, None], w_mn, world["aabb_min"]),
         aabb_max=jnp.where(dirty[:, None], w_mx, world["aabb_max"]),
     )
+
+
+def world_transforms(world: World, indices=None) -> jnp.ndarray:
+    """Materialize TRS matrices on demand (the TransformationMatrix read
+    path for user logic; not part of the per-frame hot loop)."""
+    if indices is None:
+        pos, quat, scale = (world["position"], world["orientation"],
+                            world["scale"])
+    else:
+        pos = world["position"][indices]
+        quat = world["orientation"][indices]
+        scale = world["scale"][indices]
+    return T.compose_trs(pos, quat, scale)
 
 
 def handle_out_of_bounds(world: World, policies_by_type: dict,

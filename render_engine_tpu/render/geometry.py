@@ -123,15 +123,19 @@ def build_triangle_batch(
     uv = bank.uvs[tv]
     material = bank.tri_material[tri_idx]
 
-    # object -> world (per-entity TRS) ----------------------------------
-    m = world["transform"][ent]  # (T, 4, 4)
-    w_pos = T.apply_transform(m, v_obj)  # (T, 3, 3)
+    # object -> world (per-entity TRS, composed on the fly — (T,4,4)
+    # matrices are never materialized, see kinematics.refresh_transforms)
+    quat = world["orientation"][ent]  # (T, 4)
+    scale = world["scale"][ent]  # (T, 3)
+    pos_e = world["position"][ent]  # (T, 3)
+    w_pos = (
+        T.quat_rotate(quat[:, None, :], v_obj * scale[:, None, :])
+        + pos_e[:, None, :]
+    )  # (T, 3, 3)
     # normal transform for TRS: n' = R @ (n / scale) (inverse-transpose of
     # R S without a matrix inverse)
-    scale = world["scale"][ent]  # (T, 3)
-    rot = T.quat_to_matrix(world["orientation"][ent])  # (T, 3, 3)
     safe_scale = jnp.where(jnp.abs(scale) > 1e-12, scale, 1.0)
-    w_nrm = jnp.einsum("tij,tnj->tni", rot, n_obj / safe_scale[:, None, :])
+    w_nrm = T.quat_rotate(quat[:, None, :], n_obj / safe_scale[:, None, :])
 
     # world -> clip (MXU) -------------------------------------------------
     ones = jnp.ones(w_pos.shape[:-1] + (1,), jnp.float32)

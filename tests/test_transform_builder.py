@@ -34,7 +34,7 @@ class TestTransformBuilder:
         bank_mn = jnp.full((1, 3), -0.5)
         bank_mx = jnp.full((1, 3), 0.5)
         w = K.refresh_transforms(w, bank_mn, bank_mx, jnp.asarray(w.alive))
-        m = np.asarray(w["transform"][0])
+        m = np.asarray(K.world_transforms(w, np.array([0]))[0])
         np.testing.assert_allclose(m[:3, 3], [1, 2, 3], atol=1e-6)
         # rotated pi/2 about y with scale 2: x-axis column -> -z * 2
         np.testing.assert_allclose(m[:3, 0], [0, 0, -2], atol=1e-5)
