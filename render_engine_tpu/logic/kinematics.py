@@ -86,14 +86,25 @@ def refresh_transforms(world: World, model_aabb_min, model_aabb_max,
     obj_mn = jnp.where(no_model[:, None], jnp.full(3, -half), obj_mn)
     obj_mx = jnp.where(no_model[:, None], jnp.full(3, half), obj_mx)
 
-    # scaled corners rotated by the quaternion, translated by position —
-    # the 8-corner AABB transform without a matrix
-    corners = A.corners(obj_mn, obj_mx)  # (CAP, 8, 3)
-    corners = corners * world["scale"][:, None, :]
-    rotated = T.quat_rotate(world["orientation"][:, None, :], corners)
-    moved = rotated + world["position"][:, None, :]
-    w_mn = jnp.min(moved, axis=-2)
-    w_mx = jnp.max(moved, axis=-2)
+    # AABB of the rotated box via |R| columns — exact, and avoids
+    # materializing (CAP, 8, 3) corners (another trailing-small-dims array
+    # the TPU would pad ~40x). For center c, half-extent h, rotation R,
+    # scale s: center' = R(s*c) + p;  half' = sum_j |R e_j| * s_j * h_j.
+    quat = world["orientation"]
+    scale = world["scale"]
+    c_obj = 0.5 * (obj_mn + obj_mx)
+    h_obj = 0.5 * (obj_mx - obj_mn)
+    ex = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    ey = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    ez = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    r0 = jnp.abs(T.quat_rotate(quat, jnp.broadcast_to(ex, scale.shape)))
+    r1 = jnp.abs(T.quat_rotate(quat, jnp.broadcast_to(ey, scale.shape)))
+    r2 = jnp.abs(T.quat_rotate(quat, jnp.broadcast_to(ez, scale.shape)))
+    sh = jnp.abs(scale) * h_obj
+    half_w = (r0 * sh[:, 0:1] + r1 * sh[:, 1:2] + r2 * sh[:, 2:3])
+    center_w = T.quat_rotate(quat, scale * c_obj) + world["position"]
+    w_mn = center_w - half_w
+    w_mx = center_w + half_w
     return world.replace(
         aabb_min=jnp.where(dirty[:, None], w_mn, world["aabb_min"]),
         aabb_max=jnp.where(dirty[:, None], w_mx, world["aabb_max"]),
