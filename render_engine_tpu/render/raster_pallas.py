@@ -315,25 +315,31 @@ N_ATTR = 40  # padded to a multiple of 8 sublanes
 
 
 def _resolve_kernel(n_attr, tile_h, tile_w,
-                    slot_ref, attrs_ref, out_ref):
+                    slot_ref, attrs_ref, occupied_ref, out_ref):
     """Per tile: winner-slot one-hot (K,{tw}) x attrsT (A,K) on the MXU.
 
     slot_ref: (1, th, tw) int32 winner candidate slots (-1 empty)
     attrs_ref: (1, A, K) f32 candidate attribute table (transposed)
+    occupied_ref: SMEM (1, 1, 1) int32 — 0 means the whole tile is empty
+        (sky / other layer): skip the matmuls entirely
     out_ref: (A, 1, th, tw) f32 per-pixel winner attributes — channels
     LEADING so the host-side channels-first view is a free reshape
     """
-    attrs = attrs_ref[0]  # (A, K)
-    k = attrs.shape[1]
-    kio = jax.lax.broadcasted_iota(jnp.int32, (k, tile_w), 0)
-    for r in range(tile_h):  # static unroll: tile_h is 8
-        row = slot_ref[0, r, :]  # (tw,) int32
-        onehot = ((kio == row[None, :]) & (row[None, :] >= 0)).astype(
-            jnp.float32
-        )  # (K, tw)
-        out_ref[:, 0, r, :] = jnp.dot(
-            attrs, onehot, preferred_element_type=jnp.float32
-        )
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(occupied_ref[0, 0, 0] > 0)
+    def _():
+        attrs = attrs_ref[0]  # (A, K)
+        k = attrs.shape[1]
+        kio = jax.lax.broadcasted_iota(jnp.int32, (k, tile_w), 0)
+        for r in range(tile_h):  # static unroll: tile_h is 8
+            row = slot_ref[0, r, :]  # (tw,) int32
+            onehot = ((kio == row[None, :]) & (row[None, :] >= 0)).astype(
+                jnp.float32
+            )  # (K, tw)
+            out_ref[:, 0, r, :] = jnp.dot(
+                attrs, onehot, preferred_element_type=jnp.float32
+            )
 
 
 def _gather_attr_table(batch, bank, cand):
@@ -516,6 +522,9 @@ def resolve_attributes_pallas(slot_tiled, attrs_t, cfg,
     nt, th, tw = slot_tiled.shape
     a = attrs_t.shape[1]
     k = attrs_t.shape[2]
+    occupied = jnp.any(slot_tiled >= 0, axis=(1, 2)).astype(
+        jnp.int32
+    )[:, None, None]  # (NT, 1, 1)
     kernel = functools.partial(_resolve_kernel, a, th, tw)
     return pl.pallas_call(
         kernel,
@@ -525,6 +534,8 @@ def resolve_attributes_pallas(slot_tiled, attrs_t, cfg,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, a, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((a, 1, th, tw), lambda i: (0, i, 0, 0),
@@ -532,4 +543,4 @@ def resolve_attributes_pallas(slot_tiled, attrs_t, cfg,
         ],
         out_shape=[jax.ShapeDtypeStruct((a, nt, th, tw), jnp.float32)],
         interpret=interpret,
-    )(slot_tiled, attrs_t)[0]
+    )(slot_tiled, attrs_t, occupied)[0]
