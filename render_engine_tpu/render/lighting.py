@@ -185,34 +185,19 @@ def shade(
             return 1.0
         return shadow_factor(kind, i, pos)
 
-    # directional lights. Unrolled only when per-light shadow factors are in
-    # play (callbacks need static indices); otherwise one batched op —
-    # fewer, bigger ops is the TPU scheduling win.
+    # directional lights (unrolled; budget is tiny)
     nd = lights.dir_direction.shape[0]
-    if shadow_factor is not None:
-        for i in range(nd):
-            on = (i < lights.dir_count).astype(jnp.float32)
-            ld = -lights.dir_direction[i]
-            llen = jnp.linalg.norm(ld)
-            ld = ld / jnp.where(llen > 1e-9, llen, 1.0)
-            c = _blinn_phong(
-                n, view_dir, ld[None, None, :], albedo,
-                lights.dir_diffuse[i], lights.dir_specular[i],
-                lights.dir_ambient[i],
-            )
-            color = color + on * c * sf("dir", i)
-    elif nd:
-        ld = -lights.dir_direction  # (ND, 3)
-        llen = jnp.linalg.norm(ld, axis=-1, keepdims=True)
+    for i in range(nd):
+        on = (i < lights.dir_count).astype(jnp.float32)
+        ld = -lights.dir_direction[i]
+        llen = jnp.linalg.norm(ld)
         ld = ld / jnp.where(llen > 1e-9, llen, 1.0)
-        on = (jnp.arange(nd) < lights.dir_count).astype(jnp.float32)
         c = _blinn_phong(
-            n[..., None, :], view_dir[..., None, :],
-            ld[None, None], albedo[..., None, :],
-            lights.dir_diffuse[None, None], lights.dir_specular[None, None],
-            lights.dir_ambient[None, None],
-        )  # (H, W, ND, 3)
-        color = color + jnp.sum(c * on[None, None, :, None], axis=-2)
+            n, view_dir, ld[None, None, :], albedo,
+            lights.dir_diffuse[i], lights.dir_specular[i],
+            lights.dir_ambient[i],
+        )
+        color = color + on * c * sf("dir", i)
 
     # point lights. The first few unroll so cube-shadow factors can apply
     # (callbacks need a static light index); the rest chunk-scan.
@@ -289,35 +274,8 @@ def shade(
         )
         color = color + color_pt
 
-    # spot lights (batched when shadowless, unrolled otherwise)
+    # spot lights (unrolled small budget with smooth cutoff)
     ns = lights.sp_position.shape[0]
-    if shadow_factor is None and ns:
-        lv = lights.sp_position[None, None] - pos[:, :, None, :]  # (H,W,NS,3)
-        d = jnp.linalg.norm(lv, axis=-1, keepdims=True)
-        ld = lv / jnp.where(d > 1e-9, d, 1.0)
-        sd = lights.sp_direction
-        slen = jnp.linalg.norm(sd, axis=-1, keepdims=True)
-        sd = sd / jnp.where(slen > 1e-9, slen, 1.0)
-        cos_theta = jnp.sum(ld * (-sd)[None, None], axis=-1, keepdims=True)
-        inner = lights.sp_cutoff[None, None, :, 0:1]
-        outer = lights.sp_cutoff[None, None, :, 1:2]
-        eps = jnp.maximum(inner - outer, 1e-6)
-        intensity = jnp.clip((cos_theta - outer) / eps, 0.0, 1.0)
-        atten = 1.0 / (
-            1.0
-            + lights.sp_atten[None, None, :, 0:1] * d
-            + lights.sp_atten[None, None, :, 1:2] * d * d
-        )
-        on = (jnp.arange(ns) < lights.sp_count).astype(jnp.float32)
-        c = _blinn_phong(
-            n[..., None, :], view_dir[..., None, :], ld,
-            albedo[..., None, :],
-            lights.sp_diffuse[None, None], lights.sp_specular[None, None],
-            lights.sp_ambient[None, None],
-        )
-        color = color + jnp.sum(
-            c * intensity * atten * on[None, None, :, None], axis=-2)
-        ns = 0  # the unrolled loop below is skipped
     for i in range(ns):
         on = (i < lights.sp_count).astype(jnp.float32)
         lv = lights.sp_position[i][None, None, :] - pos
