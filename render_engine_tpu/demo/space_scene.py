@@ -313,7 +313,7 @@ def space_config(
         registry=registry,
         render=RenderSettings(width=width, height=height, max_tris=max_tris,
                               max_point_lights=8, max_spot_lights=8,
-                              raster=RasterConfig(tile_budget=32,
+                              raster=RasterConfig(tile_budget=96,
                                                   global_budget=32)),
         entity_types=ENTITY_TYPES,
         spawn_budget=spawn_budget,
