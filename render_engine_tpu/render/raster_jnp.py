@@ -98,16 +98,22 @@ def _bin_triangles(batch: TriangleBatch, cfg: RasterConfig,
     pair_ok = binned[:, None] & (m[None, :] < ncover[:, None])
     tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
 
-    # key = tile * 2 + class_bit when class-separated: one sort, two
-    # windows per tile (opaque then transparent)
+    # key = ((tile * 2 + class_bit) << 8) | depth_bucket: one sort gives
+    # per-(tile, class) windows ordered NEAR-FIRST, so when a tile's budget
+    # overflows it drops the FARTHEST triangles — occluded-anyway content —
+    # instead of arbitrary ids. (Ties keep stable triangle order, so
+    # determinism holds.)
+    zc = jnp.mean(batch.z, axis=-1)  # (T,) NDC depth in [-1, 1]
+    bucket = jnp.clip(((zc * 0.5 + 0.5) * 255.0).astype(jnp.int32), 0, 255)
     classed = tri_class is not None
     if classed:
         cls_bit = (tri_class >= 1.5).astype(jnp.int32)  # (T,)
-        key = tile * 2 + cls_bit[:, None]
-        sentinel = nt * 2
+        base = tile * 2 + cls_bit[:, None]
+        sentinel = (nt * 2) << 8
     else:
-        key = tile
-        sentinel = nt
+        base = tile
+        sentinel = nt << 8
+    key = (base << 8) | bucket[:, None]
     pair_key = jnp.where(pair_ok, key, sentinel).reshape(-1)
     pair_tri = jnp.broadcast_to(
         jnp.arange(t, dtype=jnp.int32)[:, None], (t, mt)
@@ -117,13 +123,12 @@ def _bin_triangles(batch: TriangleBatch, cfg: RasterConfig,
         pair_key, pair_tri, is_stable=True
     )
 
-    def window(keys, budget):
-        start = jnp.searchsorted(sorted_key, keys, side="left").astype(
-            jnp.int32
-        )
-        end = jnp.searchsorted(sorted_key, keys, side="right").astype(
-            jnp.int32
-        )
+    def window(bases, budget):
+        # each base owns the key range [base<<8, (base+1)<<8)
+        start = jnp.searchsorted(sorted_key, bases << 8,
+                                 side="left").astype(jnp.int32)
+        end = jnp.searchsorted(sorted_key, (bases + 1) << 8,
+                               side="left").astype(jnp.int32)
         j = jnp.arange(budget, dtype=jnp.int32)
         slots = start[:, None] + j[None, :]
         ok = slots < end[:, None]

@@ -108,6 +108,20 @@ class TestRasterizer:
         assert (np.asarray(winner) == -1).all()
         assert (np.asarray(depth) == 1.0).all()
 
+    def test_overflow_drops_farthest(self):
+        """Budget overflow keeps NEAR triangles (near-first bin ordering):
+        with budget 2, the two nearest of four stacked triangles survive."""
+        tri = [[0.0, 0.0], [24.0, 0.0], [0.0, 24.0]]
+        batch = manual_batch(
+            [tri, tri, tri, tri],
+            z=[[0.8] * 3, [-0.5] * 3, [0.3] * 3, [-0.9] * 3],
+        )
+        cfg = dataclasses.replace(CFG, tile_budget=2)
+        depth, winner = rasterize_depth_winner(batch, H, WIDTH, cfg)
+        # nearest (id 3, z=-0.9) must win despite overflow
+        assert int(winner[2, 2]) == 3
+        np.testing.assert_allclose(float(depth[2, 2]), -0.9, atol=1e-5)
+
     def test_determinism(self):
         rng = np.random.default_rng(5)
         tris = rng.uniform(0, 120, (6, 3, 2)).astype(np.float32)
