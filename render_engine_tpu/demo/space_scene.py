@@ -313,6 +313,7 @@ def space_config(
         registry=registry,
         render=RenderSettings(width=width, height=height, max_tris=max_tris,
                               max_point_lights=8, max_spot_lights=8,
+                              fused_shading=True,
                               raster=RasterConfig(tile_budget=96,
                                                   global_budget=32)),
         entity_types=ENTITY_TYPES,

@@ -39,12 +39,16 @@ class RenderSettings:
     clear_color: tuple = (0.0, 0.0, 0.0)
     # raster backend: "auto" = Pallas kernel on TPU, jnp elsewhere
     backend: str = "auto"
+    # fuse interp+lighting into one Pallas kernel (tiled path only; falls
+    # back to the XLA path when shadows or textures are active)
+    fused_shading: bool = False
 
     def __hash__(self):
         return hash((self.width, self.height, self.max_tris,
                      tuple(dataclasses.astuple(self.raster)),
                      self.max_dir_lights, self.max_point_lights,
-                     self.max_spot_lights, self.clear_color, self.backend))
+                     self.max_spot_lights, self.clear_color, self.backend,
+                     self.fused_shading))
 
 
 def pick_rasterizer(backend: str = "auto"):
@@ -194,6 +198,50 @@ def _render_frame_pallas_tiled(
     attrs_t = RP._gather_attr_table(batch, bank, cand)
     res_o = RP.resolve_attributes_pallas(s, attrs_t, cfg)  # (A, NT, th, tw)
     res_t = RP.resolve_attributes_pallas(ts, attrs_t, cfg)
+
+    # --- optional fused interp+lighting kernel --------------------------
+    if (settings.fused_shading and atlas is None and shadow_state is None
+            and shadow_factor is None):
+        from render_engine_tpu.render.shade_pallas import fused_shade
+
+        lights = L.extract_lights(
+            world,
+            max_dir=settings.max_dir_lights,
+            max_point=settings.max_point_lights,
+            max_spot=settings.max_spot_lights,
+        )
+        inv_pv = jnp.linalg.inv(camera.proj_view())
+        shaded = fused_shade(
+            res_o, res_t, d, td, wn, twn, lights, camera.position, inv_pv,
+            tiles_x, w, h,
+        )  # (8, NT, th, tw)
+
+        def untile8(x):  # (C, NT, th, tw) -> (h, w, C)
+            c = x.shape[0]
+            x = x.reshape(c, tiles_y, tiles_x, th, twd)
+            x = jnp.transpose(x, (1, 3, 2, 4, 0)).reshape(
+                tiles_y * th, tiles_x * twd, c)[:h, :w]
+            return x
+
+        img = untile8(shaded)
+        color_i, t_lit_i = img[..., 0:3], img[..., 3:6]
+        alpha_i = img[..., 6:7]
+        flags_i = img[..., 7]
+        covered_i = (jnp.mod(flags_i, 2.0) >= 1.0)[..., None]
+        t_front_i = (flags_i >= 2.0)[..., None]
+
+        if isinstance(cubemap, SB.Starfield):
+            background = SB.starfield_background(camera, cubemap, h, w)
+        elif cubemap is not None:
+            dirs = SB.pixel_ray_directions(camera, h, w)
+            background = SB.sample_cubemap(cubemap, dirs)
+        else:
+            background = jnp.broadcast_to(
+                jnp.asarray(settings.clear_color, jnp.float32), (h, w, 3))
+        base = jnp.where(covered_i, color_i, background)
+        out = jnp.where(t_front_i,
+                        alpha_i * t_lit_i + (1.0 - alpha_i) * base, base)
+        return jnp.clip(out, 0.0, 1.0)
 
     a_dim = res_o.shape[0]
 

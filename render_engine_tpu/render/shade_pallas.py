@@ -1,0 +1,295 @@
+"""Fused per-tile shading kernel: attribute interpolation + Blinn-Phong.
+
+The tiled frame path's post-resolve stages (_gbuffer_from_channels + two
+lighting.shade passes + transparency blend) are ~150 small XLA ops whose
+per-op overhead dominates at 1080p. This kernel fuses all of it per tile:
+channels stay in VMEM, the light loop runs over a packed SMEM table, and a
+single launch emits [lit rgb | t_lit rgb | alpha | flags].
+
+Opt-in via RenderSettings(fused_shading=True); only taken when shadows and
+textures are off (their gathers/callbacks stay on the XLA path). The math
+mirrors lighting.shade exactly (tested against it).
+
+Packed light-table row layout (f32, N_LCOL columns):
+  0      kind (0 dir, 1 point, 2 spot)
+  1:4    position (point/spot) or unused
+  4:7    direction (dir/spot; normalized on the host side)
+  7:10   diffuse rgb
+  10:13  specular rgb
+  13:16  ambient rgb
+  16:18  attenuation (linear, quadratic)
+  18:20  cutoff (cos inner, cos outer)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from render_engine_tpu.render.lighting import (
+    DIFFUSE_FLOOR,
+    SHININESS,
+    LightArrays,
+)
+
+N_LCOL = 24  # padded row width
+
+
+def pack_lights(lights: LightArrays, budget: int):
+    """(budget, N_LCOL) f32 table + count, dir/point/spot concatenated."""
+    rows = []
+    counts = []
+
+    def seg(kind, pos, direction, dif, spe, amb, att, cut, count):
+        n = pos.shape[0]
+        if n == 0:
+            return
+        k = jnp.full((n, 1), float(kind), jnp.float32)
+        row = jnp.concatenate(
+            [k, pos, direction, dif, spe, amb, att, cut,
+             jnp.zeros((n, N_LCOL - 20), jnp.float32)],
+            axis=1,
+        )
+        rows.append(row)
+        counts.append(count)
+
+    nd = lights.dir_direction.shape[0]
+    dl = lights.dir_direction
+    dlen = jnp.linalg.norm(dl, axis=-1, keepdims=True)
+    dl = dl / jnp.where(dlen > 1e-9, dlen, 1.0)
+    seg(0, jnp.zeros((nd, 3)), dl, lights.dir_diffuse,
+        lights.dir_specular, lights.dir_ambient, jnp.zeros((nd, 2)),
+        jnp.zeros((nd, 2)), lights.dir_count)
+    npnt = lights.pt_position.shape[0]
+    seg(1, lights.pt_position, jnp.zeros((npnt, 3)), lights.pt_diffuse,
+        lights.pt_specular, lights.pt_ambient, lights.pt_atten,
+        jnp.zeros((npnt, 2)), lights.pt_count)
+    ns = lights.sp_position.shape[0]
+    sd = lights.sp_direction
+    slen = jnp.linalg.norm(sd, axis=-1, keepdims=True)
+    sd = sd / jnp.where(slen > 1e-9, slen, 1.0)
+    seg(2, lights.sp_position, sd, lights.sp_diffuse, lights.sp_specular,
+        lights.sp_ambient, lights.sp_atten, lights.sp_cutoff,
+        lights.sp_count)
+
+    table = jnp.concatenate(rows, axis=0) if rows else jnp.zeros(
+        (0, N_LCOL), jnp.float32)
+    # per-segment enable masks -> one flat validity vector
+    valid_parts = []
+    offs = 0
+    for row, count in zip(rows, counts):
+        n = row.shape[0]
+        valid_parts.append(jnp.arange(n) < count)
+        offs += n
+    valid = (jnp.concatenate(valid_parts) if valid_parts
+             else jnp.zeros(0, bool))
+    total = table.shape[0]
+    if total < budget:
+        table = jnp.concatenate(
+            [table, jnp.zeros((budget - total, N_LCOL), jnp.float32)])
+        valid = jnp.concatenate([valid, jnp.zeros(budget - total, bool)])
+    table = table[:budget]
+    valid = valid[:budget]
+    table = jnp.where(valid[:, None], table, 0.0)
+    n_live = jnp.sum(valid.astype(jnp.int32))
+    return table, n_live
+
+
+def _interp(ch, px, py, inv_pv, width, height):
+    """Per-pixel winner attributes from the channel block (A, th, tw)."""
+    x0, y0, x1, y1, x2, y2 = ch[0], ch[1], ch[2], ch[3], ch[4], ch[5]
+    l0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    l1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+    l2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+    area = l0 + l1 + l2
+    inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+    b0, b1, b2 = l0 * inv_area, l1 * inv_area, l2 * inv_area
+    iw0, iw1, iw2 = ch[25], ch[26], ch[27]
+    w0, w1, w2 = b0 * iw0, b1 * iw1, b2 * iw2
+    denom = w0 + w1 + w2
+    inv_d = 1.0 / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    p0, p1, p2 = w0 * inv_d, w1 * inv_d, w2 * inv_d
+
+    nx = p0 * ch[10] + p1 * ch[13] + p2 * ch[16]
+    ny = p0 * ch[11] + p1 * ch[14] + p2 * ch[17]
+    nz = p0 * ch[12] + p1 * ch[15] + p2 * ch[18]
+    nl = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+    return (nx * nl, ny * nl, nz * nl), (ch[29], ch[30], ch[31]), ch[32], \
+        ch[33]
+
+
+def _shade_kernel(
+    tiles_x, tile_h, tile_w, n_lights, width, height,
+    cho_ref, cht_ref,  # (A, 1, th, tw) channel blocks, opaque/transparent
+    do_ref, dt_ref,  # (1, th, tw) depths
+    wo_ref, wt_ref,  # (1, th, tw) winners
+    ltab_ref,  # SMEM (n_lights, N_LCOL)
+    lcount_ref,  # SMEM (1, 1)
+    cam_ref,  # SMEM (1, 3) camera position
+    ipv_ref,  # SMEM (4, 4) inverse proj-view
+    out_ref,  # (8, 1, th, tw): lit rgb, t_lit rgb, alpha, flags
+):
+    t = pl.program_id(0)
+    oy = ((t // tiles_x) * tile_h).astype(jnp.float32)
+    ox = ((t % tiles_x) * tile_w).astype(jnp.float32)
+    py = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+          .astype(jnp.float32) + oy + 0.5)
+    px = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+          .astype(jnp.float32) + ox + 0.5)
+
+    # world position from depth (shared by both layers' shading)
+    def unproject(depth):
+        ndc_x = px / width * 2.0 - 1.0
+        ndc_y = 1.0 - py / height * 2.0
+        cx = (ipv_ref[0, 0] * ndc_x + ipv_ref[0, 1] * ndc_y
+              + ipv_ref[0, 2] * depth + ipv_ref[0, 3])
+        cy = (ipv_ref[1, 0] * ndc_x + ipv_ref[1, 1] * ndc_y
+              + ipv_ref[1, 2] * depth + ipv_ref[1, 3])
+        cz = (ipv_ref[2, 0] * ndc_x + ipv_ref[2, 1] * ndc_y
+              + ipv_ref[2, 2] * depth + ipv_ref[2, 3])
+        cw = (ipv_ref[3, 0] * ndc_x + ipv_ref[3, 1] * ndc_y
+              + ipv_ref[3, 2] * depth + ipv_ref[3, 3])
+        inv = 1.0 / jnp.where(jnp.abs(cw) > 1e-12, cw, 1.0)
+        return cx * inv, cy * inv, cz * inv
+
+    def shade_layer(ch_ref, depth, covered):
+        ch = ch_ref[:, 0]  # (A, th, tw)
+        (nx, ny, nz), (ar, ag, ab), emissive, alpha = _interp(
+            ch, px, py, None, width, height)
+        wx, wy, wz = unproject(depth)
+        vx = cam_ref[0, 0] - wx
+        vy = cam_ref[0, 1] - wy
+        vz = cam_ref[0, 2] - wz
+        vl = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-24))
+        vx, vy, vz = vx * vl, vy * vl, vz * vl
+
+        cr = jnp.zeros((tile_h, tile_w), jnp.float32)
+        cg = jnp.zeros((tile_h, tile_w), jnp.float32)
+        cb = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+        def light_body(i, acc):
+            cr, cg, cb = acc
+            kind = ltab_ref[i, 0]
+            lpx, lpy, lpz = ltab_ref[i, 1], ltab_ref[i, 2], ltab_ref[i, 3]
+            ldx, ldy, ldz = ltab_ref[i, 4], ltab_ref[i, 5], ltab_ref[i, 6]
+            # point/spot: direction from surface to light; dir: -direction
+            tx, ty, tz = lpx - wx, lpy - wy, lpz - wz
+            d2 = tx * tx + ty * ty + tz * tz
+            d = jnp.sqrt(jnp.maximum(d2, 1e-18))
+            invd = 1.0 / d
+            is_dir = kind < 0.5
+            lx = jnp.where(is_dir, -ldx, tx * invd)
+            ly = jnp.where(is_dir, -ldy, ty * invd)
+            lz = jnp.where(is_dir, -ldz, tz * invd)
+            atten = jnp.where(
+                is_dir, 1.0,
+                1.0 / (1.0 + ltab_ref[i, 16] * d + ltab_ref[i, 17] * d2),
+            )
+            # spot smooth cutoff
+            cos_t = -(lx * ldx + ly * ldy + lz * ldz)
+            inner, outer = ltab_ref[i, 18], ltab_ref[i, 19]
+            eps = jnp.maximum(inner - outer, 1e-6)
+            spot_i = jnp.clip((cos_t - outer) / eps, 0.0, 1.0)
+            intensity = jnp.where(kind > 1.5, spot_i, 1.0)
+
+            ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+            hx, hy, hz = lx + vx, ly + vy, lz + vz
+            hl = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz,
+                                           1e-24))
+            ndh = jnp.maximum((nx * hx + ny * hy + nz * hz) * hl, 0.0)
+            spec = jnp.where(ndl > 0.0, ndh ** SHININESS, 0.0)
+            s = atten * intensity
+            cr = cr + s * (ltab_ref[i, 13] * ar + ltab_ref[i, 7] * ndl * ar
+                           + ltab_ref[i, 10] * spec)
+            cg = cg + s * (ltab_ref[i, 14] * ag + ltab_ref[i, 8] * ndl * ag
+                           + ltab_ref[i, 11] * spec)
+            cb = cb + s * (ltab_ref[i, 15] * ab + ltab_ref[i, 9] * ndl * ab
+                           + ltab_ref[i, 12] * spec)
+            return cr, cg, cb
+
+        cr, cg, cb = jax.lax.fori_loop(0, lcount_ref[0, 0], light_body,
+                                       (cr, cg, cb))
+        cr = jnp.maximum(cr, DIFFUSE_FLOOR * ar)
+        cg = jnp.maximum(cg, DIFFUSE_FLOOR * ag)
+        cb = jnp.maximum(cb, DIFFUSE_FLOOR * ab)
+        emi = emissive > 0.0
+        cr = jnp.where(emi, ar * emissive, cr)
+        cg = jnp.where(emi, ag * emissive, cg)
+        cb = jnp.where(emi, ab * emissive, cb)
+        cm = covered
+        return (jnp.where(cm, cr, 0.0), jnp.where(cm, cg, 0.0),
+                jnp.where(cm, cb, 0.0), alpha)
+
+    d_o = do_ref[0]
+    d_t = dt_ref[0]
+    cov_o = wo_ref[0] >= 0
+    cov_t = wt_ref[0] >= 0
+    r_o, g_o, b_o, _ = shade_layer(cho_ref, d_o, cov_o)
+    r_t, g_t, b_t, alpha = shade_layer(cht_ref, d_t, cov_t)
+
+    t_front = cov_t & (d_t <= d_o)
+    flags = cov_o.astype(jnp.float32) + 2.0 * t_front.astype(jnp.float32)
+    out_ref[0, 0] = r_o
+    out_ref[1, 0] = g_o
+    out_ref[2, 0] = b_o
+    out_ref[3, 0] = r_t
+    out_ref[4, 0] = g_t
+    out_ref[5, 0] = b_t
+    out_ref[6, 0] = jnp.where(cov_t, alpha, 1.0)
+    out_ref[7, 0] = flags
+
+
+def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
+                camera_position, inv_pv, tiles_x, width, height,
+                light_budget: int = 32, interpret: bool | None = None):
+    """Run the fused shading kernel over tiled buffers.
+
+    res_o/res_t: (A, NT, th, tw) resolve outputs; d/w: (NT, th, tw).
+    Returns (8, NT, th, tw): [lit rgb | t_lit rgb | alpha | flags] where
+    flags bit0 = opaque covered, bit1 = transparent in front.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    a, nt, th, tw = res_o.shape
+    ltab, n_live = pack_lights(lights, light_budget)
+    lcount = n_live.reshape(1, 1)
+    cam = jnp.asarray(camera_position, jnp.float32).reshape(1, 3)
+
+    kernel = functools.partial(_shade_kernel, tiles_x, th, tw,
+                               light_budget, float(width), float(height))
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((a, 1, th, tw), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a, 1, th, tw), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((light_budget, N_LCOL), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 1, th, tw), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((8, nt, th, tw), jnp.float32)],
+        interpret=interpret,
+    )(res_o, res_t, d_o, d_t, w_o, w_t, ltab, lcount, cam, inv_pv)[0]

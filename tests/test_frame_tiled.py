@@ -86,6 +86,19 @@ class TestTiledFramePath:
         # transparent pane tints the region it covers
         assert (img[..., 1] > img[..., 2]).any()
 
+    def test_fused_shading_matches_tiled_path(self):
+        """The fused interp+lighting kernel reproduces the XLA tall path."""
+        w, bank, cam = scene()
+        stars = SB.make_starfield(128, seed=5)
+        s = settings("pallas")
+        s_fused = dataclasses.replace(s, fused_shading=True)
+        img_a = np.asarray(render_frame(w, cam, bank, s, cubemap=stars))
+        img_b = np.asarray(render_frame(w, cam, bank, s_fused,
+                                        cubemap=stars))
+        diff = np.abs(img_a - img_b).max(axis=-1)
+        assert (diff < 1e-2).mean() > 0.995, f"max diff {diff.max():.4f}"
+        np.testing.assert_allclose(np.median(diff), 0.0, atol=1e-5)
+
     def test_tiled_path_self_deterministic(self):
         w, bank, cam = scene()
         a = np.asarray(render_frame(w, cam, bank, settings("pallas")))
