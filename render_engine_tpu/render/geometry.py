@@ -102,15 +102,27 @@ def build_triangle_batch(
         mid = bank.lov_model_id(mid, dist, camera.draw_distance)
     mid_safe = jnp.clip(mid, 0, bank.num_models - 1)
 
-    # ragged expansion: entity -> its triangle rows
+    # ragged expansion: entity -> its triangle rows. The row->entity map is
+    # a scatter + cumsum instead of searchsorted (XLA lowers vectorized
+    # binary search to a sequential WHILE loop — measured ~2.6 ms/frame):
+    # scatter +1 at each visible entity's start offset, cumsum, subtract 1.
+    # Entities with zero triangles share a start with their successor; the
+    # accumulated bumps skip them correctly.
     counts = jnp.where(vis, bank.tri_count[mid_safe], 0)
     offsets = jnp.cumsum(counts)  # inclusive
     starts = offsets - counts
     total = offsets[cap - 1] if cap > 0 else jnp.int32(0)
 
     t_ids = jnp.arange(max_tris, dtype=jnp.int32)
-    ent = jnp.searchsorted(offsets, t_ids, side="right").astype(jnp.int32)
-    ent = jnp.clip(ent, 0, cap - 1)
+    bump_at = jnp.where(vis & (starts < max_tris), starts, max_tris)
+    bumps = jnp.zeros(max_tris, jnp.int32).at[bump_at].add(1, mode="drop")
+    rank = jnp.cumsum(bumps) - 1  # visible-entity rank owning each row
+    # rank -> entity id (ranks follow entity-index order)
+    vis_rank = jnp.cumsum(vis.astype(jnp.int32)) - 1
+    ent_of_rank = jnp.zeros(cap, jnp.int32).at[
+        jnp.where(vis, vis_rank, cap)
+    ].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    ent = ent_of_rank[jnp.clip(rank, 0, cap - 1)]
     valid = t_ids < total
     tri_within = t_ids - starts[ent]
     tri_idx = bank.tri_offset[mid_safe[ent]] + tri_within

@@ -40,7 +40,7 @@ def _tile_kernel(
     tile_budget: int,
     trans_budget: int,
     two_pass: bool,
-    data_ref,  # SMEM (1, n_cand, 10): x0 y0 x1 y1 x2 y2 z0 z1 z2 classf
+    data_ref,  # SMEM (1, 10, n_cand): x0 y0 x1 y1 x2 y2 z0 z1 z2 classf
     ids_ref,  # SMEM (1, 1, n_cand) int32 global tri ids
     counts_ref,  # SMEM (1, 1, 3) int32: (opaque, transparent, global)
     depth_ref,  # VMEM (1, tile_h, tile_w) f32
@@ -69,16 +69,16 @@ def _tile_kernel(
     )
 
     def body(k, carry):
-        x0 = data_ref[0, k, 0]
-        y0 = data_ref[0, k, 1]
-        x1 = data_ref[0, k, 2]
-        y1 = data_ref[0, k, 3]
-        x2 = data_ref[0, k, 4]
-        y2 = data_ref[0, k, 5]
-        z0 = data_ref[0, k, 6]
-        z1 = data_ref[0, k, 7]
-        z2 = data_ref[0, k, 8]
-        cls = data_ref[0, k, 9]  # 0 invalid, 1 opaque, 2 transparent
+        x0 = data_ref[0, 0, k]
+        y0 = data_ref[0, 1, k]
+        x1 = data_ref[0, 2, k]
+        y1 = data_ref[0, 3, k]
+        x2 = data_ref[0, 4, k]
+        y2 = data_ref[0, 5, k]
+        z0 = data_ref[0, 6, k]
+        z1 = data_ref[0, 7, k]
+        z2 = data_ref[0, 8, k]
+        cls = data_ref[0, 9, k]  # 0 invalid, 1 opaque, 2 transparent
         tid = ids_ref[0, 0, k]
 
         l0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
@@ -186,16 +186,19 @@ def _prepare_candidates(batch, cfg, tiles_x, tiles_y, tri_class,
     x = batch.xy[..., 0][safe]  # (NT, K, 3)
     y = batch.xy[..., 1][safe]
     z = batch.z[safe]
-    clsf = jnp.where(cand >= 0, tri_class[safe], 0.0)[..., None]
-    data = jnp.concatenate(
+    clsf = jnp.where(cand >= 0, tri_class[safe], 0.0)
+    # channel-leading (NT, 10, K): the trailing dim is the (large) candidate
+    # axis, so the TPU (8,128) tiling pads ~1.5x instead of 12.8x for
+    # (NT, K, 10) — measured 1.85 ms on the concat alone the other way
+    data = jnp.stack(
         [
-            x[..., 0:1], y[..., 0:1],
-            x[..., 1:2], y[..., 1:2],
-            x[..., 2:3], y[..., 2:3],
-            z, clsf,
+            x[..., 0], y[..., 0],
+            x[..., 1], y[..., 1],
+            x[..., 2], y[..., 2],
+            z[..., 0], z[..., 1], z[..., 2], clsf,
         ],
-        axis=-1,
-    )  # (NT, K, 10)
+        axis=1,
+    )  # (NT, 10, K)
     ids = jnp.where(cand >= 0, cand, -1)[:, None, :]  # (NT, 1, K)
     return data, ids, counts
 
@@ -213,7 +216,7 @@ def _launch(batch, height, width, cfg, tri_class, two_pass, interpret,
         batch, cfg, tiles_x, tiles_y, tri_class, cand, counts,
         classed=classed,
     )
-    k = data.shape[1]
+    k = data.shape[2]  # data is channel-leading: (NT, 10, K)
     kernel = functools.partial(_tile_kernel, tiles_x, th, tw,
                                cfg.tile_budget, cfg.trans_tile_budget,
                                two_pass)
@@ -223,7 +226,7 @@ def _launch(batch, height, width, cfg, tri_class, two_pass, interpret,
         kernel,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, k, 10), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 10, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
