@@ -213,6 +213,10 @@ def shade(
             + lights.pt_atten[i, 0] * dist
             + lights.pt_atten[i, 1] * dist * dist
         )
+        # influence radius bounds the point light's reach
+        # (LightInformation.radius, light_components.rs:13)
+        rad = lights.pt_radius[i]
+        atten = jnp.where((rad > 0.0) & (dist > rad), 0.0, atten)
         c = _blinn_phong(
             n, view_dir, ld, albedo,
             lights.pt_diffuse[i], lights.pt_specular[i],
@@ -243,12 +247,13 @@ def shade(
         pt_amb = padc(lights.pt_ambient[h0:]).reshape(
             n_chunks, light_chunk, 3)
         pt_att = padc(lights.pt_atten[h0:]).reshape(n_chunks, light_chunk, 2)
+        pt_rad = padc(lights.pt_radius[h0:]).reshape(n_chunks, light_chunk)
         pt_ids = (h0 + jnp.arange(n_chunks * light_chunk)).reshape(
             n_chunks, light_chunk
         )
 
         def chunk_body(acc, xs):
-            cpos, cdif, cspe, camb, catt, cids = xs
+            cpos, cdif, cspe, camb, catt, crad, cids = xs
             # (H, W, C, 3) light vectors
             lv = cpos[None, None, :, :] - pos[:, :, None, :]
             d = jnp.linalg.norm(lv, axis=-1, keepdims=True)
@@ -258,6 +263,8 @@ def shade(
                 + catt[None, None, :, 0:1] * d
                 + catt[None, None, :, 1:2] * d * d
             )
+            crad_b = crad[None, None, :, None]
+            atten = jnp.where((crad_b > 0.0) & (d > crad_b), 0.0, atten)
             on = (cids < lights.pt_count).astype(jnp.float32)[
                 None, None, :, None
             ]
@@ -270,7 +277,7 @@ def shade(
 
         color_pt, _ = jax.lax.scan(
             chunk_body, jnp.zeros((h, w, 3), jnp.float32),
-            (pt_pos, pt_dif, pt_spe, pt_amb, pt_att, pt_ids),
+            (pt_pos, pt_dif, pt_spe, pt_amb, pt_att, pt_rad, pt_ids),
         )
         color = color + color_pt
 

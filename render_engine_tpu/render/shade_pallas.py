@@ -19,6 +19,8 @@ Packed light-table row layout (f32, N_LCOL columns):
   13:16  ambient rgb
   16:18  attenuation (linear, quadratic)
   18:20  cutoff (cos inner, cos outer)
+  20     influence radius (point; <=0 = unbounded) — LightInformation.radius
+         (reference src/exports/light_components.rs:13)
 """
 
 from __future__ import annotations
@@ -40,18 +42,23 @@ N_LCOL = 24  # padded row width
 
 
 def pack_lights(lights: LightArrays, budget: int):
-    """(budget, N_LCOL) f32 table + count, dir/point/spot concatenated."""
+    """(budget, N_LCOL) f32 table + count, dir/point/spot concatenated.
+
+    Valid rows are COMPACTED to the table prefix so the kernel's
+    fori_loop(0, n_live) covers exactly the live lights even when an
+    earlier segment is not full (e.g. 0 of 4 dir lights)."""
     rows = []
     counts = []
 
-    def seg(kind, pos, direction, dif, spe, amb, att, cut, count):
+    def seg(kind, pos, direction, dif, spe, amb, att, cut, radius, count):
         n = pos.shape[0]
         if n == 0:
             return
         k = jnp.full((n, 1), float(kind), jnp.float32)
         row = jnp.concatenate(
             [k, pos, direction, dif, spe, amb, att, cut,
-             jnp.zeros((n, N_LCOL - 20), jnp.float32)],
+             radius.reshape(n, 1).astype(jnp.float32),
+             jnp.zeros((n, N_LCOL - 21), jnp.float32)],
             axis=1,
         )
         rows.append(row)
@@ -63,38 +70,40 @@ def pack_lights(lights: LightArrays, budget: int):
     dl = dl / jnp.where(dlen > 1e-9, dlen, 1.0)
     seg(0, jnp.zeros((nd, 3)), dl, lights.dir_diffuse,
         lights.dir_specular, lights.dir_ambient, jnp.zeros((nd, 2)),
-        jnp.zeros((nd, 2)), lights.dir_count)
+        jnp.zeros((nd, 2)), jnp.zeros((nd,)), lights.dir_count)
     npnt = lights.pt_position.shape[0]
     seg(1, lights.pt_position, jnp.zeros((npnt, 3)), lights.pt_diffuse,
         lights.pt_specular, lights.pt_ambient, lights.pt_atten,
-        jnp.zeros((npnt, 2)), lights.pt_count)
+        jnp.zeros((npnt, 2)), lights.pt_radius, lights.pt_count)
     ns = lights.sp_position.shape[0]
     sd = lights.sp_direction
     slen = jnp.linalg.norm(sd, axis=-1, keepdims=True)
     sd = sd / jnp.where(slen > 1e-9, slen, 1.0)
     seg(2, lights.sp_position, sd, lights.sp_diffuse, lights.sp_specular,
         lights.sp_ambient, lights.sp_atten, lights.sp_cutoff,
-        lights.sp_count)
+        jnp.zeros((ns,)), lights.sp_count)
 
     table = jnp.concatenate(rows, axis=0) if rows else jnp.zeros(
         (0, N_LCOL), jnp.float32)
     # per-segment enable masks -> one flat validity vector
     valid_parts = []
-    offs = 0
     for row, count in zip(rows, counts):
         n = row.shape[0]
         valid_parts.append(jnp.arange(n) < count)
-        offs += n
     valid = (jnp.concatenate(valid_parts) if valid_parts
              else jnp.zeros(0, bool))
     total = table.shape[0]
+    assert total <= budget, (
+        f"light table has {total} rows but fused-shade budget is {budget}; "
+        "size the budget from RenderSettings (max_dir+max_point+max_spot)")
+    # compact valid rows to the prefix (stable: keeps dir->point->spot order)
+    if total:
+        order = jnp.argsort(jnp.where(valid, 0, 1).astype(jnp.int32),
+                            stable=True)
+        table = jnp.where(valid[order][:, None], table[order], 0.0)
     if total < budget:
         table = jnp.concatenate(
             [table, jnp.zeros((budget - total, N_LCOL), jnp.float32)])
-        valid = jnp.concatenate([valid, jnp.zeros(budget - total, bool)])
-    table = table[:budget]
-    valid = valid[:budget]
-    table = jnp.where(valid[:, None], table, 0.0)
     n_live = jnp.sum(valid.astype(jnp.int32))
     return table, n_live
 
@@ -189,6 +198,9 @@ def _shade_kernel(
                 is_dir, 1.0,
                 1.0 / (1.0 + ltab_ref[i, 16] * d + ltab_ref[i, 17] * d2),
             )
+            # point-light influence radius (<=0 = unbounded)
+            radius = ltab_ref[i, 20]
+            atten = jnp.where((radius > 0.0) & (d > radius), 0.0, atten)
             # spot smooth cutoff
             cos_t = -(lx * ldx + ly * ldy + lz * ldz)
             inner, outer = ltab_ref[i, 18], ltab_ref[i, 19]
@@ -245,15 +257,23 @@ def _shade_kernel(
 
 def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
                 camera_position, inv_pv, tiles_x, width, height,
-                light_budget: int = 32, interpret: bool | None = None):
+                light_budget: int | None = None,
+                interpret: bool | None = None):
     """Run the fused shading kernel over tiled buffers.
 
     res_o/res_t: (A, NT, th, tw) resolve outputs; d/w: (NT, th, tw).
     Returns (8, NT, th, tw): [lit rgb | t_lit rgb | alpha | flags] where
     flags bit0 = opaque covered, bit1 = transparent in front.
+
+    ``light_budget`` defaults to the full packed-table size
+    (dir+point+spot capacities) so no light is ever truncated.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if light_budget is None:
+        light_budget = (lights.dir_direction.shape[0]
+                        + lights.pt_position.shape[0]
+                        + lights.sp_position.shape[0])
     a, nt, th, tw = res_o.shape
     ltab, n_live = pack_lights(lights, light_budget)
     lcount = n_live.reshape(1, 1)

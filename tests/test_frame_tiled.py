@@ -87,7 +87,12 @@ class TestTiledFramePath:
         assert (img[..., 1] > img[..., 2]).any()
 
     def test_fused_shading_matches_tiled_path(self):
-        """The fused interp+lighting kernel reproduces the XLA tall path."""
+        """The fused interp+lighting kernel reproduces the XLA tall path.
+
+        The scene's ONLY light is a point light (packed-table row after the
+        empty dir segment), so this also guards the pack_lights prefix
+        compaction: dropping it shows up as a large max diff over covered
+        pixels, not just a few stray ones."""
         w, bank, cam = scene()
         stars = SB.make_starfield(128, seed=5)
         s = settings("pallas")
@@ -97,6 +102,11 @@ class TestTiledFramePath:
                                         cubemap=stars))
         diff = np.abs(img_a - img_b).max(axis=-1)
         assert (diff < 1e-2).mean() > 0.995, f"max diff {diff.max():.4f}"
+        # the bulk comparison above tolerates shared-edge flips; the max
+        # bound below is what actually guarantees no light was dropped
+        assert diff.max() < 0.05, (
+            f"max diff {diff.max():.4f}: fused path diverges from XLA "
+            "shading (dropped light?)")
         np.testing.assert_allclose(np.median(diff), 0.0, atol=1e-5)
 
     def test_tiled_path_self_deterministic(self):
