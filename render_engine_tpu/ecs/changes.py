@@ -36,18 +36,21 @@ from render_engine_tpu.ecs.world import World
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["count", "values", "comp_bits"],
+    data_fields=["count", "values", "comp_bits", "row_valid"],
     meta_fields=["budget"],
 )
 @dataclasses.dataclass(frozen=True)
 class SpawnBatch:
     """Up to ``budget`` entity spawns. ``values[name]``: (budget,)+shape;
     ``comp_bits``: uint32[budget] which components each spawn writes;
-    ``count``: scalar int32, how many of the budget rows are real."""
+    ``row_valid``: bool[budget] which rows are real spawn requests (rows
+    need NOT be a packed prefix — callers may fill disjoint row sets
+    across multiple queue_spawn calls); ``count`` = sum(row_valid)."""
 
     count: jnp.ndarray
     values: dict
     comp_bits: jnp.ndarray
+    row_valid: jnp.ndarray
     budget: int
 
 
@@ -64,6 +67,7 @@ def empty_spawn_batch(config, budget: int) -> SpawnBatch:
         count=jnp.int32(0),
         values=values,
         comp_bits=jnp.zeros(budget, jnp.uint32),
+        row_valid=jnp.zeros(budget, bool),
         budget=budget,
     )
 
@@ -140,13 +144,15 @@ def queue_spawn(cs: ChangeSet, registry: R.ComponentRegistry,
         exp = row_mask.reshape(row_mask.shape + (1,) * (val.ndim - 1))
         new_vals[name] = jnp.where(exp, val, sp.values[name])
     new_bits = jnp.where(row_mask, sp.comp_bits | bits, sp.comp_bits)
+    new_valid = sp.row_valid | row_mask
     return dataclasses.replace(
         cs,
         spawns=dataclasses.replace(
             sp,
             values=new_vals,
             comp_bits=new_bits,
-            count=jnp.maximum(sp.count, jnp.sum(row_mask.astype(jnp.int32))),
+            row_valid=new_valid,
+            count=jnp.sum(new_valid.astype(jnp.int32)),
         ),
     )
 
@@ -222,19 +228,21 @@ def apply_changeset(world: World, cs: ChangeSet) -> World:
 def _drain_spawns(world: World, sp: SpawnBatch) -> World:
     """Assign spawn rows to free slots (first-free order, like the
     reference's free list ecs.rs:82-89) with a scatter. Spawns beyond the
-    free-slot count are dropped (capacity backpressure)."""
+    free-slot count are dropped (capacity backpressure). Valid rows may be
+    any subset of the budget (not just a prefix): they are compacted by
+    rank before slot assignment."""
     alive = world.alive
     cap = world.capacity
     free = ~alive
     # rank of each free slot among free slots (0-based)
     rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    row_ids = jnp.arange(sp.budget, dtype=jnp.int32)
-    want = row_ids < sp.count  # which budget rows are real
-    # slot for spawn-row r = index of the r-th free slot
-    # build mapping: for each world slot, which spawn row lands there
+    # perm[k] = index of the k-th VALID spawn row (stable: row order kept)
+    perm = jnp.argsort(jnp.where(sp.row_valid, 0, 1).astype(jnp.int32),
+                       stable=True)
+    # build mapping: for each world slot, which compacted spawn row lands
     landing_row = jnp.where(free, rank, cap)  # free slot i takes row rank[i]
     takes = free & (landing_row < sp.count)  # slots that receive a spawn
-    src = jnp.clip(landing_row, 0, sp.budget - 1)
+    src = perm[jnp.clip(landing_row, 0, sp.budget - 1)]
 
     comps = dict(world.comps)
     reg = world.config.registry
@@ -245,7 +253,6 @@ def _drain_spawns(world: World, sp: SpawnBatch) -> World:
         comps[name] = jnp.where(exp, gathered, comps[name])
     new_alive = alive | takes
     new_mask = jnp.where(takes, sp.comp_bits[src], world.comp_mask)
-    del want  # (kept for clarity; backpressure is via landing_row < count)
     return dataclasses.replace(
         world, alive=new_alive, comp_mask=new_mask, comps=comps
     )

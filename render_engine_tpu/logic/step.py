@@ -121,16 +121,13 @@ def make_step(
         for name in ("position", "orientation", "scale"):
             if name in cs.updates:
                 logic_dirty = logic_dirty | cs.updates[name][1]
-        spawned_any = cs.spawns is not None
+        alive_before = world.alive
         world = C.apply_changeset(world, cs)
 
         # 9. refresh transforms for logic-dirtied + freshly spawned entities
-        if spawned_any:
-            logic_dirty = logic_dirty | world.alive  # conservative: spawns
-            # land in previously-dead slots; cheapest correct policy when a
-            # spawn budget exists is refreshing all alive entities' dirty
-            # subset — restrict to entities lacking a valid transform is not
-            # expressible cheaply, and refresh is one fused op anyway.
+        #    (exact mask: slots that became alive this frame are the spawns)
+        if cs.spawns is not None:
+            logic_dirty = logic_dirty | (world.alive & ~alive_before)
         world = K.refresh_transforms(
             world, model_aabb_min, model_aabb_max, logic_dirty
         )

@@ -142,10 +142,12 @@ class InputState:
         recording must not cost device dispatches)."""
         import numpy as _np
 
+        # rng_seed travels as a bit-exact uint32 view (seeds above 2^24
+        # would lose bits in a float round-trip -> silent replay divergence)
         return _np.concatenate([
             _np.asarray(self.keys, _np.float32),
             _np.asarray(self.mouse_delta, _np.float32),
-            _np.asarray([self.rng_seed], _np.float32),
+            _np.asarray([self.rng_seed], _np.uint32).view(_np.float32),
         ])
 
     @staticmethod
@@ -156,5 +158,5 @@ class InputState:
         return InputState(
             keys=v[:NUM_KEYS] > 0.5,
             mouse_delta=v[NUM_KEYS:NUM_KEYS + 2],
-            rng_seed=_np.uint32(v[NUM_KEYS + 2]),
+            rng_seed=v[NUM_KEYS + 2:NUM_KEYS + 3].view(_np.uint32)[0],
         )

@@ -123,7 +123,6 @@ class ModelBankBuilder:
         v, n, uv, f = mesh
         if material is None and tri_material is None:
             material = 0
-        vtx_off = len(self._v) and sum(len(x) for x in self._v)
         vtx_off = sum(len(x) for x in self._v)
         tri_off = sum(len(x) for x in self._tri)
         self._v.append(np.asarray(v, np.float32))

@@ -238,8 +238,11 @@ def pcf_factor(shadow: ShadowState, slot: jnp.ndarray,
     clip = jnp.einsum("ij,hwj->hwi", mat, homo)
     w = clip[..., 3:4]
     ndc = clip[..., :3] / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
-    u = (ndc[..., 0] * 0.5 + 0.5) * (res - 1)
-    v = (0.5 - ndc[..., 1] * 0.5) * (res - 1)
+    # the shadow raster samples pixel centers at +0.5, so texel i covers
+    # [i, i+1): map ndc to continuous pixel coords and offset by -0.5 so
+    # round() lands on the covering texel (no half-texel skew)
+    u = (ndc[..., 0] * 0.5 + 0.5) * res - 0.5
+    v = (0.5 - ndc[..., 1] * 0.5) * res - 0.5
     z = ndc[..., 2]
     inside = (
         (jnp.abs(ndc[..., 0]) <= 1.0)

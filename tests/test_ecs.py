@@ -214,6 +214,29 @@ class TestChangeSet:
             reg = cfg.registry
             assert int(w2.comp_mask[i]) == reg.bits("position", "type_id")
 
+    def test_spawn_non_prefix_rows(self):
+        """Two queue_spawn calls into disjoint NON-prefix row sets: both
+        requested spawns land (rows are compacted by validity rank, not
+        drained as a scalar prefix count)."""
+        cfg = small_config()
+        w = W.create_world(cfg)
+        cs = C.empty_changeset(w, spawn_budget=4)
+        cs = C.queue_spawn(
+            cs, cfg.registry, jnp.array([False, True, False, False]),
+            type_id=jnp.full(4, 7, jnp.int32),
+        )
+        cs = C.queue_spawn(
+            cs, cfg.registry, jnp.array([False, False, False, True]),
+            type_id=jnp.full(4, 8, jnp.int32),
+            position=jnp.broadcast_to(jnp.array([3.0, 2.0, 1.0]), (4, 3)),
+        )
+        w2 = C.apply_changeset(w, cs)
+        assert int(w2.count_alive()) == 2
+        assert int(jnp.sum(w2.of_type(7))) == 1
+        assert int(jnp.sum(w2.of_type(8))) == 1
+        i8 = int(np.flatnonzero(np.asarray(w2.of_type(8)))[0])
+        np.testing.assert_allclose(w2["position"][i8], [3, 2, 1])
+
     def test_spawn_respects_capacity(self):
         cfg = small_config()
         w = W.create_world(cfg)

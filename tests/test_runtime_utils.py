@@ -22,6 +22,17 @@ class TestInputHistory:
         up = InputState.idle(0).with_prev(prev)
         assert bool(up.released(KEY_W))
 
+    def test_serialize_rng_seed_bit_exact(self):
+        """uint32 seeds above 2^24 survive the history round-trip
+        (bit-view, not float cast — replay divergence guard)."""
+        import dataclasses
+
+        for seed in (0, 1, 2**24 + 1, 2**31 + 12345, 2**32 - 1):
+            s = dataclasses.replace(InputState.idle(0),
+                                    rng_seed=np.uint32(seed))
+            rt = InputState.deserialize(s.serialize())
+            assert int(rt.rng_seed) == seed, (seed, int(rt.rng_seed))
+
     def test_engine_threads_prev_keys(self):
         eng = build_space_engine(**ENGINE_KW)
         eng.config.record_history = False
