@@ -34,21 +34,24 @@ CAMERA_CUTOFF = 200.0  # same constant as logic_flow.rs collision cutoff
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["query", "query_valid", "cand", "hit"],
+    data_fields=["query", "query_valid", "cand", "cand_type", "hit"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class CollisionResult:
     """Compact candidate table over a fixed QUERY budget: ``query``
     int32[Q] entity ids actually checked this frame, ``cand`` int32[Q, K]
-    neighbor ids, ``hit`` bool[Q, K]. Queries are compacted (lowest entity
-    index first) so the per-frame gather cost scales with the query budget,
-    not the world capacity — the analogue of the reference only testing
-    *moved* entities (logic_flow.rs:537-654)."""
+    neighbor ids, ``cand_type`` int32[Q, K] their type ids (carried from
+    the packed candidate rows so callers need no re-gather), ``hit``
+    bool[Q, K]. Queries are compacted (lowest entity index first) so the
+    per-frame gather cost scales with the query budget, not the world
+    capacity — the analogue of the reference only testing *moved* entities
+    (logic_flow.rs:537-654)."""
 
     query: jnp.ndarray
     query_valid: jnp.ndarray
     cand: jnp.ndarray
+    cand_type: jnp.ndarray
     hit: jnp.ndarray
 
     def any_hit(self) -> jnp.ndarray:
@@ -60,10 +63,9 @@ class CollisionResult:
         """(other_idx int32[CAP], mask bool[CAP]): first colliding neighbor
         whose type is ``type_index`` (or any type if ``type_index < 0``),
         scattered back to full entity space."""
-        other_type = world["type_id"][self.cand]  # (Q, K)
         ok = self.hit
         if type_index >= 0:
-            ok = ok & (other_type == type_index)
+            ok = ok & (self.cand_type == type_index)
         has_q = jnp.any(ok, axis=-1) & self.query_valid
         first = jnp.argmax(ok, axis=-1)
         other_q = jnp.take_along_axis(self.cand, first[:, None], axis=-1)[:, 0]
@@ -102,16 +104,34 @@ def find_collisions(
     qvalid = qidx < cap
     qidx = jnp.clip(qidx, 0, cap - 1)
 
-    cand, valid = G.neighbor_candidates(
-        grid, grid.keys[qidx], cfg, per_cell_budget
-    )  # (Q, K)
-    valid = valid & (cand != qidx[:, None]) & world.alive[cand] & qvalid[:, None]
-
+    # packed candidate rows: [entity, alive, type, aabb_min, aabb_max] as
+    # f32 (ids/capacities stay far below 2^24, so the f32 round-trip is
+    # exact). ONE row gather replaces five scalar-memory gathers — see
+    # grid.neighbor_candidate_rows.
     mn, mx = world["aabb_min"], world["aabb_max"]
+    table = jnp.concatenate(
+        [
+            jnp.arange(cap, dtype=jnp.float32)[:, None],
+            world.alive.astype(jnp.float32)[:, None],
+            world["type_id"].astype(jnp.float32)[:, None],
+            mn, mx,
+        ],
+        axis=1,
+    )  # (CAP, 9)
+    rows, valid = G.neighbor_candidate_rows(
+        grid, grid.keys[qidx], cfg, table[grid.perm], per_cell_budget
+    )  # (Q, K, 9)
+    cand = rows[..., 0].astype(jnp.int32)
+    alive_c = rows[..., 1] > 0.5
+    ctype = rows[..., 2].astype(jnp.int32)
+    mn_c, mx_c = rows[..., 3:6], rows[..., 6:9]
+    valid = valid & (cand != qidx[:, None]) & alive_c & qvalid[:, None]
+
     hit = valid & A.intersects(
-        mn[qidx][:, None, :], mx[qidx][:, None, :], mn[cand], mx[cand]
+        mn[qidx][:, None, :], mx[qidx][:, None, :], mn_c, mx_c
     )
-    return CollisionResult(query=qidx, query_valid=qvalid, cand=cand, hit=hit)
+    return CollisionResult(query=qidx, query_valid=qvalid, cand=cand,
+                           cand_type=ctype, hit=hit)
 
 
 def collision_query_mask(world: World, moved: jnp.ndarray) -> jnp.ndarray:

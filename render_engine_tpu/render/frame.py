@@ -80,19 +80,29 @@ def render_frame(
     atlas=None,
     shadow_state=None,
     shadow_factor=None,
+    systems=None,
 ) -> jnp.ndarray:
     """Deferred-render one frame. Returns float32 (H, W, 3) linear color.
 
     ``shadow_state``: a shadows.ShadowState whose maps PCF-attenuate the
     matching lights; ``shadow_factor`` overrides it with a custom callback.
+    ``systems``: optional render_system.CompiledSystems — user render
+    systems folded into the single fused pass as per-triangle data (model
+    routing, LoV gating, unlit/emissive boost, tint/alpha uniforms).
     """
     h, w = settings.height, settings.width
     rasterizer = pick_rasterizer(settings.backend)
 
     batch = build_triangle_batch(
-        world, bank, camera, max_tris=settings.max_tris
+        world, bank, camera, max_tris=settings.max_tris, systems=systems
     )
     batch = to_screen(batch, w, h)
+
+    ent_attrs = None
+    if systems is not None:
+        from render_engine_tpu.render.render_system import entity_shade_attrs
+
+        ent_attrs = entity_shade_attrs(world, systems)
 
     # --- raster: opaque + transparent layers ----------------------------
     from render_engine_tpu.render.raster_pallas import (
@@ -107,7 +117,7 @@ def render_frame(
         return _render_frame_pallas_tiled(
             world, camera, bank, settings,
             cubemap=cubemap, atlas=atlas, shadow_state=shadow_state,
-            shadow_factor=shadow_factor, batch=batch,
+            shadow_factor=shadow_factor, batch=batch, ent_attrs=ent_attrs,
         )
     else:
         depth, winner = rasterizer(batch, h, w, settings.raster,
@@ -116,6 +126,38 @@ def render_frame(
                                        batch.transparent)
         gbuf = resolve_gbuffer(batch, bank, depth, winner, atlas=atlas)
         t_gbuf = resolve_gbuffer(batch, bank, t_depth, t_winner, atlas=atlas)
+        if ent_attrs is not None:
+            # golden-path system semantics: per-pixel tint/emissive/alpha
+            # from the winner triangle's entity's system row
+            sa = ent_attrs[jnp.clip(batch.entity, 0, world.capacity - 1)]
+            mat_safe = jnp.clip(batch.material, 0,
+                                bank.mat_emissive.shape[0] - 1)
+            tri_em = jnp.where(sa[:, 0] > 0.5,
+                               jnp.maximum(bank.mat_emissive[mat_safe], 1.0)
+                               * sa[:, 1],
+                               bank.mat_emissive[mat_safe])
+            tri_tint = sa[:, 2:5]
+            tri_ascale = sa[:, 5]
+
+            def apply_sys(g):
+                tri = jnp.clip(g.tri_id, 0, batch.budget - 1)
+                cm = g.covered()
+                alb = g.albedo * jnp.where(cm[..., None], tri_tint[tri], 1.0)
+                em = jnp.where(cm, tri_em[tri], 0.0)
+                asc = jnp.where(cm, tri_ascale[tri], 1.0)
+                return dataclasses.replace(g, albedo=alb), em, asc
+
+            gbuf, em_img, _ = apply_sys(gbuf)
+            t_gbuf, t_em_img, t_asc = apply_sys(t_gbuf)
+            extras = {"emissive": em_img}
+            t_extras = {
+                "emissive": t_em_img,
+                "alpha": jnp.clip(
+                    bank.mat_alpha[
+                        jnp.clip(t_gbuf.material, 0,
+                                 bank.mat_alpha.shape[0] - 1)
+                    ] * t_asc, 0.0, 1.0),
+            }
 
     # --- lights (visible-light upload analogue) -------------------------
     lights = L.extract_lights(
@@ -173,7 +215,7 @@ def render_frame(
 
 def _render_frame_pallas_tiled(
     world, camera, bank, settings: RenderSettings, *,
-    cubemap, atlas, shadow_state, shadow_factor, batch,
+    cubemap, atlas, shadow_state, shadow_factor, batch, ent_attrs=None,
 ) -> jnp.ndarray:
     """Pallas frame in tiled layout: all shading math runs on the
     contiguous (NT*th, tw) view of the tile buffers (zero transposes); only
@@ -191,13 +233,17 @@ def _render_frame_pallas_tiled(
         batch.valid, jnp.where(batch.transparent, 2.0, 1.0), 0.0
     ).astype(jnp.float32)
     cand, counts = RP._candidate_table(batch, cfg, tiles_x, tiles_y, tri_class)
+    # one packed per-tri table + ONE contiguous row gather feeds both the
+    # raster (channels 0:10) and the resolve (all channels); render-system
+    # attributes (tint/boost/unlit/alpha) fold in per triangle
+    packed = RP._packed_tri_table(batch, bank, tri_class, ent_attrs=ent_attrs)
+    rows = RP._gather_candidate_rows(packed, cand)  # (NT, K, A)
     d, wn, s, td, twn, ts = RP._launch(
         batch, h, w, cfg, tri_class, two_pass=True, interpret=None,
-        cand=cand, counts=counts,
+        cand=cand, counts=counts, rows=rows,
     )
-    attrs_t = RP._gather_attr_table(batch, bank, cand)
-    res_o = RP.resolve_attributes_pallas(s, attrs_t, cfg)  # (A, NT, th, tw)
-    res_t = RP.resolve_attributes_pallas(ts, attrs_t, cfg)
+    res_o = RP.resolve_attributes_pallas(s, rows, cfg)  # (A, NT, th, tw)
+    res_t = RP.resolve_attributes_pallas(ts, rows, cfg)
 
     # --- optional fused interp+lighting kernel --------------------------
     if (settings.fused_shading and atlas is None and shadow_state is None

@@ -74,12 +74,17 @@ def build_triangle_batch(
     instance_mask: jnp.ndarray | None = None,
     apply_lov: bool = True,
     proj_view: jnp.ndarray | None = None,
+    systems=None,
 ) -> TriangleBatch:
     """Cull, LoV-select, and expand instances into screen triangles.
 
     ``instance_mask`` restricts which entities are considered (e.g. a shadow
     pass over one light's neighborhood); default = all alive.
     ``proj_view`` overrides the camera matrix (light cameras for shadows).
+    ``systems``: an optional render_system.CompiledSystems — entities whose
+    model is bound to no system are not drawn, LoV is gated per system, and
+    alpha_scale uniforms route triangles to the transparency pass (the
+    per-render-system draw routing of render_flow.rs:317-334, as data).
     """
     cap = world.capacity
     pv = camera.proj_view() if proj_view is None else proj_view
@@ -88,6 +93,13 @@ def build_triangle_batch(
     vis = world.alive & (world["model_id"] >= 0)
     if instance_mask is not None:
         vis = vis & instance_mask
+    msys = None
+    if systems is not None:
+        nm = systems.model_system.shape[0]
+        msys = systems.model_system[
+            jnp.clip(world["model_id"], 0, nm - 1)
+        ]
+        vis = vis & (msys >= 0)
     vis = vis & culling.aabb_in_frustum(
         planes, world["aabb_min"], world["aabb_max"]
     )
@@ -99,7 +111,13 @@ def build_triangle_batch(
         dist = jnp.linalg.norm(
             world["position"] - camera.position[None], axis=-1
         )
-        mid = bank.lov_model_id(mid, dist, camera.draw_distance)
+        lov_mid = bank.lov_model_id(mid, dist, camera.draw_distance)
+        if msys is None:
+            mid = lov_mid
+        else:  # per-system casts_lov gate
+            ns = systems.sys_lov.shape[0]
+            lov_on = systems.sys_lov[jnp.clip(msys, 0, ns - 1)] > 0.5
+            mid = jnp.where(lov_on & (msys >= 0), lov_mid, mid)
     mid_safe = jnp.clip(mid, 0, bank.num_models - 1)
 
     # ragged expansion: entity -> its triangle rows. The row->entity map is
@@ -155,10 +173,15 @@ def build_triangle_batch(
     clip = jnp.einsum("ij,tnj->tni", pv, homo)  # (T, 3, 4)
 
     # transparency routing: material alpha < 1 or entity FLAG_TRANSPARENT
+    # or a render-system alpha_scale uniform below 1
     ent_flags = world["flags"][ent]
     transparent = (bank.mat_alpha[material] < 1.0) | (
         (ent_flags & R.FLAG_TRANSPARENT) != 0
     )
+    if msys is not None:
+        ns = systems.sys_table.shape[0]
+        ascale = systems.sys_table[jnp.clip(msys, 0, ns - 1), 5]
+        transparent = transparent | ((ascale[ent] < 1.0) & (msys[ent] >= 0))
 
     # near-plane clipping: triangles crossing z_clip = -w are re-cut
     # (vectorized; second triangles from quad cases reuse unused budget
@@ -211,6 +234,13 @@ def _near_clip(clip, w_pos, w_nrm, uv, material, ent, transparent, valid):
     the world-space edge parameter because clip coords are affine in world
     position.
     """
+    # PERF: all per-vertex attributes travel as ONE packed (T, 3, 12) array
+    # [clip4 | pos3 | nrm3 | uv2] so the rot/lerp/select/scatter passes are
+    # one fused op each instead of four (the separate (T,3,2..4) arrays'
+    # scatters cost ~2.7 ms/frame at 24k tris, dominated by per-op overhead
+    # and trailing-small-dim padding).
+    big = jnp.concatenate([clip, w_pos, w_nrm, uv], axis=-1)  # (T, 3, 12)
+
     s = clip[..., 2] + clip[..., 3]  # (T, 3) signed distance to near plane
     inside = s > 0.0
     n_in = jnp.sum(inside.astype(jnp.int32), axis=-1)  # (T,)
@@ -228,13 +258,8 @@ def _near_clip(clip, w_pos, w_nrm, uv, material, ent, transparent, valid):
         o = odd.reshape((-1,) + (1,) * (a.ndim - 1))
         return jnp.where(o == 1, r1, jnp.where(o == 2, r2, a))
 
-    clip_r, pos_r, nrm_r, uv_r = rot(clip), rot(w_pos), rot(w_nrm), rot(uv)
+    big_r = rot(big)
     s_r = rot(s[..., None])[..., 0]
-
-    def lerp(a, t, j):
-        """Interpolate attribute a between vertex 0 and vertex j."""
-        tt = t.reshape((-1,) + (1,) * (a.ndim - 2))
-        return a[:, 0] + tt * (a[:, j] - a[:, 0])
 
     eps = 1e-12
     t1 = s_r[:, 0] / jnp.where(
@@ -242,37 +267,24 @@ def _near_clip(clip, w_pos, w_nrm, uv, material, ent, transparent, valid):
     t2 = s_r[:, 0] / jnp.where(
         jnp.abs(s_r[:, 0] - s_r[:, 2]) > eps, s_r[:, 0] - s_r[:, 2], 1.0)
 
-    def cut(a):
-        a_v1 = lerp(a, t1, 1)  # intersection on edge 0-1
-        a_v2 = lerp(a, t2, 2)  # intersection on edge 0-2
-        # n_in == 2 (v0 outside): tri A = (a01, v1, v2); tri B = (a01, v2, a02)
-        tri_a2 = jnp.stack([a_v1, a_r1(a), a_r2(a)], axis=1)
-        tri_b2 = jnp.stack([a_v1, a_r2(a), a_v2], axis=1)
-        # n_in == 1 (v0 inside): tri A = (v0, a01, a02)
-        tri_a1 = jnp.stack([a[:, 0], a_v1, a_v2], axis=1)
-        return tri_a2, tri_b2, tri_a1
-
-    def a_r1(a):
-        return a[:, 1]
-
-    def a_r2(a):
-        return a[:, 2]
+    # intersections on edges 0-1 and 0-2 (linear in every attribute:
+    # clip coords are affine in world position, so one t serves all)
+    a_v1 = big_r[:, 0] + t1[:, None] * (big_r[:, 1] - big_r[:, 0])
+    a_v2 = big_r[:, 0] + t2[:, None] * (big_r[:, 2] - big_r[:, 0])
+    # n_in == 2 (v0 outside): tri A = (a01, v1, v2); tri B = (a01, v2, a02)
+    tri_a2 = jnp.stack([a_v1, big_r[:, 1], big_r[:, 2]], axis=1)
+    tri_b2 = jnp.stack([a_v1, big_r[:, 2], a_v2], axis=1)
+    # n_in == 1 (v0 inside): tri A = (v0, a01, a02)
+    tri_a1 = jnp.stack([big_r[:, 0], a_v1, a_v2], axis=1)
 
     crosses2 = valid & (n_in == 2)  # quad case
     crosses1 = valid & (n_in == 1)
     keep = valid & (n_in == 3)
     new_valid = keep | crosses2 | crosses1
 
-    outs = []
-    tri_bs = []
-    for a in (clip_r, pos_r, nrm_r, uv_r):
-        ta2, tb2, ta1 = cut(a)
-        sel2 = crosses2.reshape((-1,) + (1,) * (a.ndim - 1))
-        sel1 = crosses1.reshape((-1,) + (1,) * (a.ndim - 1))
-        outs.append(jnp.where(sel2, ta2, jnp.where(sel1, ta1, a)))
-        tri_bs.append(tb2)
-    clip_o, pos_o, nrm_o, uv_o = outs
-    clip_b, pos_b, nrm_b, uv_b = tri_bs
+    sel2 = crosses2[:, None, None]
+    sel1 = crosses1[:, None, None]
+    big_o = jnp.where(sel2, tri_a2, jnp.where(sel1, tri_a1, big_r))
 
     # scatter the quad second-triangles into unused budget rows
     t_budget = clip.shape[0]
@@ -281,7 +293,6 @@ def _near_clip(clip, w_pos, w_nrm, uv, material, ent, transparent, valid):
     n_free = free_rank[-1] + 1 if t_budget else jnp.int32(0)
     extra_rank = jnp.cumsum(crosses2.astype(jnp.int32)) - 1
     # destination row for extra e = index of the e-th free row
-    # build: free row i accepts extra with rank == free_rank[i]
     dest_ok = crosses2 & (extra_rank < n_free)
     # scatter: for each source row with dest_ok, find its destination.
     # Build the free-slot index list (first T entries; clipped scatter)
@@ -290,17 +301,27 @@ def _near_clip(clip, w_pos, w_nrm, uv, material, ent, transparent, valid):
         dest_ok, free_slots[jnp.clip(extra_rank, 0, t_budget - 1)], t_budget
     )  # rows without an extra scatter to t_budget -> dropped
 
-    def scat(base, val):
-        return base.at[dest].set(val, mode="drop")
+    big_o = big_o.at[dest].set(tri_b2, mode="drop")
+    # per-tri metadata rides one (T, 4) f32 row scatter (ids < 2^24: exact)
+    meta = jnp.stack(
+        [
+            material.astype(jnp.float32),
+            ent.astype(jnp.float32),
+            transparent.astype(jnp.float32),
+            dest_ok.astype(jnp.float32),  # validity of the scattered copy
+        ],
+        axis=-1,
+    )
+    meta0 = meta.at[:, 3].set(new_valid.astype(jnp.float32))
+    meta_o = meta0.at[dest].set(meta, mode="drop")
 
-    clip_o = scat(clip_o, clip_b)
-    pos_o = scat(pos_o, pos_b)
-    nrm_o = scat(nrm_o, nrm_b)
-    uv_o = scat(uv_o, uv_b)
-    material = material.at[dest].set(material, mode="drop")
-    ent = ent.at[dest].set(ent, mode="drop")
-    transparent = transparent.at[dest].set(transparent, mode="drop")
-    new_valid = new_valid.at[dest].set(dest_ok, mode="drop")
+    clip_o, pos_o, nrm_o, uv_o = (
+        big_o[..., 0:4], big_o[..., 4:7], big_o[..., 7:10], big_o[..., 10:12]
+    )
+    material = meta_o[:, 0].astype(jnp.int32)
+    ent = meta_o[:, 1].astype(jnp.int32)
+    transparent = meta_o[:, 2] > 0.5
+    new_valid = meta_o[:, 3] > 0.5
 
     return (clip_o, pos_o, nrm_o, uv_o, material, ent, transparent,
             new_valid)

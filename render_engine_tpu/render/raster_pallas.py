@@ -203,8 +203,65 @@ def _prepare_candidates(batch, cfg, tiles_x, tiles_y, tri_class,
     return data, ids, counts
 
 
+def _packed_tri_table(batch, bank, tri_class, ent_attrs=None):
+    """ONE (T, N_ATTR) f32 per-triangle channel table (layout per the
+    N_ATTR comment above). The frame path gathers candidate ROWS from this
+    table — one contiguous 160-byte row gather per candidate instead of
+    ~15 separate scalar gathers (which XLA places in scalar memory at ~5x
+    the cost; measured 15.6 ms -> ~2 ms at 1080p/24k tris).
+
+    ``ent_attrs``: optional (CAP, 6) per-entity render-system shading rows
+    [unlit, boost, tint rgb, alpha_scale] (render_system.entity_shade_attrs)
+    folded into the albedo/emissive/alpha channels — user render systems as
+    per-triangle data on the single fused pass."""
+    t = batch.budget
+    x = batch.xy[..., 0]  # (T, 3)
+    y = batch.xy[..., 1]
+    mat_safe = jnp.clip(batch.material, 0, bank.mat_albedo.shape[0] - 1)
+    albedo = bank.mat_albedo[mat_safe]
+    emissive = bank.mat_emissive[mat_safe]
+    alpha = bank.mat_alpha[mat_safe]
+    if ent_attrs is not None:
+        sa = ent_attrs[jnp.clip(batch.entity, 0, ent_attrs.shape[0] - 1)]
+        unlit, boost, ascale = sa[:, 0] > 0.5, sa[:, 1], sa[:, 5]
+        albedo = albedo * sa[:, 2:5]
+        # unlit systems bypass lighting via the emissive path at the
+        # system's boost (the light-source draw callback's 6x-brightness,
+        # render_system_setup.rs:57-77)
+        emissive = jnp.where(unlit, jnp.maximum(emissive, 1.0) * boost,
+                             emissive)
+        alpha = jnp.clip(alpha * ascale, 0.0, 1.0)
+    return jnp.concatenate(
+        [
+            x[:, 0:1], y[:, 0:1], x[:, 1:2], y[:, 1:2], x[:, 2:3], y[:, 2:3],
+            batch.z,  # 6:9
+            tri_class[:, None],  # 9
+            batch.normal.reshape(t, 9),  # 10:19
+            batch.uv.reshape(t, 6),  # 19:25
+            batch.inv_w,  # 25:28
+            batch.material.astype(jnp.float32)[:, None],  # 28
+            albedo,  # 29:32
+            emissive[:, None],  # 32
+            alpha[:, None],  # 33
+            jnp.zeros((t, N_ATTR - 34), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _gather_candidate_rows(packed, cand):
+    """(T, A) table + (NT, K) candidate ids -> (NT, K, A) rows.
+
+    Empty slots (cand < 0) gather row 0's data unmasked — safe because the
+    candidate tables are valid-prefix per segment and the raster kernel's
+    dynamic trip counts never read past the valid prefix; the resolve
+    kernel reads only winner slots (always valid)."""
+    safe = jnp.clip(cand, 0, packed.shape[0] - 1)
+    return packed[safe]  # (NT, K, A) — one contiguous row gather
+
+
 def _launch(batch, height, width, cfg, tri_class, two_pass, interpret,
-            cand=None, counts=None, classed=False):
+            cand=None, counts=None, classed=False, rows=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     th, tw = cfg.tile_h, cfg.tile_w
@@ -212,10 +269,16 @@ def _launch(batch, height, width, cfg, tri_class, two_pass, interpret,
     tiles_y = -(-height // th)
     nt = tiles_x * tiles_y
 
-    data, ids, counts = _prepare_candidates(
-        batch, cfg, tiles_x, tiles_y, tri_class, cand, counts,
-        classed=classed,
-    )
+    if rows is not None:
+        # frame path: slice the raster's 10 channels from the pre-gathered
+        # (NT, K, A) candidate rows (one transpose; no extra gathers)
+        data = jnp.swapaxes(rows[..., :10], 1, 2)  # (NT, 10, K)
+        ids = jnp.where(cand >= 0, cand, -1)[:, None, :]
+    else:
+        data, ids, counts = _prepare_candidates(
+            batch, cfg, tiles_x, tiles_y, tri_class, cand, counts,
+            classed=classed,
+        )
     k = data.shape[2]  # data is channel-leading: (NT, 10, K)
     kernel = functools.partial(_tile_kernel, tiles_x, th, tw,
                                cfg.tile_budget, cfg.trans_tile_budget,
@@ -319,10 +382,11 @@ N_ATTR = 40  # padded to a multiple of 8 sublanes
 
 def _resolve_kernel(n_attr, tile_h, tile_w,
                     slot_ref, attrs_ref, occupied_ref, out_ref):
-    """Per tile: winner-slot one-hot (K,{tw}) x attrsT (A,K) on the MXU.
+    """Per tile: winner-slot one-hot (K,{tw}) x attrs (K,A) on the MXU.
 
     slot_ref: (1, th, tw) int32 winner candidate slots (-1 empty)
-    attrs_ref: (1, A, K) f32 candidate attribute table (transposed)
+    attrs_ref: (1, K, A) f32 candidate attribute rows (as gathered — the
+        MXU contracts over K directly, so no host-side transpose is needed)
     occupied_ref: SMEM (1, 1, 1) int32 — 0 means the whole tile is empty
         (sky / other layer): skip the matmuls entirely
     out_ref: (A, 1, th, tw) f32 per-pixel winner attributes — channels
@@ -332,46 +396,19 @@ def _resolve_kernel(n_attr, tile_h, tile_w,
 
     @pl.when(occupied_ref[0, 0, 0] > 0)
     def _():
-        attrs = attrs_ref[0]  # (A, K)
-        k = attrs.shape[1]
+        attrs = attrs_ref[0]  # (K, A)
+        k = attrs.shape[0]
         kio = jax.lax.broadcasted_iota(jnp.int32, (k, tile_w), 0)
         for r in range(tile_h):  # static unroll: tile_h is 8
             row = slot_ref[0, r, :]  # (tw,) int32
             onehot = ((kio == row[None, :]) & (row[None, :] >= 0)).astype(
                 jnp.float32
             )  # (K, tw)
-            out_ref[:, 0, r, :] = jnp.dot(
-                attrs, onehot, preferred_element_type=jnp.float32
+            # (A, tw) = attrs^T @ onehot, contracting K on both sides
+            out_ref[:, 0, r, :] = jax.lax.dot_general(
+                attrs, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-
-
-def _gather_attr_table(batch, bank, cand):
-    """(NT, K) candidate ids -> (NT, A, K) attribute table (one row-gather
-    per candidate instead of per pixel)."""
-    safe = jnp.clip(cand, 0, batch.budget - 1)
-    x = batch.xy[..., 0][safe]
-    y = batch.xy[..., 1][safe]
-    z = batch.z[safe]
-    nr = batch.normal[safe].reshape(safe.shape + (9,))
-    uv = batch.uv[safe].reshape(safe.shape + (6,))
-    iw = batch.inv_w[safe]
-    mat = batch.material[safe]
-    mat_safe = jnp.clip(mat, 0, bank.mat_albedo.shape[0] - 1)
-    alb = bank.mat_albedo[mat_safe]
-    emi = bank.mat_emissive[mat_safe][..., None]
-    alp = bank.mat_alpha[mat_safe][..., None]
-    cls = jnp.zeros(safe.shape + (1,), jnp.float32)  # unused in resolve
-    table = jnp.concatenate(
-        [
-            x[..., 0:1], y[..., 0:1], x[..., 1:2], y[..., 1:2],
-            x[..., 2:3], y[..., 2:3], z, cls,
-            nr, uv, iw,
-            mat.astype(jnp.float32)[..., None], alb, emi, alp,
-            jnp.zeros(safe.shape + (N_ATTR - 34,), jnp.float32),
-        ],
-        axis=-1,
-    )  # (NT, K, A)
-    return jnp.swapaxes(table, 1, 2)  # (NT, A, K)
 
 
 def _gbuffer_from_channels(ch, depth, winner, height, width, inv_proj_view,
@@ -481,13 +518,14 @@ def render_gbuffers_pallas(
         batch.valid, jnp.where(batch.transparent, 2.0, 1.0), 0.0
     ).astype(jnp.float32)
     cand, counts = _candidate_table(batch, cfg, tiles_x, tiles_y, tri_class)
+    packed = _packed_tri_table(batch, bank, tri_class)
+    rows = _gather_candidate_rows(packed, cand)
     d, w, s, td, twi, ts = _launch(
         batch, height, width, cfg, tri_class, two_pass=True,
-        interpret=interpret, cand=cand, counts=counts,
+        interpret=interpret, cand=cand, counts=counts, rows=rows,
     )
-    attrs_t = _gather_attr_table(batch, bank, cand)
-    res_o = resolve_attributes_pallas(s, attrs_t, cfg, interpret=interpret)
-    res_t = resolve_attributes_pallas(ts, attrs_t, cfg, interpret=interpret)
+    res_o = resolve_attributes_pallas(s, rows, cfg, interpret=interpret)
+    res_t = resolve_attributes_pallas(ts, rows, cfg, interpret=interpret)
 
     def untile2(a):
         return _untile(a, tiles_y, tiles_x, th, tw, height, width)
@@ -515,16 +553,17 @@ def render_gbuffers_pallas(
     return gbuf, extras, t_gbuf, t_extras
 
 
-def resolve_attributes_pallas(slot_tiled, attrs_t, cfg,
+def resolve_attributes_pallas(slot_tiled, attrs_rows, cfg,
                               interpret: bool | None = None):
     """Run the one-hot resolve kernel. ``slot_tiled``: (NT, th, tw) int32;
-    ``attrs_t``: (NT, A, K). Returns (A, NT, th, tw) — channels leading, so
-    ``out.reshape(A, NT*th, tw)`` is a contiguous "tall image" view."""
+    ``attrs_rows``: (NT, K, A) candidate rows as gathered. Returns
+    (A, NT, th, tw) — channels leading, so ``out.reshape(A, NT*th, tw)`` is
+    a contiguous "tall image" view."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nt, th, tw = slot_tiled.shape
-    a = attrs_t.shape[1]
-    k = attrs_t.shape[2]
+    k = attrs_rows.shape[1]
+    a = attrs_rows.shape[2]
     occupied = jnp.any(slot_tiled >= 0, axis=(1, 2)).astype(
         jnp.int32
     )[:, None, None]  # (NT, 1, 1)
@@ -535,7 +574,7 @@ def resolve_attributes_pallas(slot_tiled, attrs_t, cfg,
         in_specs=[
             pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, k, a), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -546,4 +585,4 @@ def resolve_attributes_pallas(slot_tiled, attrs_t, cfg,
         ],
         out_shape=[jax.ShapeDtypeStruct((a, nt, th, tw), jnp.float32)],
         interpret=interpret,
-    )(slot_tiled, attrs_t, occupied)[0]
+    )(slot_tiled, attrs_rows, occupied)[0]

@@ -29,8 +29,10 @@ exactly the render_frame fast path.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from render_engine_tpu.ecs.world import World
@@ -111,6 +113,104 @@ class RenderSystemBuilder:
             casts_lov=self._lov,
             uniforms=tuple(self._uniforms),
         )
+
+
+# uniforms with shading semantics (the DrawParam::write_uniform_value
+# contract, rendering.rs:147-182 — here the closed set the fixed deferred
+# shader actually reads; unknown names fail at compile time, the analogue
+# of GLSL rejecting an undeclared uniform)
+RECOGNIZED_UNIFORMS = {
+    "albedo_tint": tuple,  # (r, g, b) multiplies material albedo
+    "alpha_scale": float,  # multiplies material alpha (routes transparent)
+    "emissive_boost": float,  # multiplies the system's emissive boost
+}
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["model_system", "sys_table", "sys_lov"],
+    meta_fields=["names"],
+)
+@dataclasses.dataclass(frozen=True)
+class CompiledSystems:
+    """Render systems compiled to per-model routing + per-system shading
+    attribute tables — the TPU-native RenderSystem::draw: instead of one
+    raster pass per system (render_system.rs:410-595), systems become DATA
+    on the one fused raster/resolve/shade pass. G-buffer "reuse across
+    systems" is then inherent: there is exactly one G-buffer.
+
+    model_system: (num_models,) int32 — which system draws each bank model
+        (-1 = no system: the model is not drawn, matching the reference
+        where only models bound to a render system exist on screen).
+        Level-of-view variant models inherit their base model's system.
+    sys_table: (S, 6) f32 rows [unlit, boost, tint r, tint g, tint b,
+        alpha_scale] consumed at shade time via the packed attribute table.
+    sys_lov: (S,) f32 1/0 — casts_lov per system.
+    """
+
+    model_system: jnp.ndarray
+    sys_table: jnp.ndarray
+    sys_lov: jnp.ndarray
+    names: tuple
+
+
+def compile_systems(systems, bank: ModelBank) -> CompiledSystems:
+    import numpy as np
+
+    systems = tuple(systems)
+    nm = bank.num_models
+    model_system = np.full(nm, -1, np.int32)
+    table = np.zeros((max(len(systems), 1), 6), np.float32)
+    lov = np.ones(max(len(systems), 1), np.float32)
+    lov_table = np.asarray(bank.lov_table)
+    for s, sys_ in enumerate(systems):
+        boost = float(sys_.emissive_boost)
+        tint = (1.0, 1.0, 1.0)
+        alpha_scale = 1.0
+        for name, value in sys_.uniforms:
+            if name not in RECOGNIZED_UNIFORMS:
+                raise ValueError(
+                    f"render system {sys_.name!r}: unknown uniform {name!r} "
+                    f"(recognized: {sorted(RECOGNIZED_UNIFORMS)})"
+                )
+            if name == "albedo_tint":
+                tint = tuple(float(v) for v in value)
+            elif name == "alpha_scale":
+                alpha_scale = float(value)
+            elif name == "emissive_boost":
+                boost *= float(value)
+        table[s] = [0.0 if sys_.lit else 1.0, boost, *tint, alpha_scale]
+        lov[s] = 1.0 if sys_.casts_lov else 0.0
+        for m in sys_.model_ids:
+            if not (0 <= m < nm):
+                raise ValueError(
+                    f"render system {sys_.name!r}: model id {m} not in bank")
+            if model_system[m] >= 0 and model_system[m] != s:
+                raise ValueError(
+                    f"model {m} bound to two render systems "
+                    f"({systems[model_system[m]].name!r} and {sys_.name!r})")
+            model_system[m] = s
+            # LoV variants draw with their base model's system
+            for variant in lov_table[m]:
+                if model_system[variant] < 0:
+                    model_system[variant] = s
+    return CompiledSystems(
+        model_system=jnp.asarray(model_system),
+        sys_table=jnp.asarray(table),
+        sys_lov=jnp.asarray(lov),
+        names=tuple(s.name for s in systems),
+    )
+
+
+def entity_shade_attrs(world: World, systems: CompiledSystems) -> jnp.ndarray:
+    """(CAP, 6) per-entity [unlit, boost, tint rgb, alpha_scale] rows from
+    each entity's model's system (identity row for unrouted models)."""
+    mid = world["model_id"]
+    ms = systems.model_system[jnp.clip(mid, 0, systems.model_system.shape[0] - 1)]
+    s = jnp.clip(ms, 0, systems.sys_table.shape[0] - 1)
+    rows = systems.sys_table[s]
+    identity = jnp.asarray([0.0, 1.0, 1.0, 1.0, 1.0, 1.0], jnp.float32)
+    return jnp.where(((ms >= 0) & (mid >= 0))[:, None], rows, identity)
 
 
 def _system_instance_mask(world: World, system: RenderSystem) -> jnp.ndarray:

@@ -191,6 +191,11 @@ def render_shadow_map(
     its slot (the shadow render system, render_flow.rs:267-308,1111-1178)."""
     cfg = raster_cfg or RasterConfig(tile_budget=64, global_budget=16)
     res = shadow.resolution
+    # depth raster via the Pallas tile kernel on TPU (31x the jnp path at
+    # this size; see docs/STATUS.md), jnp golden elsewhere
+    from render_engine_tpu.render.frame import pick_rasterizer
+
+    rasterizer = pick_rasterizer("auto")
     shadow, slot, light, face, do_render = choose_light(
         shadow, world, camera.position
     )
@@ -201,7 +206,7 @@ def render_shadow_map(
         apply_lov=True, proj_view=pv,
     )
     batch = to_screen(batch, res, res)
-    depth, _ = rasterize_depth_winner(batch, res, res, cfg)
+    depth, _ = rasterizer(batch, res, res, cfg)
 
     new_maps = shadow.maps.at[slot].set(
         jnp.where(do_render, depth, shadow.maps[slot])

@@ -32,6 +32,11 @@ class EngineConfig:
     # frame
     render: RenderSettings = dataclasses.field(default_factory=RenderSettings)
     max_fps: float = 60.0  # host-loop cap (reference main.rs:46)
+    # user render systems (load_models.rs UserLoadRenderSystems): a tuple of
+    # render_system.RenderSystem, or a callable (bank) -> tuple built after
+    # models are registered. None = one implicit default system over all
+    # models.
+    render_systems: Optional[object] = None
 
     # simulation
     entity_types: Sequence[EntityType] = ()

@@ -72,6 +72,11 @@ class Engine:
     def set_atlas(self, atlas):
         self.atlas = atlas
 
+    def set_render_systems(self, systems):
+        """Bind user render systems (a tuple of render_system.RenderSystem
+        or a callable (bank) -> tuple, compiled at finalize_scene)."""
+        self.config.render_systems = systems
+
     def finalize_scene(self):
         """Freeze the model bank, refresh transforms, snapshot the history
         baseline, and build the jitted step functions."""
@@ -108,6 +113,19 @@ class Engine:
         cubemap = self.cubemap
         atlas = self.atlas
 
+        # compile user render systems to per-model routing + shading tables
+        # (the RenderSystemBuilder -> create_render_system step,
+        # initialize_logic.rs:137-185, minus the GLSL codegen)
+        self.compiled_systems = None
+        rs = self.config.render_systems
+        if rs is not None:
+            from render_engine_tpu.render.render_system import compile_systems
+
+            if callable(rs):
+                rs = rs(bank)
+            self.compiled_systems = compile_systems(tuple(rs), bank)
+        systems = self.compiled_systems
+
         if self.config.enable_shadows:
             from render_engine_tpu.render import shadows as SH
 
@@ -128,7 +146,8 @@ class Engine:
 
         def render_pure(world, camera, shadow_state=None):
             return render_frame(world, camera, bank, settings, cubemap=cubemap,
-                                atlas=atlas, shadow_state=shadow_state)
+                                atlas=atlas, shadow_state=shadow_state,
+                                systems=systems)
 
         # BIT-DETERMINISM INVARIANT: state advances through this ONE compiled
         # program whether or not the frame is rendered. A fused step+render

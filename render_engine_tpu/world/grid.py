@@ -118,9 +118,16 @@ def neighbor_candidates(
     budgeted conservatism as the reference's 500-combine AABB cap
     :1055-1130).
     """
+    from render_engine_tpu.utils.search import searchsorted_merge
+
     nk = neighbor_cell_keys(query_keys, config)  # (Q, 27)
-    starts = jnp.searchsorted(grid.sorted_keys, nk, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(grid.sorted_keys, nk, side="right").astype(jnp.int32)
+    # one merge-search covers both window edges: keys are ints, so
+    # side="right" of k == side="left" of k+1 (and k+1 cannot overflow:
+    # keys are bounded by G^3 << INT32_MAX)
+    both = searchsorted_merge(
+        grid.sorted_keys, jnp.stack([nk, nk + 1], axis=0)
+    )
+    starts, ends = both[0], both[1]
     b = per_cell_budget
     j = jnp.arange(b, dtype=jnp.int32)  # (b,)
     slot = starts[..., None] + j  # (Q, 27, b)
@@ -129,6 +136,40 @@ def neighbor_candidates(
     cand = grid.perm[slot]  # (Q, 27, b)
     q = query_keys.shape[0]
     return cand.reshape(q, 27 * b), valid.reshape(q, 27 * b)
+
+
+def neighbor_candidate_rows(
+    grid: GridIndex,
+    query_keys: jnp.ndarray,
+    config: WorldConfig,
+    sorted_rows: jnp.ndarray,
+    per_cell_budget: int = 8,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Like ``neighbor_candidates`` but returns pre-packed f32 attribute ROWS
+    instead of entity ids: ``sorted_rows`` is a (CAP, C) f32 table already
+    permuted into sorted-key order (``table[grid.perm]``).
+
+    PERF: one contiguous row gather stays in vector memory; gathering ids
+    and then scattering per-component (ids/alive/types) lands each gather in
+    scalar memory (S(1) layouts) at ~5x the cost — measured 1.6 ms vs
+    0.35 ms at (1024, 216) on the v5e.
+    Returns ``(rows (Q, 27*b, C), valid (Q, 27*b))``.
+    """
+    from render_engine_tpu.utils.search import searchsorted_merge
+
+    nk = neighbor_cell_keys(query_keys, config)  # (Q, 27)
+    both = searchsorted_merge(
+        grid.sorted_keys, jnp.stack([nk, nk + 1], axis=0)
+    )
+    starts, ends = both[0], both[1]
+    b = per_cell_budget
+    j = jnp.arange(b, dtype=jnp.int32)
+    slot = starts[..., None] + j  # (Q, 27, b)
+    valid = slot < ends[..., None]
+    slot = jnp.clip(slot, 0, grid.capacity - 1)
+    q = query_keys.shape[0]
+    rows = sorted_rows[slot.reshape(q, 27 * b)]  # (Q, 27*b, C)
+    return rows, valid.reshape(q, 27 * b)
 
 
 def occupied_section_count(grid: GridIndex) -> jnp.ndarray:

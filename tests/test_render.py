@@ -260,7 +260,7 @@ class TestEndToEndRender:
             pt_specular=jnp.zeros((1, 3)),
             pt_ambient=jnp.zeros((1, 3)),
             pt_atten=jnp.array([[0.1, 0.01]]),
-            pt_radius=jnp.ones(1), pt_count=jnp.int32(1),
+            pt_radius=jnp.zeros(1), pt_count=jnp.int32(1),  # 0 = unbounded
             pt_entity=jnp.zeros(1, jnp.int32),
             sp_position=jnp.zeros((0, 3)), sp_direction=jnp.zeros((0, 3)),
             sp_diffuse=jnp.zeros((0, 3)), sp_specular=jnp.zeros((0, 3)),
