@@ -170,7 +170,9 @@ ENTITY_TYPES = (
 # ---------------------------------------------------------------------------
 def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42):
     bb = engine.bank_builder
-    star_mat = bb.add_material(albedo=(1.0, 0.85, 0.5), emissive=6.0)
+    # the star's 6x brightness comes from the light_sources render system's
+    # emissive boost (render_system_setup.rs:57-77), not the material
+    star_mat = bb.add_material(albedo=(1.0, 0.85, 0.5), emissive=1.0)
     rock_mat = bb.add_material(albedo=(0.45, 0.38, 0.33))
     worm_mat = bb.add_material(albedo=(0.4, 0.2, 0.9), alpha=0.45)
     mine_mat = bb.add_material(albedo=(0.7, 0.1, 0.1))
@@ -292,6 +294,19 @@ def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42):
     # a cubemap can be swapped in via engine.set_skybox(cubemap_array)
     engine.set_skybox(SB.make_starfield(2400))
 
+    # user render systems: the default lit deferred system over everything
+    # plus the unlit 6x light-source system for the stars — the demo's
+    # render-system setup (render_system_setup.rs:7-122) driven through the
+    # Engine's single fused pass
+    from render_engine_tpu.prelude.default_render_system import (
+        default_render_systems,
+    )
+
+    engine.set_render_systems(
+        lambda bank: default_render_systems(
+            bank, emissive_models=(star_model,))
+    )
+
 
 def space_config(
     *,
@@ -302,8 +317,19 @@ def space_config(
     max_tris: int = 32768,
     is_debugging: bool = False,
     spawn_budget: int = 4,
+    enable_shadows: bool = True,
+    shadow_resolution: int | None = None,
+    shadow_max_tris: int | None = None,
 ) -> EngineConfig:
     from render_engine_tpu.render.raster_jnp import RasterConfig
+
+    # shadows are ALWAYS on (the reference never renders without its
+    # ShadowFlow, render_flow.rs:247-335); quality scales with the target:
+    # tiny offscreen targets (tests/CI) take a 128^2 map, real frames 1024^2
+    if shadow_resolution is None:
+        shadow_resolution = 1024 if height >= 240 else 128
+    if shadow_max_tris is None:
+        shadow_max_tris = 8192 if height >= 240 else 1024
 
     registry = R.ComponentRegistry(custom=CUSTOM_COMPONENTS)
     return EngineConfig(
@@ -320,6 +346,9 @@ def space_config(
         spawn_budget=spawn_budget,
         build_scene=lambda e: build_scene(e, num_asteroids=num_asteroids),
         is_debugging=is_debugging,
+        enable_shadows=enable_shadows,
+        shadow_resolution=shadow_resolution,
+        shadow_max_tris=shadow_max_tris,
     )
 
 

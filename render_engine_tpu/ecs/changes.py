@@ -33,6 +33,9 @@ import jax.numpy as jnp
 from render_engine_tpu.ecs import registry as R
 from render_engine_tpu.ecs.world import World
 
+# transitive owned-entity cascade depth = 2^ROUNDS (pointer doubling)
+OWNED_CASCADE_ROUNDS = 5
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -157,6 +160,36 @@ def queue_spawn(cs: ChangeSet, registry: R.ComponentRegistry,
     )
 
 
+def with_add_reference(cs: ChangeSet, world: World, owner_mask: jnp.ndarray,
+                       other: jnp.ndarray) -> ChangeSet:
+    """Add a referenced (non-owning, read-only) entity edge per owner in
+    ``owner_mask`` (ecs.rs add_referenced_entity, :171). ``other``:
+    int32[CAP] the referenced id per owner row. Set semantics: duplicates
+    are no-ops; owners with no free edge slot drop the add (fixed
+    MAX_REF_EDGES budget)."""
+    rows = world["ref_edges"]
+    exists = jnp.any(rows == other[:, None], axis=1)
+    free = rows == -1
+    slot = jnp.argmax(free, axis=1)
+    can = owner_mask & jnp.any(free, axis=1) & ~exists & (other >= 0)
+    cols = jnp.arange(rows.shape[1], dtype=jnp.int32)
+    new = jnp.where(
+        (cols[None, :] == slot[:, None]) & can[:, None],
+        other[:, None], rows,
+    )
+    return with_update(cs, "ref_edges", new, can)
+
+
+def with_remove_reference(cs: ChangeSet, world: World,
+                          owner_mask: jnp.ndarray,
+                          other: jnp.ndarray) -> ChangeSet:
+    """Remove a referenced-entity edge (ecs.rs remove_referenced_entity)."""
+    rows = world["ref_edges"]
+    hit = (rows == other[:, None]) & owner_mask[:, None]
+    new = jnp.where(hit, -1, rows)
+    return with_update(cs, "ref_edges", new, owner_mask)
+
+
 def merge(a: ChangeSet, b: ChangeSet) -> ChangeSet:
     """Compose two ChangeSets, b taking precedence on overlapping writes
     (in-order application semantics of apply_change)."""
@@ -200,12 +233,20 @@ def apply_changeset(world: World, cs: ChangeSet) -> World:
     comps["flags"] = flags
 
     # owned-entity cascade (the reference's owned_entities graph,
-    # ecs.rs:70-71,145-181): children whose parent dies die too. One level
-    # per frame; deeper chains resolve over successive frames.
+    # ecs.rs:70-71,145-181): children whose parent dies die too —
+    # TRANSITIVELY within this frame, via pointer doubling: after round i
+    # the ancestor array spans 2^(i+1) levels, so OWNED_CASCADE_ROUNDS
+    # rounds resolve chains up to 2^ROUNDS deep in O(log depth) passes.
     parent = comps["parent"]
-    parent_safe = jnp.clip(parent, 0, world.capacity - 1)
-    orphaned = world.alive & (parent >= 0) & cs.despawn_mask[parent_safe]
-    despawn = cs.despawn_mask | orphaned
+    cap = world.capacity
+    dead = cs.despawn_mask
+    anc = parent
+    for _ in range(OWNED_CASCADE_ROUNDS):
+        valid = anc >= 0
+        anc_c = jnp.clip(anc, 0, cap - 1)
+        dead = dead | (valid & dead[anc_c])
+        anc = jnp.where(valid, anc[anc_c], -1)
+    despawn = dead & (world.alive | cs.despawn_mask)
 
     alive = world.alive & ~despawn
     comp_mask = jnp.where(despawn, jnp.uint32(0), comp_mask)

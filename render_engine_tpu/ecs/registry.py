@@ -55,7 +55,13 @@ BUILTIN_COMPONENTS: tuple[ComponentSpec, ...] = (
     ComponentSpec("light_radius", (), "float32"),
     ComponentSpec("light_fov", (), "float32"),
     ComponentSpec("parent", (), "int32", -1),  # ParentEntity / owned edges
+    # referenced (NON-owning) entity edges, ecs.rs:70-71,150-181: a small
+    # fixed set of read-only entity ids per owner (-1 = empty slot). Unlike
+    # ``parent``, referenced entities do NOT cascade deletion.
+    ComponentSpec("ref_edges", (4,), "int32", -1),
 )
+
+MAX_REF_EDGES = 4  # per-entity referenced-entity budget
 
 # --- flag bits (marker components, reference logic_components.rs:52-65 and
 # movement_components.rs HasMoved/HasRotated) -------------------------------

@@ -92,7 +92,10 @@ def make_step(
         )
 
         # 6. collisions
-        has_collision = any(t.collision is not None for t in types)
+        has_collision = any(
+            t.collision is not None or t.random_collision is not None
+            for t in types
+        )
         if has_collision:
             grid = G.build_grid(world)
             qmask = COL.collision_query_mask(world, moved)
@@ -105,6 +108,10 @@ def make_step(
                 if t.collision is not None:
                     tmask = hit_mask & world.of_type(t.index)
                     cs = t.collision(world, other_idx, tmask, cs)
+                if t.random_collision is not None:
+                    tmask = hit_mask & world.of_type(t.index)
+                    rng, sub = jax.random.split(rng)
+                    cs = t.random_collision(world, other_idx, tmask, sub, cs)
 
         # 7. per-type logic
         for t in types:

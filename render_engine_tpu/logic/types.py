@@ -54,13 +54,19 @@ class EntityType:
     logic: Optional[Callable] = None
     random_logic: Optional[Callable] = None
     collision: Optional[Callable] = None
+    # collision callback with access to the frame rng (the reference's
+    # random_collision_logic map, load_models.rs:76-95); its changes replay
+    # exactly because the rng derives from the recorded frame seed.
+    # Signature: (world, other_idx, mask, rng, cs) -> cs
+    random_collision: Optional[Callable] = None
     user_input: Optional[Callable] = None
     out_of_bounds: str = OOB_CLAMP
 
     def __hash__(self):
         return hash((self.name, self.index, self.out_of_bounds,
                      id(self.logic), id(self.random_logic),
-                     id(self.collision), id(self.user_input)))
+                     id(self.collision), id(self.random_collision),
+                     id(self.user_input)))
 
 
 # Key indices for InputState.keys — the MovementKeys analogue

@@ -194,10 +194,12 @@ def render_frame(
     )
 
     # --- transparency: single-layer forward pass over the lit image -----
+    # (no shadow sampling: the reference draws transparency forward after
+    # the second pass without shadow lookups, render_system.rs:501)
     t_lit = L.shade(
         gbuf=t_gbuf, lights=lights, bank=bank,
         camera_position=camera.position, background=color,
-        shadow_factor=shadow_factor,
+        shadow_factor=None,
         emissive_image=None if t_extras is None else t_extras["emissive"],
     )
     if t_extras is not None:
@@ -211,6 +213,25 @@ def render_frame(
     )
 
     return jnp.clip(color, 0.0, 1.0)
+
+
+def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv):
+    """World positions from tiled depth (NT, th, tw) -> (NT, th, tw, 3)."""
+    nt = d.shape[0]
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    oy = ((tids // tiles_x) * th).astype(jnp.float32)
+    ox = ((tids % tiles_x) * twd).astype(jnp.float32)
+    py = (oy[:, None, None]
+          + jnp.arange(th, dtype=jnp.float32)[None, :, None] + 0.5)
+    px = (ox[:, None, None]
+          + jnp.arange(twd, dtype=jnp.float32)[None, None, :] + 0.5)
+    ndc = jnp.stack(
+        [jnp.broadcast_to(px / width * 2.0 - 1.0, d.shape),
+         jnp.broadcast_to(1.0 - py / height * 2.0, d.shape),
+         d, jnp.ones_like(d)], axis=-1)
+    wp = jnp.einsum("ij,...j->...i", inv_pv, ndc)
+    return wp[..., :3] / jnp.where(
+        jnp.abs(wp[..., 3:4]) > 1e-12, wp[..., 3:4], 1.0)
 
 
 def _render_frame_pallas_tiled(
@@ -246,8 +267,7 @@ def _render_frame_pallas_tiled(
     res_t = RP.resolve_attributes_pallas(ts, rows, cfg)
 
     # --- optional fused interp+lighting kernel --------------------------
-    if (settings.fused_shading and atlas is None and shadow_state is None
-            and shadow_factor is None):
+    if (settings.fused_shading and atlas is None and shadow_factor is None):
         from render_engine_tpu.render.shade_pallas import fused_shade
 
         lights = L.extract_lights(
@@ -257,9 +277,18 @@ def _render_frame_pallas_tiled(
             max_spot=settings.max_spot_lights,
         )
         inv_pv = jnp.linalg.inv(camera.proj_view())
+        sft = sent = None
+        if shadow_state is not None:
+            from render_engine_tpu.render import shadows as SHD
+
+            # per-slot PCF factor images at the opaque layer's world
+            # positions (tall tiled layout), consumed in-kernel
+            wp = _unproject_tiled(d, tiles_x, th, twd, w, h, inv_pv)
+            sft = SHD.slot_factors(shadow_state, wp)  # (S, NT, th, tw)
+            sent = shadow_state.slot_entity
         shaded = fused_shade(
             res_o, res_t, d, td, wn, twn, lights, camera.position, inv_pv,
-            tiles_x, w, h,
+            tiles_x, w, h, slot_factor_tiles=sft, slot_entity=sent,
         )  # (8, NT, th, tw)
 
         def untile8(x):  # (C, NT, th, tw) -> (h, w, C)
@@ -346,8 +375,9 @@ def _render_frame_pallas_tiled(
     color = L.shade(gbuf, lights, bank, camera.position,
                     background=zeros_bg, shadow_factor=shadow_factor,
                     emissive_image=extras["emissive"])
+    # transparency: forward pass without shadow sampling (reference parity)
     t_lit = L.shade(t_gbuf, lights, bank, camera.position,
-                    background=zeros_bg, shadow_factor=shadow_factor,
+                    background=zeros_bg, shadow_factor=None,
                     emissive_image=t_extras["emissive"])
     alpha = t_extras["alpha"][..., None]
     t_front = t_gbuf.covered() & (t_gbuf.depth <= gbuf.depth)

@@ -21,6 +21,9 @@ Packed light-table row layout (f32, N_LCOL columns):
   18:20  cutoff (cos inner, cos outer)
   20     influence radius (point; <=0 = unbounded) — LightInformation.radius
          (reference src/exports/light_components.rs:13)
+  21:21+S shadow-slot ownership (1.0 where shadow slot s belongs to this
+         light; S = shadow budget, 6) — drives the per-slot PCF factor
+         multiply in-kernel
 """
 
 from __future__ import annotations
@@ -38,27 +41,38 @@ from render_engine_tpu.render.lighting import (
     LightArrays,
 )
 
-N_LCOL = 24  # padded row width
+N_LCOL = 28  # padded row width (21 + shadow budget 6, padded)
 
 
-def pack_lights(lights: LightArrays, budget: int):
+def pack_lights(lights: LightArrays, budget: int, slot_entity=None):
     """(budget, N_LCOL) f32 table + count, dir/point/spot concatenated.
 
     Valid rows are COMPACTED to the table prefix so the kernel's
     fori_loop(0, n_live) covers exactly the live lights even when an
-    earlier segment is not full (e.g. 0 of 4 dir lights)."""
+    earlier segment is not full (e.g. 0 of 4 dir lights).
+
+    ``slot_entity``: optional (S,) shadow-slot owner entities — fills the
+    per-light ownership columns 21:21+S."""
     rows = []
     counts = []
 
-    def seg(kind, pos, direction, dif, spe, amb, att, cut, radius, count):
+    def seg(kind, pos, direction, dif, spe, amb, att, cut, radius, count,
+            entity):
         n = pos.shape[0]
         if n == 0:
             return
         k = jnp.full((n, 1), float(kind), jnp.float32)
+        if slot_entity is not None:
+            own = (entity[:, None] == slot_entity[None, :]) & (
+                entity[:, None] >= 0)
+            own = own.astype(jnp.float32)
+        else:
+            own = jnp.zeros((n, 0), jnp.float32)
         row = jnp.concatenate(
             [k, pos, direction, dif, spe, amb, att, cut,
              radius.reshape(n, 1).astype(jnp.float32),
-             jnp.zeros((n, N_LCOL - 21), jnp.float32)],
+             own,
+             jnp.zeros((n, N_LCOL - 21 - own.shape[1]), jnp.float32)],
             axis=1,
         )
         rows.append(row)
@@ -70,18 +84,20 @@ def pack_lights(lights: LightArrays, budget: int):
     dl = dl / jnp.where(dlen > 1e-9, dlen, 1.0)
     seg(0, jnp.zeros((nd, 3)), dl, lights.dir_diffuse,
         lights.dir_specular, lights.dir_ambient, jnp.zeros((nd, 2)),
-        jnp.zeros((nd, 2)), jnp.zeros((nd,)), lights.dir_count)
+        jnp.zeros((nd, 2)), jnp.zeros((nd,)), lights.dir_count,
+        lights.dir_entity)
     npnt = lights.pt_position.shape[0]
     seg(1, lights.pt_position, jnp.zeros((npnt, 3)), lights.pt_diffuse,
         lights.pt_specular, lights.pt_ambient, lights.pt_atten,
-        jnp.zeros((npnt, 2)), lights.pt_radius, lights.pt_count)
+        jnp.zeros((npnt, 2)), lights.pt_radius, lights.pt_count,
+        lights.pt_entity)
     ns = lights.sp_position.shape[0]
     sd = lights.sp_direction
     slen = jnp.linalg.norm(sd, axis=-1, keepdims=True)
     sd = sd / jnp.where(slen > 1e-9, slen, 1.0)
     seg(2, lights.sp_position, sd, lights.sp_diffuse, lights.sp_specular,
         lights.sp_ambient, lights.sp_atten, lights.sp_cutoff,
-        jnp.zeros((ns,)), lights.sp_count)
+        jnp.zeros((ns,)), lights.sp_count, lights.sp_entity)
 
     table = jnp.concatenate(rows, axis=0) if rows else jnp.zeros(
         (0, N_LCOL), jnp.float32)
@@ -132,7 +148,7 @@ def _interp(ch, px, py, inv_pv, width, height):
 
 
 def _shade_kernel(
-    tiles_x, tile_h, tile_w, n_lights, width, height,
+    tiles_x, tile_h, tile_w, n_lights, width, height, n_slots,
     cho_ref, cht_ref,  # (A, 1, th, tw) channel blocks, opaque/transparent
     do_ref, dt_ref,  # (1, th, tw) depths
     wo_ref, wt_ref,  # (1, th, tw) winners
@@ -140,6 +156,7 @@ def _shade_kernel(
     lcount_ref,  # SMEM (1, 1)
     cam_ref,  # SMEM (1, 3) camera position
     ipv_ref,  # SMEM (4, 4) inverse proj-view
+    sf_ref,  # (n_slots or 1, 1, th, tw) per-slot PCF factors
     out_ref,  # (8, 1, th, tw): lit rgb, t_lit rgb, alpha, flags
 ):
     t = pl.program_id(0)
@@ -165,7 +182,7 @@ def _shade_kernel(
         inv = 1.0 / jnp.where(jnp.abs(cw) > 1e-12, cw, 1.0)
         return cx * inv, cy * inv, cz * inv
 
-    def shade_layer(ch_ref, depth, covered):
+    def shade_layer(ch_ref, depth, covered, use_shadows):
         ch = ch_ref[:, 0]  # (A, th, tw)
         (nx, ny, nz), (ar, ag, ab), emissive, alpha = _interp(
             ch, px, py, None, width, height)
@@ -215,6 +232,12 @@ def _shade_kernel(
             ndh = jnp.maximum((nx * hx + ny * hy + nz * hz) * hl, 0.0)
             spec = jnp.where(ndl > 0.0, ndh ** SHININESS, 0.0)
             s = atten * intensity
+            if use_shadows:
+                # per-slot PCF factor, multiplicatively combined over the
+                # slots this light owns (cube faces etc.)
+                for sl in range(n_slots):
+                    own = ltab_ref[i, 21 + sl]
+                    s = s * jnp.where(own > 0.5, sf_ref[sl, 0], 1.0)
             cr = cr + s * (ltab_ref[i, 13] * ar + ltab_ref[i, 7] * ndl * ar
                            + ltab_ref[i, 10] * spec)
             cg = cg + s * (ltab_ref[i, 14] * ag + ltab_ref[i, 8] * ndl * ag
@@ -240,8 +263,11 @@ def _shade_kernel(
     d_t = dt_ref[0]
     cov_o = wo_ref[0] >= 0
     cov_t = wt_ref[0] >= 0
-    r_o, g_o, b_o, _ = shade_layer(cho_ref, d_o, cov_o)
-    r_t, g_t, b_t, alpha = shade_layer(cht_ref, d_t, cov_t)
+    # shadows apply to the opaque (deferred) layer only — the reference's
+    # transparency draw is a forward pass with no shadow sampling
+    # (render_system.rs:501)
+    r_o, g_o, b_o, _ = shade_layer(cho_ref, d_o, cov_o, n_slots > 0)
+    r_t, g_t, b_t, alpha = shade_layer(cht_ref, d_t, cov_t, False)
 
     t_front = cov_t & (d_t <= d_o)
     flags = cov_o.astype(jnp.float32) + 2.0 * t_front.astype(jnp.float32)
@@ -258,7 +284,8 @@ def _shade_kernel(
 def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
                 camera_position, inv_pv, tiles_x, width, height,
                 light_budget: int | None = None,
-                interpret: bool | None = None):
+                interpret: bool | None = None,
+                slot_factor_tiles=None, slot_entity=None):
     """Run the fused shading kernel over tiled buffers.
 
     res_o/res_t: (A, NT, th, tw) resolve outputs; d/w: (NT, th, tw).
@@ -267,6 +294,10 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
 
     ``light_budget`` defaults to the full packed-table size
     (dir+point+spot capacities) so no light is ever truncated.
+    ``slot_factor_tiles``: optional (S, NT, th, tw) per-shadow-slot PCF
+    factor images (shadows.slot_factors reshaped); ``slot_entity`` the
+    matching (S,) owner entities. Shadows multiply the opaque layer's
+    per-light contribution in-kernel.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -275,12 +306,21 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
                         + lights.pt_position.shape[0]
                         + lights.sp_position.shape[0])
     a, nt, th, tw = res_o.shape
-    ltab, n_live = pack_lights(lights, light_budget)
+    ltab, n_live = pack_lights(lights, light_budget, slot_entity=slot_entity)
     lcount = n_live.reshape(1, 1)
     cam = jnp.asarray(camera_position, jnp.float32).reshape(1, 3)
+    if slot_factor_tiles is None:
+        n_slots = 0
+        sf = jnp.ones((1, nt, th, tw), jnp.float32)
+    else:
+        n_slots = slot_factor_tiles.shape[0]
+        assert n_slots <= N_LCOL - 21, "shadow budget exceeds light-table pad"
+        sf = slot_factor_tiles
 
     kernel = functools.partial(_shade_kernel, tiles_x, th, tw,
-                               light_budget, float(width), float(height))
+                               light_budget, float(width), float(height),
+                               n_slots)
+    s_dim = sf.shape[0]
     return pl.pallas_call(
         kernel,
         grid=(nt,),
@@ -305,6 +345,8 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((4, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((s_dim, 1, th, tw), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((8, 1, th, tw), lambda i: (0, i, 0, 0),
@@ -312,4 +354,4 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
         ],
         out_shape=[jax.ShapeDtypeStruct((8, nt, th, tw), jnp.float32)],
         interpret=interpret,
-    )(res_o, res_t, d_o, d_t, w_o, w_t, ltab, lcount, cam, inv_pv)[0]
+    )(res_o, res_t, d_o, d_t, w_o, w_t, ltab, lcount, cam, inv_pv, sf)[0]

@@ -262,3 +262,40 @@ class TestChangeSet:
 
         w2 = bump(w)
         np.testing.assert_allclose(w2["position"][0], [2, 2, 2])
+
+    def test_despawn_cascades_transitively_in_one_frame(self):
+        """A 3-deep ownership chain dies in ONE frame (pointer-doubling
+        cascade; the reference's owned graph, ecs.rs:145-181)."""
+        w = W.create_world(small_config())
+        w, a = W.spawn_host(w, 1)
+        w, b = W.spawn_host(w, 1, parent=np.asarray(a, np.int32))
+        w, c = W.spawn_host(w, 1, parent=np.asarray(b, np.int32))
+        w, d = W.spawn_host(w, 1, parent=np.asarray(c, np.int32))
+        kill = jnp.zeros(16, bool).at[a[0]].set(True)
+        w2 = C.apply_changeset(w, C.with_despawn(C.empty_changeset(w), kill))
+        assert int(w2.count_alive()) == 0, "4-deep chain must die in 1 frame"
+
+    def test_referenced_edges_add_remove_no_cascade(self):
+        """Referenced (non-owning) edges: set semantics, budget, and NO
+        deletion cascade (ecs.rs:150-181)."""
+        w = W.create_world(small_config())
+        w, idx = W.spawn_host(w, 3)
+        owner = int(idx[0])
+        omask = jnp.zeros(16, bool).at[owner].set(True)
+        other = jnp.full(16, int(idx[1]), jnp.int32)
+
+        cs = C.with_add_reference(C.empty_changeset(w), w, omask, other)
+        w2 = C.apply_changeset(w, cs)
+        assert int(jnp.sum(w2["ref_edges"][owner] == idx[1])) == 1
+        # duplicate add is a no-op
+        cs = C.with_add_reference(C.empty_changeset(w2), w2, omask, other)
+        w3 = C.apply_changeset(w2, cs)
+        assert int(jnp.sum(w3["ref_edges"][owner] == idx[1])) == 1
+        # referenced entity dying does NOT kill the owner
+        kill = jnp.zeros(16, bool).at[int(idx[1])].set(True)
+        w4 = C.apply_changeset(w3, C.with_despawn(C.empty_changeset(w3), kill))
+        assert bool(w4.alive[owner])
+        # remove edge
+        cs = C.with_remove_reference(C.empty_changeset(w4), w4, omask, other)
+        w5 = C.apply_changeset(w4, cs)
+        assert int(jnp.sum(w5["ref_edges"][owner] == idx[1])) == 0

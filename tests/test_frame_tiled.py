@@ -114,3 +114,25 @@ class TestTiledFramePath:
         a = np.asarray(render_frame(w, cam, bank, settings("pallas")))
         b = np.asarray(render_frame(w, cam, bank, settings("pallas")))
         np.testing.assert_array_equal(a, b)
+
+    def test_fused_shading_with_shadows_matches_tall_path(self):
+        """Shadow-slot PCF factors inside the fused kernel reproduce the
+        XLA tall path's make_shadow_factor result (opaque layer)."""
+        from render_engine_tpu.render import shadows as SH
+
+        w, bank, cam = scene()
+        # render a shadow map for the scene's point light (row 1 entity)
+        shadow = SH.create_shadow_state(resolution=64, budget=2)
+        shadow = SH.render_shadow_map(shadow, w, cam, bank, max_tris=256,
+                                      raster_cfg=settings("pallas").raster)
+        s = settings("pallas")
+        s_fused = dataclasses.replace(s, fused_shading=True)
+        img_a = np.asarray(render_frame(w, cam, bank, s,
+                                        shadow_state=shadow))
+        img_b = np.asarray(render_frame(w, cam, bank, s_fused,
+                                        shadow_state=shadow))
+        diff = np.abs(img_a - img_b).max(axis=-1)
+        assert diff.max() < 0.05, f"max diff {diff.max():.4f}"
+        # and shadows actually darken something vs the no-shadow render
+        img_ns = np.asarray(render_frame(w, cam, bank, s_fused))
+        assert (img_b <= img_ns + 1e-5).all()

@@ -351,3 +351,47 @@ class TestFullStep:
                 np.asarray(w_a.comps[k]), np.asarray(w_b.comps[k]),
                 err_msg=f"component {k} diverged",
             )
+
+
+class TestRandomCollision:
+    def test_random_collision_fires_deterministically(self):
+        """random_collision (load_models.rs:76-95): collision callback with
+        the frame rng; same recorded seed => same result on replay."""
+        def bounce(world, other_idx, mask, rng, cs):
+            kick = jax.random.uniform(rng, (3,), minval=-1.0, maxval=1.0)
+            vals = jnp.broadcast_to(kick * 10.0, (world.capacity, 3))
+            return C.with_update(cs, "velocity", vals, mask)
+
+        def build():
+            w = base_world()
+            w, _ = W.spawn_host(
+                w, 2,
+                position=np.array([[10.0, 10, 10], [10.2, 10, 10]],
+                                  np.float32),
+                velocity=np.array([[0.5, 0, 0], [0, 0, 0]], np.float32),
+                type_id=np.array([0, 1], np.int32),
+                model_id=np.zeros(2, np.int32),
+                flags=np.full(2, int(R.FLAG_COLLIDABLE), np.uint32),
+            )
+            return K.refresh_transforms(w, *UNIT_MODEL_AABB,
+                                        jnp.asarray(w.alive))
+
+        step = jax.jit(make_step(
+            (EntityType("ball", 0, random_collision=bounce),
+             EntityType("wall", 1)),
+            logic_radius=1e6,
+        ))
+        cam = far_camera().with_position(jnp.array([10.0, 10.0, 20.0]))
+        inp = InputState.idle(seed=1234)
+        w1, _ = step(build(), cam, inp, 0.1, *UNIT_MODEL_AABB)
+        w2, _ = step(build(), cam, inp, 0.1, *UNIT_MODEL_AABB)
+        # fired: velocity changed from kinematics-only prediction
+        assert not np.allclose(np.asarray(w1["velocity"][0]), [0.5, 0, 0])
+        # deterministic under the same recorded seed
+        np.testing.assert_array_equal(np.asarray(w1["velocity"]),
+                                      np.asarray(w2["velocity"]))
+        # different seed -> different kick
+        w3, _ = step(build(), cam, InputState.idle(seed=99), 0.1,
+                     *UNIT_MODEL_AABB)
+        assert not np.array_equal(np.asarray(w1["velocity"][0]),
+                                  np.asarray(w3["velocity"][0]))

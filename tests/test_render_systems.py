@@ -102,3 +102,97 @@ class TestMultiSystem:
             w, cam, bank, (both,), SETTINGS))
         assert img[H // 2, 50].sum() > 0
         assert img[H // 2, 75].sum() > 0
+
+
+class TestCompiledSystems:
+    """The Engine-integrated fast path: systems as data on one fused pass."""
+
+    def _pallas_settings(self):
+        return RenderSettings(
+            width=WIDTH, height=H, max_tris=64, backend="pallas",
+            raster=RasterConfig(tile_budget=16, max_tiles_per_tri=8,
+                                global_budget=8, chunk=4),
+        )
+
+    def test_identity_systems_match_no_systems(self):
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+        ident = compile_systems(
+            (RenderSystemBuilder("all")
+             .with_models(*range(bank.num_models)).build(),), bank)
+        s = self._pallas_settings()
+        a = np.asarray(render_frame(w, cam, bank, s))
+        b = np.asarray(render_frame(w, cam, bank, s, systems=ident))
+        np.testing.assert_array_equal(a, b)
+
+    def test_unrouted_models_not_drawn(self):
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+        only_star = compile_systems(
+            (RenderSystemBuilder("s").with_models(star).build(),), bank)
+        s = self._pallas_settings()
+        img = np.asarray(render_frame(w, cam, bank, s, systems=only_star))
+        # the red cube (left half) is not bound to any system -> background
+        assert not (img[:, :WIDTH // 2, 0] > 0.3).any()
+        # the star (right half) still draws (at the no-light diffuse
+        # floor: 0.08 * albedo 0.5 = 0.04)
+        assert (img[:, WIDTH // 2:, :] > 0.03).any()
+
+    def test_unlit_boost_and_tint_uniform(self):
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+        systems = compile_systems((
+            RenderSystemBuilder("lit").with_models(cube)
+            .write_uniform("albedo_tint", (0.0, 0.0, 1.0)).build(),
+            RenderSystemBuilder("glow").with_models(star)
+            .with_lighting(False).with_emissive_boost(0.5).build(),
+        ), bank)
+        s = self._pallas_settings()
+        img = np.asarray(render_frame(w, cam, bank, s, systems=systems))
+        base = np.asarray(render_frame(w, cam, bank, s))
+        # tint kills the cube's red channel
+        assert (base[:, :WIDTH // 2, 0] > img[:, :WIDTH // 2, 0] + 0.01).any()
+        # unlit star = albedo * 0.5 exactly where covered
+        star_region = img[:, WIDTH // 2:, :]
+        got = star_region[star_region[..., 0] > 0.1]
+        if got.size:
+            np.testing.assert_allclose(got[:, 0], 0.25, atol=1e-3)
+
+    def test_unknown_uniform_rejected(self):
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+        sys_ = (RenderSystemBuilder("x").with_models(cube)
+                .write_uniform("brightness", 6.0).build())
+        with pytest.raises(ValueError, match="unknown uniform"):
+            compile_systems((sys_,), bank)
+
+    def test_model_in_two_systems_rejected(self):
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+        with pytest.raises(ValueError, match="two render systems"):
+            compile_systems((
+                RenderSystemBuilder("a").with_models(cube).build(),
+                RenderSystemBuilder("b").with_models(cube).build(),
+            ), bank)
+
+    def test_engine_demo_uses_systems(self):
+        from render_engine_tpu.demo.space_scene import build_space_engine
+        from render_engine_tpu.logic.types import InputState
+
+        eng = build_space_engine(width=128, height=32, capacity=64,
+                                 num_asteroids=6, max_tris=2048)
+        eng.config.record_history = False
+        assert eng.compiled_systems is not None
+        assert eng.compiled_systems.names == ("default", "light_sources")
+        img = eng.frame(InputState.idle(0), render=True)
+        assert np.isfinite(np.asarray(img)).all()
+        # the star (unlit boost 6 on emissive-1 material) saturates
+        assert float(np.asarray(img).max()) > 0.9
