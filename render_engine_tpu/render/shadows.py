@@ -36,52 +36,65 @@ SHADOW_RES = 1024
 PCF_BIAS = 2e-3
 
 
+N_PCF = 16  # neighborhood row width: 9 taps padded to a 64-byte row
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["maps", "maps_pcf", "light_mats", "slot_entity",
                  "slot_face", "cursor"],
-    meta_fields=["resolution"],
+    meta_fields=["resolution", "pcf_scale"],
 )
 @dataclasses.dataclass(frozen=True)
 class ShadowState:
     maps: jnp.ndarray  # (BUDGET, S, S) NDC depth from the light camera
-    # (BUDGET, S*S, 9): each texel's 3x3 depth neighborhood (edge-clamped),
-    # precomputed by pure SHIFTS in map space when a map renders. PCF then
-    # needs ONE contiguous row gather per pixel instead of 9 scalar-memory
-    # gathers — the same vector-vs-scalar-memory trade as the raster's
-    # packed candidate rows (measured 0.38 fps vs ~50 at 1080p without it).
+    # (BUDGET, S*S, N_PCF): each texel's 3x3 depth neighborhood (columns
+    # 0:9, edge-clamped, padded to an aligned 64-byte row), precomputed by
+    # pure SHIFTS in map space when a map renders. PCF then needs ONE
+    # contiguous row gather per pixel instead of 9 scalar-memory gathers —
+    # the same vector-vs-scalar-memory trade as the raster's packed
+    # candidate rows (measured 0.38 fps vs ~50 at 1080p without it).
     maps_pcf: jnp.ndarray
     light_mats: jnp.ndarray  # (BUDGET, 4, 4) light proj_view per slot
     slot_entity: jnp.ndarray  # (BUDGET,) entity index of the light, -1 free
     slot_face: jnp.ndarray  # (BUDGET,) cube face 0-5 (point lights), else 0
     cursor: jnp.ndarray  # int32 round-robin cursor
     resolution: int
+    # compute PCF factors every pcf_scale-th pixel and nearest-upsample:
+    # the gather is the dominant cost (12.8 ms/slot at 1080p full-res);
+    # scale 2 quarters it at a penumbra-sharpness cost only
+    pcf_scale: int
 
 
 def create_shadow_state(resolution: int = SHADOW_RES,
-                        budget: int = SHADOW_BUDGET) -> ShadowState:
+                        budget: int = SHADOW_BUDGET,
+                        pcf_scale: int = 1) -> ShadowState:
     return ShadowState(
         maps=jnp.ones((budget, resolution, resolution), jnp.float32),
-        maps_pcf=jnp.ones((budget, resolution * resolution, 9), jnp.float32),
+        maps_pcf=jnp.ones((budget, resolution * resolution, N_PCF),
+                          jnp.float32),
         light_mats=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                                     (budget, 4, 4)),
         slot_entity=jnp.full(budget, -1, jnp.int32),
         slot_face=jnp.zeros(budget, jnp.int32),
         cursor=jnp.int32(0),
         resolution=resolution,
+        pcf_scale=pcf_scale,
     )
 
 
 def neighborhood_stack(depth: jnp.ndarray) -> jnp.ndarray:
-    """(R, R) depth -> (R*R, 9) 3x3 neighborhoods, edge-clamped (the GLSL
-    border-clamp semantics) — pure shifts, no gathers."""
+    """(R, R) depth -> (R*R, N_PCF) 3x3 neighborhoods (cols 0:9),
+    edge-clamped (the GLSL border-clamp semantics) — pure shifts, no
+    gathers."""
     r = depth.shape[0]
     padded = jnp.pad(depth, 1, mode="edge")
     cols = [
         padded[1 + dy:1 + dy + r, 1 + dx:1 + dx + r]
         for dy in (-1, 0, 1) for dx in (-1, 0, 1)
     ]
-    return jnp.stack(cols, axis=-1).reshape(r * r, 9)
+    cols += [jnp.full((r, r), jnp.inf, jnp.float32)] * (N_PCF - 9)
+    return jnp.stack(cols, axis=-1).reshape(r * r, N_PCF)
 
 
 # cube face directions / ups, GL order +X -X +Y -Y +Z -Z
@@ -285,27 +298,39 @@ def pcf_factor(shadow: ShadowState, slot: jnp.ndarray,
 
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, res - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, res - 1)
-    taps = shadow.maps_pcf[slot][vi * res + ui]  # (H, W, 9) one row gather
+    taps = shadow.maps_pcf[slot][vi * res + ui]  # one aligned row gather
     lit = jnp.mean(
-        ((z - PCF_BIAS)[..., None] <= taps).astype(jnp.float32), axis=-1
+        ((z - PCF_BIAS)[..., None] <= taps[..., :9]).astype(jnp.float32),
+        axis=-1,
     )
     return jnp.where(inside, lit, 1.0)[..., None]
 
 
 def slot_factors(shadow: ShadowState, world_pos: jnp.ndarray) -> jnp.ndarray:
-    """(BUDGET, H, W) PCF factors of every slot at the given world
-    positions. Inactive slots (no owning light) skip their gather entirely
-    via lax.cond and return all-lit."""
+    """(BUDGET, *spatial) PCF factors of every slot at the given world
+    positions (..., h, w, 3). Inactive slots (no owning light) skip their
+    gather entirely via lax.cond and return all-lit. With
+    ``shadow.pcf_scale`` > 1, factors compute on a strided pixel subset and
+    nearest-upsample back."""
     budget = shadow.slot_entity.shape[0]
-    ones = jnp.ones(world_pos.shape[:-1], jnp.float32)
+    k = shadow.pcf_scale
+    wp = world_pos
+    if k > 1:
+        wp = world_pos[..., ::k, ::k, :]
+    ones = jnp.ones(wp.shape[:-1], jnp.float32)
     outs = []
     for s in range(budget):
         outs.append(jax.lax.cond(
             shadow.slot_entity[s] >= 0,
-            lambda s=s: pcf_factor(shadow, s, world_pos)[..., 0],
+            lambda s=s: pcf_factor(shadow, s, wp)[..., 0],
             lambda: ones,
         ))
-    return jnp.stack(outs)
+    f = jnp.stack(outs)
+    if k > 1:
+        f = jnp.repeat(jnp.repeat(f, k, axis=-2), k, axis=-1)
+        want = world_pos.shape[:-1]
+        f = f[..., :want[-2], :want[-1]]
+    return f
 
 
 def make_shadow_factor(shadow: ShadowState, world: World, lights_entity_map):

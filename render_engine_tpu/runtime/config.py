@@ -53,6 +53,9 @@ class EngineConfig:
     enable_shadows: bool = False
     shadow_resolution: int = 1024
     shadow_max_tris: int = 16384
+    # PCF factor subsampling (1 = full res; 2 quarters the dominant gather
+    # cost at a penumbra-sharpness cost only)
+    shadow_pcf_scale: int = 2
 
     # record/playback (the is_debugging switch, main.rs:53 / lib.rs:76)
     is_debugging: bool = False

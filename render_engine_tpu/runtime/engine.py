@@ -130,7 +130,8 @@ class Engine:
             from render_engine_tpu.render import shadows as SH
 
             self.shadow_state = SH.create_shadow_state(
-                self.config.shadow_resolution
+                self.config.shadow_resolution,
+                pcf_scale=self.config.shadow_pcf_scale,
             )
             shadow_tris = self.config.shadow_max_tris
 
