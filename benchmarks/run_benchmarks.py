@@ -98,12 +98,14 @@ def bench_asteroids():
 
 
 def bench_lights():
-    """Config 3: 256 point lights + skybox, 2 render systems sharing the
-    G-buffer."""
+    """Config 3: 256 point lights + skybox; the demo's TWO user render
+    systems (default lit + unlit light_sources) run through the Engine's
+    single fused pass, sharing the one G-buffer by construction."""
+    import dataclasses
+
     from render_engine_tpu.demo.space_scene import build_space_engine
     from render_engine_tpu.ecs import registry as R
     from render_engine_tpu.ecs.world import spawn_host
-    from render_engine_tpu.render.frame import RenderSettings
 
     nl = _s(256, 8)
     eng = build_space_engine(
@@ -121,14 +123,18 @@ def bench_lights():
         light_diffuse=rng.uniform(0.2, 1.0, (nl, 3)).astype(np.float32),
         light_atten=np.full((nl, 2), [0.05, 0.01], np.float32),
     )
-    # rebuild jitted fns with a bigger light budget
-    eng.config.render = RenderSettings(
-        width=eng.config.render.width, height=eng.config.render.height,
-        max_tris=65536, max_point_lights=nl, max_spot_lights=8,
+    # rebuild jitted fns with a bigger light budget (keep fused shading,
+    # raster config, and the demo's render systems)
+    eng.config.render = dataclasses.replace(
+        eng.config.render, max_point_lights=nl, max_spot_lights=8,
     )
     eng.finalize_scene()
+    assert eng.compiled_systems is not None
+    n_sys = len(eng.compiled_systems.names)
     fps = _time_frames(eng, _s(20, 5))
-    return {"config": "lights", "metric": f"{nl} point lights deferred 720p",
+    return {"config": "lights",
+            "metric": (f"{nl} point lights deferred 720p, "
+                       f"{n_sys} render systems, shared G-buffer"),
             "value": round(fps, 2), "unit": "fps"}
 
 

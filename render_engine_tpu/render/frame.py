@@ -215,11 +215,13 @@ def render_frame(
     return jnp.clip(color, 0.0, 1.0)
 
 
-def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv):
-    """World positions from tiled depth (NT, th, tw) -> (NT, th, tw, 3)."""
+def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv,
+                     y_off=0.0):
+    """World positions from tiled depth (NT, th, tw) -> (NT, th, tw, 3).
+    ``y_off``: global row of this buffer's first tile row (row sharding)."""
     nt = d.shape[0]
     tids = jnp.arange(nt, dtype=jnp.int32)
-    oy = ((tids // tiles_x) * th).astype(jnp.float32)
+    oy = ((tids // tiles_x) * th).astype(jnp.float32) + y_off
     ox = ((tids % tiles_x) * twd).astype(jnp.float32)
     py = (oy[:, None, None]
           + jnp.arange(th, dtype=jnp.float32)[None, :, None] + 0.5)
@@ -232,6 +234,73 @@ def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv):
     wp = jnp.einsum("ij,...j->...i", inv_pv, ndc)
     return wp[..., :3] / jnp.where(
         jnp.abs(wp[..., 3:4]) > 1e-12, wp[..., 3:4], 1.0)
+
+
+def tiled_fused_core(
+    batch, lights, bank, settings: RenderSettings, camera, *,
+    width, h_total, h_local, y_off, background, shadow_state, ent_attrs,
+    interpret=None,
+) -> jnp.ndarray:
+    """Raster + resolve + fused shading over tiles covering global image
+    rows [y_off, y_off + h_local). ``batch.xy`` must be in LOCAL pixel
+    coordinates (global y minus y_off) and ``background`` the matching
+    (h_local, w, 3) rows. This is the per-rank body of the multi-chip
+    sharded frame (parallel/render.py) and the whole frame when y_off=0.
+    """
+    from render_engine_tpu.render import raster_pallas as RP
+    from render_engine_tpu.render.shade_pallas import fused_shade
+
+    cfg = settings.raster
+    th, twd = cfg.tile_h, cfg.tile_w
+    tiles_x, tiles_y = -(-width // twd), -(-h_local // th)
+
+    tri_class = jnp.where(
+        batch.valid, jnp.where(batch.transparent, 2.0, 1.0), 0.0
+    ).astype(jnp.float32)
+    cand, counts = RP._candidate_table(batch, cfg, tiles_x, tiles_y, tri_class)
+    packed = RP._packed_tri_table(batch, bank, tri_class, ent_attrs=ent_attrs)
+    rows = RP._gather_candidate_rows(packed, cand)  # (NT, K, A)
+    d, wn, s, td, twn, ts = RP._launch(
+        batch, h_local, width, cfg, tri_class, two_pass=True,
+        interpret=interpret, cand=cand, counts=counts, rows=rows,
+    )
+    res_o = RP.resolve_attributes_pallas(s, rows, cfg, interpret=interpret)
+    res_t = RP.resolve_attributes_pallas(ts, rows, cfg, interpret=interpret)
+
+    inv_pv = jnp.linalg.inv(camera.proj_view())
+    sft = sent = None
+    if shadow_state is not None:
+        from render_engine_tpu.render import shadows as SHD
+
+        # per-slot PCF factor images at the opaque layer's world positions
+        # (tall tiled layout), consumed in-kernel
+        wp = _unproject_tiled(d, tiles_x, th, twd, width, h_total, inv_pv,
+                              y_off=y_off)
+        sft = SHD.slot_factors(shadow_state, wp)  # (S, NT, th, tw)
+        sent = shadow_state.slot_entity
+    shaded = fused_shade(
+        res_o, res_t, d, td, wn, twn, lights, camera.position, inv_pv,
+        tiles_x, width, h_total, slot_factor_tiles=sft, slot_entity=sent,
+        pixel_origin=(0.0, y_off), interpret=interpret,
+    )  # (8, NT, th, tw)
+
+    def untile8(x):  # (C, NT, th, tw) -> (h_local, w, C)
+        c = x.shape[0]
+        x = x.reshape(c, tiles_y, tiles_x, th, twd)
+        x = jnp.transpose(x, (1, 3, 2, 4, 0)).reshape(
+            tiles_y * th, tiles_x * twd, c)[:h_local, :width]
+        return x
+
+    img = untile8(shaded)
+    color_i, t_lit_i = img[..., 0:3], img[..., 3:6]
+    alpha_i = img[..., 6:7]
+    flags_i = img[..., 7]
+    covered_i = (jnp.mod(flags_i, 2.0) >= 1.0)[..., None]
+    t_front_i = (flags_i >= 2.0)[..., None]
+    base = jnp.where(covered_i, color_i, background)
+    out = jnp.where(t_front_i,
+                    alpha_i * t_lit_i + (1.0 - alpha_i) * base, base)
+    return jnp.clip(out, 0.0, 1.0)
 
 
 def _render_frame_pallas_tiled(
@@ -250,6 +319,29 @@ def _render_frame_pallas_tiled(
     tiles_x, tiles_y = -(-w // twd), -(-h // th)
     nt = tiles_x * tiles_y
 
+    # --- fused interp+lighting kernel path ------------------------------
+    if (settings.fused_shading and atlas is None and shadow_factor is None):
+        lights = L.extract_lights(
+            world,
+            max_dir=settings.max_dir_lights,
+            max_point=settings.max_point_lights,
+            max_spot=settings.max_spot_lights,
+        )
+        if isinstance(cubemap, SB.Starfield):
+            background = SB.starfield_background(camera, cubemap, h, w)
+        elif cubemap is not None:
+            dirs = SB.pixel_ray_directions(camera, h, w)
+            background = SB.sample_cubemap(cubemap, dirs)
+        else:
+            background = jnp.broadcast_to(
+                jnp.asarray(settings.clear_color, jnp.float32), (h, w, 3))
+        return tiled_fused_core(
+            batch, lights, bank, settings, camera,
+            width=w, h_total=h, h_local=h, y_off=0.0,
+            background=background, shadow_state=shadow_state,
+            ent_attrs=ent_attrs,
+        )
+
     tri_class = jnp.where(
         batch.valid, jnp.where(batch.transparent, 2.0, 1.0), 0.0
     ).astype(jnp.float32)
@@ -265,58 +357,6 @@ def _render_frame_pallas_tiled(
     )
     res_o = RP.resolve_attributes_pallas(s, rows, cfg)  # (A, NT, th, tw)
     res_t = RP.resolve_attributes_pallas(ts, rows, cfg)
-
-    # --- optional fused interp+lighting kernel --------------------------
-    if (settings.fused_shading and atlas is None and shadow_factor is None):
-        from render_engine_tpu.render.shade_pallas import fused_shade
-
-        lights = L.extract_lights(
-            world,
-            max_dir=settings.max_dir_lights,
-            max_point=settings.max_point_lights,
-            max_spot=settings.max_spot_lights,
-        )
-        inv_pv = jnp.linalg.inv(camera.proj_view())
-        sft = sent = None
-        if shadow_state is not None:
-            from render_engine_tpu.render import shadows as SHD
-
-            # per-slot PCF factor images at the opaque layer's world
-            # positions (tall tiled layout), consumed in-kernel
-            wp = _unproject_tiled(d, tiles_x, th, twd, w, h, inv_pv)
-            sft = SHD.slot_factors(shadow_state, wp)  # (S, NT, th, tw)
-            sent = shadow_state.slot_entity
-        shaded = fused_shade(
-            res_o, res_t, d, td, wn, twn, lights, camera.position, inv_pv,
-            tiles_x, w, h, slot_factor_tiles=sft, slot_entity=sent,
-        )  # (8, NT, th, tw)
-
-        def untile8(x):  # (C, NT, th, tw) -> (h, w, C)
-            c = x.shape[0]
-            x = x.reshape(c, tiles_y, tiles_x, th, twd)
-            x = jnp.transpose(x, (1, 3, 2, 4, 0)).reshape(
-                tiles_y * th, tiles_x * twd, c)[:h, :w]
-            return x
-
-        img = untile8(shaded)
-        color_i, t_lit_i = img[..., 0:3], img[..., 3:6]
-        alpha_i = img[..., 6:7]
-        flags_i = img[..., 7]
-        covered_i = (jnp.mod(flags_i, 2.0) >= 1.0)[..., None]
-        t_front_i = (flags_i >= 2.0)[..., None]
-
-        if isinstance(cubemap, SB.Starfield):
-            background = SB.starfield_background(camera, cubemap, h, w)
-        elif cubemap is not None:
-            dirs = SB.pixel_ray_directions(camera, h, w)
-            background = SB.sample_cubemap(cubemap, dirs)
-        else:
-            background = jnp.broadcast_to(
-                jnp.asarray(settings.clear_color, jnp.float32), (h, w, 3))
-        base = jnp.where(covered_i, color_i, background)
-        out = jnp.where(t_front_i,
-                        alpha_i * t_lit_i + (1.0 - alpha_i) * base, base)
-        return jnp.clip(out, 0.0, 1.0)
 
     a_dim = res_o.shape[0]
 

@@ -156,12 +156,17 @@ def _shade_kernel(
     lcount_ref,  # SMEM (1, 1)
     cam_ref,  # SMEM (1, 3) camera position
     ipv_ref,  # SMEM (4, 4) inverse proj-view
+    org_ref,  # SMEM (1, 2) global pixel origin (x, y) of this buffer —
+    #           nonzero under multi-chip row sharding, where the local
+    #           tile grid starts partway down the global image
     sf_ref,  # (n_slots or 1, 1, th, tw) per-slot PCF factors
     out_ref,  # (8, 1, th, tw): lit rgb, t_lit rgb, alpha, flags
 ):
     t = pl.program_id(0)
     oy = ((t // tiles_x) * tile_h).astype(jnp.float32)
     ox = ((t % tiles_x) * tile_w).astype(jnp.float32)
+    # px/py are LOCAL pixel coords (edge functions match the possibly
+    # row-shifted batch coordinates); unprojection adds the global origin
     py = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
           .astype(jnp.float32) + oy + 0.5)
     px = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
@@ -169,8 +174,8 @@ def _shade_kernel(
 
     # world position from depth (shared by both layers' shading)
     def unproject(depth):
-        ndc_x = px / width * 2.0 - 1.0
-        ndc_y = 1.0 - py / height * 2.0
+        ndc_x = (px + org_ref[0, 0]) / width * 2.0 - 1.0
+        ndc_y = 1.0 - (py + org_ref[0, 1]) / height * 2.0
         cx = (ipv_ref[0, 0] * ndc_x + ipv_ref[0, 1] * ndc_y
               + ipv_ref[0, 2] * depth + ipv_ref[0, 3])
         cy = (ipv_ref[1, 0] * ndc_x + ipv_ref[1, 1] * ndc_y
@@ -285,7 +290,8 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
                 camera_position, inv_pv, tiles_x, width, height,
                 light_budget: int | None = None,
                 interpret: bool | None = None,
-                slot_factor_tiles=None, slot_entity=None):
+                slot_factor_tiles=None, slot_entity=None,
+                pixel_origin=(0.0, 0.0)):
     """Run the fused shading kernel over tiled buffers.
 
     res_o/res_t: (A, NT, th, tw) resolve outputs; d/w: (NT, th, tw).
@@ -309,6 +315,7 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
     ltab, n_live = pack_lights(lights, light_budget, slot_entity=slot_entity)
     lcount = n_live.reshape(1, 1)
     cam = jnp.asarray(camera_position, jnp.float32).reshape(1, 3)
+    org = jnp.asarray(pixel_origin, jnp.float32).reshape(1, 2)
     if slot_factor_tiles is None:
         n_slots = 0
         sf = jnp.ones((1, nt, th, tw), jnp.float32)
@@ -345,6 +352,8 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((4, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((s_dim, 1, th, tw), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -354,4 +363,5 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
         ],
         out_shape=[jax.ShapeDtypeStruct((8, nt, th, tw), jnp.float32)],
         interpret=interpret,
-    )(res_o, res_t, d_o, d_t, w_o, w_t, ltab, lcount, cam, inv_pv, sf)[0]
+    )(res_o, res_t, d_o, d_t, w_o, w_t, ltab, lcount, cam, inv_pv, org,
+      sf)[0]

@@ -83,3 +83,38 @@ class TestMesh:
                 np.asarray(w_single.comps[k]), np.asarray(w_mesh.comps[k]),
                 rtol=1e-6, atol=1e-6, err_msg=f"component {k}",
             )
+
+
+@needs_8
+class TestShardedRender:
+    def test_sharded_render_matches_single_chip_path(self):
+        """render_frame_sharded (shard_map over tile rows) reproduces the
+        single-chip tiled Pallas frame — same kernels, same image."""
+        import dataclasses
+
+        from render_engine_tpu.demo.space_scene import build_space_engine
+        from render_engine_tpu.parallel.render import render_frame_sharded
+        from render_engine_tpu.render.frame import render_frame
+
+        eng = build_space_engine(width=128, height=64, capacity=64,
+                                 num_asteroids=8, max_tris=1024)
+        s = dataclasses.replace(eng.config.render, backend="pallas",
+                                fused_shading=True)
+        single = np.asarray(render_frame(
+            eng.world, eng.camera, eng.bank, s, cubemap=eng.cubemap,
+            systems=eng.compiled_systems, shadow_state=eng.shadow_state))
+
+        mesh = make_mesh(8)
+        world = shard_world(eng.world, mesh)
+        cam = jax.device_put(eng.camera, NamedSharding(mesh, P()))
+        bank, cubemap = eng.bank, eng.cubemap
+        systems, shadow = eng.compiled_systems, eng.shadow_state
+
+        fn = jax.jit(lambda w, c: render_frame_sharded(
+            w, c, bank, s, mesh, cubemap=cubemap, shadow_state=shadow,
+            systems=systems, interpret=True))
+        with mesh:
+            img = np.asarray(fn(world, cam))
+        assert img.shape == single.shape
+        diff = np.abs(img - single).max(axis=-1)
+        assert diff.max() < 0.03, f"max diff {diff.max():.4f}"
