@@ -72,6 +72,9 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
+        # budget-overflow observability: nonzero counters mean the frame
+        # silently truncated work (grow the corresponding budget)
+        "drops": eng.drop_stats(),
     }
     print(json.dumps(result))
 

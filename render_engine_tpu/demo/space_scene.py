@@ -52,6 +52,7 @@ TYPE_WORMHOLE = 2
 TYPE_MINE_PRODUCER = 3
 TYPE_MINE = 4
 TYPE_USER = 5
+TYPE_STATION = 6  # textured OBJ decoration (the OBJ+MTL loader path)
 
 SHIP_ACCEL = 40.0
 SHIP_DECAY = 0.96  # inertial decay (MovementFactor analogue)
@@ -162,7 +163,58 @@ ENTITY_TYPES = (
     EntityType("mine", TYPE_MINE),
     EntityType("user", TYPE_USER, user_input=user_input_logic,
                collision=user_collision_logic),
+    EntityType("station", TYPE_STATION),
 )
+
+
+def _write_station_asset(out_dir: str) -> str:
+    """Write a small textured station model (OBJ + MTL + PPM) so the demo
+    exercises the real asset-loading path (model_storage.rs:116-266 loads
+    OBJ+MTL with textures; the reference's binary assets are not copied, so
+    the demo generates deterministic equivalents)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    obj_path = os.path.join(out_dir, "station.obj")
+    if os.path.exists(obj_path):
+        return obj_path
+
+    # procedural panel texture (P6 PPM): grid lines + rivets
+    s = 64
+    yy, xx = np.mgrid[0:s, 0:s]
+    base = np.full((s, s, 3), 120, np.uint8)
+    base[(yy % 16 < 2) | (xx % 16 < 2)] = (60, 60, 70)
+    base[(yy % 16 == 8) & (xx % 16 == 8)] = (200, 200, 210)
+    with open(os.path.join(out_dir, "panels.ppm"), "wb") as fh:
+        fh.write(b"P6\n%d %d\n255\n" % (s, s) + base.tobytes())
+
+    with open(os.path.join(out_dir, "station.mtl"), "w") as fh:
+        fh.write("newmtl hull\nKd 0.8 0.8 0.85\nKs 0.6 0.6 0.6\n"
+                 "map_Kd panels.ppm\n")
+
+    # a 10-unit cube with per-face UVs and normals
+    lines = ["mtllib station.mtl"]
+    r = 5.0
+    corners = [(x, y, z) for x in (-r, r) for y in (-r, r) for z in (-r, r)]
+    for c in corners:
+        lines.append("v %g %g %g" % c)
+    for u, v in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        lines.append("vt %d %d" % (u, v))
+    for n in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1),
+              (0, 0, -1)):
+        lines.append("vn %d %d %d" % n)
+    # faces as corner indices (1-based) per axis-aligned quad
+    quads = [  # (4 corner ids, normal id)
+        ((5, 6, 8, 7), 1), ((1, 3, 4, 2), 2), ((3, 7, 8, 4), 3),
+        ((1, 2, 6, 5), 4), ((2, 4, 8, 6), 5), ((1, 5, 7, 3), 6),
+    ]
+    lines.append("usemtl hull")
+    for (a, b, c, d), n in quads:
+        lines.append(f"f {a}/1/{n} {b}/2/{n} {c}/3/{n}")
+        lines.append(f"f {a}/1/{n} {c}/3/{n} {d}/4/{n}")
+    with open(obj_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return obj_path
 
 
 # ---------------------------------------------------------------------------
@@ -195,6 +247,15 @@ def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42):
     prod_model = bb.add_model("mine_producer", primitives.cube(4.0),
                               material=prod_mat)
     _MINE_MODEL[0] = mine_model
+
+    # textured OBJ station through the real loader + atlas path
+    from render_engine_tpu.render.textures import TextureAtlasBuilder
+
+    atlas_builder = TextureAtlasBuilder(layer_size=64)
+    obj_path = _write_station_asset("debug_out/assets")
+    station_model = bb.add_obj("station", obj_path,
+                               atlas_builder=atlas_builder)
+    engine.set_atlas(atlas_builder.finalize())
 
     rng = np.random.default_rng(seed)
     base = np.array([1000.0, 1000.0, 1000.0], np.float32)
@@ -276,6 +337,15 @@ def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42):
         flags=np.array([int(R.FLAG_TRANSPARENT) | int(R.FLAG_ALWAYS_LOGIC)],
                        np.uint32),
         spawn_timer=np.zeros(1, np.float32),
+    )
+
+    # --- the textured station (OBJ+MTL+texture loader path) --------------
+    engine.spawn(
+        1,
+        position=(base + np.array([-40.0, -15.0, -80.0]))[None],
+        model_id=np.array([station_model], np.int32),
+        type_id=np.array([TYPE_STATION], np.int32),
+        ang_vel=np.array([[0.0, 0.05, 0.0]], np.float32),
     )
 
     # --- the player ship (user entity; camera-coupled) -------------------

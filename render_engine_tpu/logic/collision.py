@@ -34,7 +34,8 @@ CAMERA_CUTOFF = 200.0  # same constant as logic_flow.rs collision cutoff
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["query", "query_valid", "cand", "cand_type", "hit"],
+    data_fields=["query", "query_valid", "cand", "cand_type", "hit",
+                 "query_dropped", "cell_dropped"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +54,8 @@ class CollisionResult:
     cand: jnp.ndarray
     cand_type: jnp.ndarray
     hit: jnp.ndarray
+    query_dropped: jnp.ndarray  # int32 scalar: queries beyond the budget
+    cell_dropped: jnp.ndarray  # int32 scalar: neighbors beyond cell budget
 
     def any_hit(self) -> jnp.ndarray:
         """bool[CAP] scattered back to entity space (capacity from ids)."""
@@ -118,7 +121,7 @@ def find_collisions(
         ],
         axis=1,
     )  # (CAP, 9)
-    rows, valid = G.neighbor_candidate_rows(
+    rows, valid, cell_dropped = G.neighbor_candidate_rows(
         grid, grid.keys[qidx], cfg, table[grid.perm], per_cell_budget
     )  # (Q, K, 9)
     cand = rows[..., 0].astype(jnp.int32)
@@ -130,8 +133,11 @@ def find_collisions(
     hit = valid & A.intersects(
         mn[qidx][:, None, :], mx[qidx][:, None, :], mn_c, mx_c
     )
+    query_dropped = jnp.maximum(jnp.sum(q.astype(jnp.int32)) - qb, 0)
     return CollisionResult(query=qidx, query_valid=qvalid, cand=cand,
-                           cand_type=ctype, hit=hit)
+                           cand_type=ctype, hit=hit,
+                           query_dropped=query_dropped,
+                           cell_dropped=cell_dropped)
 
 
 def collision_query_mask(world: World, moved: jnp.ndarray) -> jnp.ndarray:

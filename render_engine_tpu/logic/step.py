@@ -48,11 +48,15 @@ def make_step(
     logic_radius: float | None = None,
     spawn_budget: int = 0,
     collision_budget: int = 8,
+    with_stats: bool = False,
 ):
     """Build the world tick for a closed set of entity types.
 
     ``logic_radius``: the LogicFrustumCuller sphere radius (defaults to the
     camera draw distance at call time when None).
+    ``with_stats``: also return a small dict of budget-overflow counters
+    (collision query/cell drops, spawn backpressure, OOB kills) — the
+    analogue of the reference's soft-error prints (mapped_buffer.rs:171).
     """
     types = tuple(types)
 
@@ -92,6 +96,12 @@ def make_step(
         )
 
         # 6. collisions
+        stats = {
+            "collision_query_dropped": jnp.int32(0),
+            "collision_cell_dropped": jnp.int32(0),
+            "spawn_dropped": jnp.int32(0),
+            "oob_killed": jnp.sum(kill_oob.astype(jnp.int32)),
+        }
         has_collision = any(
             t.collision is not None or t.random_collision is not None
             for t in types
@@ -103,6 +113,8 @@ def make_step(
                 world, grid, camera.position, qmask,
                 per_cell_budget=collision_budget,
             )
+            stats["collision_query_dropped"] = colres.query_dropped
+            stats["collision_cell_dropped"] = colres.cell_dropped
             other_idx, hit_mask = colres.first_hit_of_type(world, -1)
             for t in types:
                 if t.collision is not None:
@@ -134,7 +146,10 @@ def make_step(
         # 9. refresh transforms for logic-dirtied + freshly spawned entities
         #    (exact mask: slots that became alive this frame are the spawns)
         if cs.spawns is not None:
-            logic_dirty = logic_dirty | (world.alive & ~alive_before)
+            landed = world.alive & ~alive_before
+            logic_dirty = logic_dirty | landed
+            stats["spawn_dropped"] = jnp.maximum(
+                cs.spawns.count - jnp.sum(landed.astype(jnp.int32)), 0)
         world = K.refresh_transforms(
             world, model_aabb_min, model_aabb_max, logic_dirty
         )
@@ -147,6 +162,8 @@ def make_step(
             camera,
             position=jnp.where(jnp.any(has_user), user_pos, camera.position),
         )
+        if with_stats:
+            return world, camera, stats
         return world, camera
 
     return step

@@ -40,7 +40,8 @@ DEFAULT_LOV_FRACTIONS = (0.10, 0.15, 0.20, 0.25, 0.30)
         "vertices", "normals", "uvs", "tri_v", "tri_material",
         "tri_offset", "tri_count", "vtx_offset",
         "aabb_min", "aabb_max",
-        "mat_albedo", "mat_emissive", "mat_alpha", "mat_texture",
+        "mat_albedo", "mat_emissive", "mat_alpha", "mat_specular",
+        "mat_texture",
         "lov_table", "lov_fractions",
     ],
     meta_fields=["names"],
@@ -60,6 +61,10 @@ class ModelBank:
     mat_albedo: jnp.ndarray  # (K, 3)
     mat_emissive: jnp.ndarray  # (K,) 0 = lit, >0 = emissive brightness
     mat_alpha: jnp.ndarray  # (K,) 1 = opaque
+    # per-material specular strength multiplying the Blinn-Phong specular
+    # term — the gAlbedoSpec alpha-channel semantics
+    # (first_pass_frag.glsl:84, second_pass_frag.glsl:127-133)
+    mat_specular: jnp.ndarray  # (K,)
     mat_texture: jnp.ndarray  # (K,) int32 texture id, -1 = solid color
     lov_table: jnp.ndarray  # (M, NUM_LOV_BANDS + 1) int32 bank entries
     lov_fractions: jnp.ndarray  # (NUM_LOV_BANDS,) of draw distance
@@ -107,11 +112,11 @@ class ModelBankBuilder:
 
     # ----------------------------------------------------------- materials
     def add_material(self, albedo=(1.0, 1.0, 1.0), emissive=0.0, alpha=1.0,
-                     texture=-1) -> int:
+                     texture=-1, specular=1.0) -> int:
         self._mats.append(
             dict(albedo=np.asarray(albedo, np.float32),
                  emissive=float(emissive), alpha=float(alpha),
-                 texture=int(texture))
+                 texture=int(texture), specular=float(specular))
         )
         return len(self._mats) - 1
 
@@ -138,12 +143,28 @@ class ModelBankBuilder:
         self._models.append((name, vtx_off, tri_off, len(f), mn, mx))
         return len(self._models) - 1
 
-    def add_obj(self, name, path) -> int:
-        """Load an OBJ with its MTL materials (solid diffuse colors)."""
+    def add_obj(self, name, path, atlas_builder=None) -> int:
+        """Load an OBJ with its MTL materials (the tobj path,
+        model_storage.rs:116-266): Kd diffuse colors, Ks specular strength,
+        and — when an ``atlas_builder`` (render.textures.TextureAtlasBuilder)
+        is given — map_Kd texture images loaded relative to the OBJ into
+        atlas layers."""
+        import os
+
         from render_engine_tpu.models.obj_loader import load_obj
 
         v, n, uv, f, tri_mat, mats = load_obj(path)
-        ids = [self.add_material(albedo=m["kd"]) for m in mats]
+        base = os.path.dirname(os.path.abspath(path))
+        ids = []
+        for m in mats:
+            tex = -1
+            if atlas_builder is not None and m.get("map_kd"):
+                from render_engine_tpu.render.textures import load_image
+
+                img = load_image(os.path.join(base, m["map_kd"]))
+                tex = atlas_builder.add_image(img)
+            ids.append(self.add_material(
+                albedo=m["kd"], specular=m.get("ks", 1.0), texture=tex))
         remap = np.asarray(ids, np.int32)[tri_mat]
         return self.add_model(name, (v, n, uv, f), tri_material=remap)
 
@@ -184,6 +205,8 @@ class ModelBankBuilder:
             mat_emissive=jnp.asarray([d["emissive"] for d in self._mats],
                                      jnp.float32),
             mat_alpha=jnp.asarray([d["alpha"] for d in self._mats], jnp.float32),
+            mat_specular=jnp.asarray([d.get("specular", 1.0) for d in self._mats],
+                                     jnp.float32),
             mat_texture=jnp.asarray([d["texture"] for d in self._mats],
                                     jnp.int32),
             lov_table=jnp.asarray(lov),

@@ -28,9 +28,13 @@ def load_mtl(path: str) -> dict:
             if parts[0] == "newmtl":
                 cur = parts[1]
                 mats[cur] = {"kd": np.array([1.0, 1.0, 1.0], np.float32),
-                             "map_kd": None}
+                             "map_kd": None, "ks": 1.0}
             elif cur is not None and parts[0] == "Kd":
                 mats[cur]["kd"] = np.array(parts[1:4], np.float32)
+            elif cur is not None and parts[0] == "Ks":
+                # specular color -> scalar strength (gAlbedoSpec.a role)
+                mats[cur]["ks"] = float(np.mean(
+                    np.array(parts[1:4], np.float32)))
             elif cur is not None and parts[0] == "map_Kd":
                 mats[cur]["map_kd"] = parts[-1]
     return mats
@@ -50,7 +54,7 @@ def load_obj(path: str):
     tris, tri_mat = [], []
     materials = [{"name": "__default__",
                   "kd": np.array([1.0, 1.0, 1.0], np.float32),
-                  "map_kd": None}]
+                  "map_kd": None, "ks": 1.0}]
     mat_index = {"__default__": 0}
     cur_mat = 0
     mtl: dict = {}
@@ -101,6 +105,7 @@ def load_obj(path: str):
                         "kd": np.asarray(
                             info.get("kd", [1.0, 1.0, 1.0]), np.float32),
                         "map_kd": info.get("map_kd"),
+                        "ks": float(info.get("ks", 1.0)),
                     })
                     mat_index[name] = len(materials) - 1
                 cur_mat = mat_index[name]

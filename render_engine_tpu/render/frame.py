@@ -39,16 +39,21 @@ class RenderSettings:
     clear_color: tuple = (0.0, 0.0, 0.0)
     # raster backend: "auto" = Pallas kernel on TPU, jnp elsewhere
     backend: str = "auto"
-    # fuse interp+lighting into one Pallas kernel (tiled path only; falls
-    # back to the XLA path when shadows or textures are active)
+    # fuse interp+lighting into one Pallas kernel (tiled path only)
     fused_shading: bool = False
+    # atlas sampling on the fused path: compute the textured-albedo image
+    # every texture_scale-th pixel (the gather is row-latency-bound like
+    # PCF; 2 quarters it) and only for the transparent layer when asked
+    texture_scale: int = 2
+    texture_transparent: bool = False
 
     def __hash__(self):
         return hash((self.width, self.height, self.max_tris,
                      tuple(dataclasses.astuple(self.raster)),
                      self.max_dir_lights, self.max_point_lights,
                      self.max_spot_lights, self.clear_color, self.backend,
-                     self.fused_shading))
+                     self.fused_shading, self.texture_scale,
+                     self.texture_transparent))
 
 
 def pick_rasterizer(backend: str = "auto"):
@@ -236,10 +241,59 @@ def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv,
         jnp.abs(wp[..., 3:4]) > 1e-12, wp[..., 3:4], 1.0)
 
 
+def _texture_override(res, atlas, tiles_x, th, twd, scale=1):
+    """Per-pixel textured albedo from the resolve channels: barycentric UV
+    interpolation (elementwise) + ONE bilinear row gather from the atlas.
+    ``scale`` > 1 samples every scale-th pixel and nearest-upsamples (the
+    gather is the dominant cost). Returns (4, NT, th, tw): [rgb | flag]."""
+    from render_engine_tpu.render.textures import sample_atlas_rows
+
+    a, nt = res.shape[0], res.shape[1]
+    ch = res.reshape(a, nt * th, twd)
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    oy = ((tids // tiles_x) * th).astype(jnp.float32)
+    ox = ((tids % tiles_x) * twd).astype(jnp.float32)
+    py = (oy[:, None, None]
+          + jnp.arange(th, dtype=jnp.float32)[None, :, None] + 0.5)
+    px = (ox[:, None, None]
+          + jnp.arange(twd, dtype=jnp.float32)[None, None, :] + 0.5)
+    py = jnp.broadcast_to(py, (nt, th, twd)).reshape(nt * th, twd)
+    px = jnp.broadcast_to(px, (nt, th, twd)).reshape(nt * th, twd)
+    if scale > 1:
+        ch = ch[:, ::scale, ::scale]
+        px = px[::scale, ::scale]
+        py = py[::scale, ::scale]
+
+    x0, y0, x1, y1, x2, y2 = ch[0], ch[1], ch[2], ch[3], ch[4], ch[5]
+    l0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    l1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+    l2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+    area = l0 + l1 + l2
+    inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+    b0, b1, b2 = l0 * inv_area, l1 * inv_area, l2 * inv_area
+    w0, w1, w2 = b0 * ch[25], b1 * ch[26], b2 * ch[27]
+    denom = w0 + w1 + w2
+    inv_d = 1.0 / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    p0, p1, p2 = w0 * inv_d, w1 * inv_d, w2 * inv_d
+    u = p0 * ch[19] + p1 * ch[21] + p2 * ch[23]
+    v = p0 * ch[20] + p1 * ch[22] + p2 * ch[24]
+    layer = ch[35]
+    rgb = sample_atlas_rows(
+        atlas, layer, jnp.stack([u, v], axis=-1),
+        jnp.stack([ch[36], ch[37]], axis=-1),
+    )  # (rows, cols, 3)
+    flag = (layer >= 0.0).astype(jnp.float32)
+    out = jnp.concatenate([rgb, flag[..., None]], axis=-1)
+    if scale > 1:
+        out = jnp.repeat(jnp.repeat(out, scale, axis=0), scale, axis=1)
+        out = out[:nt * th, :twd]
+    return jnp.moveaxis(out, -1, 0).reshape(4, nt, th, twd)
+
+
 def tiled_fused_core(
     batch, lights, bank, settings: RenderSettings, camera, *,
     width, h_total, h_local, y_off, background, shadow_state, ent_attrs,
-    interpret=None,
+    atlas=None, interpret=None,
 ) -> jnp.ndarray:
     """Raster + resolve + fused shading over tiles covering global image
     rows [y_off, y_off + h_local). ``batch.xy`` must be in LOCAL pixel
@@ -258,7 +312,8 @@ def tiled_fused_core(
         batch.valid, jnp.where(batch.transparent, 2.0, 1.0), 0.0
     ).astype(jnp.float32)
     cand, counts = RP._candidate_table(batch, cfg, tiles_x, tiles_y, tri_class)
-    packed = RP._packed_tri_table(batch, bank, tri_class, ent_attrs=ent_attrs)
+    packed = RP._packed_tri_table(batch, bank, tri_class, ent_attrs=ent_attrs,
+                                  atlas=atlas)
     rows = RP._gather_candidate_rows(packed, cand)  # (NT, K, A)
     d, wn, s, td, twn, ts = RP._launch(
         batch, h_local, width, cfg, tri_class, two_pass=True,
@@ -266,6 +321,17 @@ def tiled_fused_core(
     )
     res_o = RP.resolve_attributes_pallas(s, rows, cfg, interpret=interpret)
     res_t = RP.resolve_attributes_pallas(ts, rows, cfg, interpret=interpret)
+
+    albedo_override = None
+    if atlas is not None:
+        k = settings.texture_scale
+        ovr_o = _texture_override(res_o, atlas, tiles_x, th, twd, scale=k)
+        if settings.texture_transparent:
+            ovr_t = _texture_override(res_t, atlas, tiles_x, th, twd,
+                                      scale=k)
+        else:
+            ovr_t = jnp.zeros_like(ovr_o)
+        albedo_override = jnp.concatenate([ovr_o, ovr_t])  # (8, NT, th, tw)
 
     inv_pv = jnp.linalg.inv(camera.proj_view())
     sft = sent = None
@@ -282,6 +348,7 @@ def tiled_fused_core(
         res_o, res_t, d, td, wn, twn, lights, camera.position, inv_pv,
         tiles_x, width, h_total, slot_factor_tiles=sft, slot_entity=sent,
         pixel_origin=(0.0, y_off), interpret=interpret,
+        albedo_override=albedo_override,
     )  # (8, NT, th, tw)
 
     def untile8(x):  # (C, NT, th, tw) -> (h_local, w, C)
@@ -320,7 +387,7 @@ def _render_frame_pallas_tiled(
     nt = tiles_x * tiles_y
 
     # --- fused interp+lighting kernel path ------------------------------
-    if (settings.fused_shading and atlas is None and shadow_factor is None):
+    if settings.fused_shading and shadow_factor is None:
         lights = L.extract_lights(
             world,
             max_dir=settings.max_dir_lights,
@@ -339,7 +406,7 @@ def _render_frame_pallas_tiled(
             batch, lights, bank, settings, camera,
             width=w, h_total=h, h_local=h, y_off=0.0,
             background=background, shadow_state=shadow_state,
-            ent_attrs=ent_attrs,
+            ent_attrs=ent_attrs, atlas=atlas,
         )
 
     tri_class = jnp.where(
@@ -414,11 +481,13 @@ def _render_frame_pallas_tiled(
     zeros_bg = jnp.zeros((nt * th, twd, 3), jnp.float32)
     color = L.shade(gbuf, lights, bank, camera.position,
                     background=zeros_bg, shadow_factor=shadow_factor,
-                    emissive_image=extras["emissive"])
+                    emissive_image=extras["emissive"],
+                    specular_image=extras["specular"])
     # transparency: forward pass without shadow sampling (reference parity)
     t_lit = L.shade(t_gbuf, lights, bank, camera.position,
                     background=zeros_bg, shadow_factor=None,
-                    emissive_image=t_extras["emissive"])
+                    emissive_image=t_extras["emissive"],
+                    specular_image=t_extras["specular"])
     alpha = t_extras["alpha"][..., None]
     t_front = t_gbuf.covered() & (t_gbuf.depth <= gbuf.depth)
 

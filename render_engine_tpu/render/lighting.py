@@ -142,15 +142,17 @@ def extract_lights(
     )
 
 
-def _blinn_phong(n, view_dir, light_dir, albedo, diffuse, specular, ambient):
+def _blinn_phong(n, view_dir, light_dir, albedo, diffuse, specular, ambient,
+                 spec_strength=1.0):
     """Core BRDF terms (second_pass_frag.glsl:58-139 semantics).
-    All inputs broadcast to (..., 3)."""
+    All inputs broadcast to (..., 3). ``spec_strength``: per-pixel material
+    specular multiplier (the gAlbedoSpec alpha channel)."""
     ndl = jnp.maximum(jnp.sum(n * light_dir, axis=-1, keepdims=True), 0.0)
     h = light_dir + view_dir
     hlen = jnp.linalg.norm(h, axis=-1, keepdims=True)
     h = h / jnp.where(hlen > 1e-9, hlen, 1.0)
     ndh = jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0)
-    spec = jnp.where(ndl > 0.0, ndh ** SHININESS, 0.0)
+    spec = jnp.where(ndl > 0.0, ndh ** SHININESS, 0.0) * spec_strength
     return ambient * albedo + diffuse * ndl * albedo + specular * spec
 
 
@@ -164,6 +166,7 @@ def shade(
     shadow_factor=None,
     light_chunk: int = 8,
     emissive_image: jnp.ndarray | None = None,
+    specular_image: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Lit color (H, W, 3). ``background``: (H, W, 3) for empty pixels
     (skybox sample or clear color). ``shadow_factor``: optional callable
@@ -180,6 +183,13 @@ def shade(
 
     color = jnp.zeros((h, w, 3), jnp.float32)
 
+    # per-material specular strength (gAlbedoSpec.a)
+    if specular_image is not None:
+        spec_k = specular_image[..., None]
+    else:
+        mat_s = jnp.clip(gbuf.material, 0, bank.mat_specular.shape[0] - 1)
+        spec_k = bank.mat_specular[mat_s][..., None]
+
     def sf(kind, i):
         if shadow_factor is None:
             return 1.0
@@ -195,7 +205,7 @@ def shade(
         c = _blinn_phong(
             n, view_dir, ld[None, None, :], albedo,
             lights.dir_diffuse[i], lights.dir_specular[i],
-            lights.dir_ambient[i],
+            lights.dir_ambient[i], spec_k,
         )
         color = color + on * c * sf("dir", i)
 
@@ -220,7 +230,7 @@ def shade(
         c = _blinn_phong(
             n, view_dir, ld, albedo,
             lights.pt_diffuse[i], lights.pt_specular[i],
-            lights.pt_ambient[i],
+            lights.pt_ambient[i], spec_k,
         )
         color = color + on * c * atten * sf("point", i)
 
@@ -272,6 +282,7 @@ def shade(
                 n[:, :, None, :], view_dir[:, :, None, :], ld,
                 albedo[:, :, None, :],
                 cdif[None, None], cspe[None, None], camb[None, None],
+                spec_k[:, :, None, :],
             )
             return acc + jnp.sum(c * atten * on, axis=2), None
 
@@ -303,7 +314,7 @@ def shade(
         c = _blinn_phong(
             n, view_dir, ld, albedo,
             lights.sp_diffuse[i], lights.sp_specular[i],
-            lights.sp_ambient[i],
+            lights.sp_ambient[i], spec_k,
         )
         color = color + on * c * intensity * atten * sf("spot", i)
 

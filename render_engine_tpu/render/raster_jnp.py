@@ -156,6 +156,9 @@ def _bin_triangles(batch: TriangleBatch, cfg: RasterConfig,
     win = jnp.full(nt * width_w, -1.0, jnp.float32).at[flat].set(
         sorted_tri.astype(jnp.float32), mode="drop"
     ).astype(jnp.int32).reshape(nt, width_w)
+    # budget-overflow diagnostics (the engine's silent-truncation counter,
+    # cf. the reference's soft-error prints texture_array.rs:91)
+    cand_dropped = jnp.sum((live & ~ok).astype(jnp.int32))
     if classed:
         tile_cand = win[:, :bt]
         trans_cand = win[:, bt:]
@@ -170,9 +173,10 @@ def _bin_triangles(batch: TriangleBatch, cfg: RasterConfig,
     global_list = jnp.full(gb, -1, jnp.int32).at[dest].set(
         jnp.arange(t, dtype=jnp.int32), mode="drop"
     )
+    # global-list overflow (computed below by the caller's scatter rank)
     if classed:
-        return tile_cand, global_list, valid, trans_cand
-    return tile_cand, global_list, valid
+        return tile_cand, global_list, valid, trans_cand, cand_dropped
+    return tile_cand, global_list, valid, cand_dropped
 
 
 def rasterize_depth_winner(
@@ -195,7 +199,7 @@ def rasterize_depth_winner(
     if tri_mask is not None:
         batch = dataclasses.replace(batch, valid=batch.valid & tri_mask)
 
-    tile_cand, global_list, _ = _bin_triangles(batch, cfg, tiles_x, tiles_y)
+    tile_cand, global_list, _, _ = _bin_triangles(batch, cfg, tiles_x, tiles_y)
     # append the global list to every tile's candidates
     cand = jnp.concatenate(
         [tile_cand, jnp.broadcast_to(global_list[None], (nt, cfg.global_budget))],

@@ -151,11 +151,11 @@ def _candidate_table(batch, cfg, tiles_x, tiles_y, tri_class=None):
     carry 3 entries; otherwise [window | global] with a zero middle count."""
     nt = tiles_x * tiles_y
     if tri_class is not None:
-        tile_cand, global_list, _, trans_cand = _bin_triangles(
+        tile_cand, global_list, _, trans_cand, cand_dropped = _bin_triangles(
             batch, cfg, tiles_x, tiles_y, tri_class
         )
     else:
-        tile_cand, global_list, _ = _bin_triangles(
+        tile_cand, global_list, _, cand_dropped = _bin_triangles(
             batch, cfg, tiles_x, tiles_y
         )
         trans_cand = jnp.full((nt, cfg.trans_tile_budget), -1, jnp.int32)
@@ -202,7 +202,7 @@ def _prepare_candidates(batch, cfg, tiles_x, tiles_y, tri_class,
     return data, ids, counts
 
 
-def _packed_tri_table(batch, bank, tri_class, ent_attrs=None):
+def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
     """ONE (T, N_ATTR) f32 per-triangle channel table (layout per the
     N_ATTR comment above). The frame path gathers candidate ROWS from this
     table — one contiguous 160-byte row gather per candidate instead of
@@ -220,6 +220,15 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None):
     albedo = bank.mat_albedo[mat_safe]
     emissive = bank.mat_emissive[mat_safe]
     alpha = bank.mat_alpha[mat_safe]
+    specular = bank.mat_specular[mat_safe]
+    layer = bank.mat_texture[mat_safe].astype(jnp.float32)
+    if atlas is not None:
+        lay_safe = jnp.clip(bank.mat_texture[mat_safe], 0,
+                            atlas.uv_scale.shape[0] - 1)
+        uvs = atlas.uv_scale[lay_safe]  # (T, 2)
+    else:
+        uvs = jnp.ones((t, 2), jnp.float32)
+        layer = jnp.full(t, -1.0, jnp.float32)
     if ent_attrs is not None:
         sa = ent_attrs[jnp.clip(batch.entity, 0, ent_attrs.shape[0] - 1)]
         unlit, boost, ascale = sa[:, 0] > 0.5, sa[:, 1], sa[:, 5]
@@ -242,7 +251,10 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None):
             albedo,  # 29:32
             emissive[:, None],  # 32
             alpha[:, None],  # 33
-            jnp.zeros((t, N_ATTR - 34), jnp.float32),
+            specular[:, None],  # 34
+            layer[:, None],  # 35
+            uvs,  # 36:38
+            jnp.zeros((t, N_ATTR - 38), jnp.float32),
         ],
         axis=1,
     )
@@ -376,6 +388,9 @@ def rasterize_two_pass_pallas(
 #   29:32  albedo rgb      (material table folded in -> no per-pixel lookup)
 #   32     emissive
 #   33     alpha
+#   34     specular strength (gAlbedoSpec alpha semantics)
+#   35     texture layer (f32, -1 = untextured)
+#   36:38  atlas uv scale for the layer
 N_ATTR = 40  # padded to a multiple of 8 sublanes
 
 
@@ -494,6 +509,7 @@ def _gbuffer_from_channels(ch, depth, winner, height, width, inv_proj_view,
         "emissive": jnp.where(covered, emissive, 0.0),
         "alpha": jnp.where(covered, alpha, 1.0),
         "uv": uv,
+        "specular": jnp.where(covered, ch[34], 1.0),
     }
     return gbuf, extras
 

@@ -144,11 +144,11 @@ def _interp(ch, px, py, inv_pv, width, height):
     nz = p0 * ch[12] + p1 * ch[15] + p2 * ch[18]
     nl = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
     return (nx * nl, ny * nl, nz * nl), (ch[29], ch[30], ch[31]), ch[32], \
-        ch[33]
+        ch[33], ch[34]
 
 
 def _shade_kernel(
-    tiles_x, tile_h, tile_w, n_lights, width, height, n_slots,
+    tiles_x, tile_h, tile_w, n_lights, width, height, n_slots, has_texture,
     cho_ref, cht_ref,  # (A, 1, th, tw) channel blocks, opaque/transparent
     do_ref, dt_ref,  # (1, th, tw) depths
     wo_ref, wt_ref,  # (1, th, tw) winners
@@ -160,6 +160,8 @@ def _shade_kernel(
     #           nonzero under multi-chip row sharding, where the local
     #           tile grid starts partway down the global image
     sf_ref,  # (n_slots or 1, 1, th, tw) per-slot PCF factors
+    ovr_ref,  # (8, 1, th, tw) texture albedo overrides:
+    #           [o rgb, o flag, t rgb, t flag] (all-zero when untextured)
     out_ref,  # (8, 1, th, tw): lit rgb, t_lit rgb, alpha, flags
 ):
     t = pl.program_id(0)
@@ -187,10 +189,15 @@ def _shade_kernel(
         inv = 1.0 / jnp.where(jnp.abs(cw) > 1e-12, cw, 1.0)
         return cx * inv, cy * inv, cz * inv
 
-    def shade_layer(ch_ref, depth, covered, use_shadows):
+    def shade_layer(ch_ref, depth, covered, use_shadows, ovr_base):
         ch = ch_ref[:, 0]  # (A, th, tw)
-        (nx, ny, nz), (ar, ag, ab), emissive, alpha = _interp(
+        (nx, ny, nz), (ar, ag, ab), emissive, alpha, spec_k = _interp(
             ch, px, py, None, width, height)
+        if has_texture:
+            tf = ovr_ref[ovr_base + 3, 0] > 0.5
+            ar = jnp.where(tf, ovr_ref[ovr_base + 0, 0], ar)
+            ag = jnp.where(tf, ovr_ref[ovr_base + 1, 0], ag)
+            ab = jnp.where(tf, ovr_ref[ovr_base + 2, 0], ab)
         wx, wy, wz = unproject(depth)
         vx = cam_ref[0, 0] - wx
         vy = cam_ref[0, 1] - wy
@@ -235,7 +242,8 @@ def _shade_kernel(
             hl = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz,
                                            1e-24))
             ndh = jnp.maximum((nx * hx + ny * hy + nz * hz) * hl, 0.0)
-            spec = jnp.where(ndl > 0.0, ndh ** SHININESS, 0.0)
+            # per-material specular strength (gAlbedoSpec.a semantics)
+            spec = jnp.where(ndl > 0.0, ndh ** SHININESS, 0.0) * spec_k
             s = atten * intensity
             if use_shadows:
                 # per-slot PCF factor, multiplicatively combined over the
@@ -271,8 +279,8 @@ def _shade_kernel(
     # shadows apply to the opaque (deferred) layer only — the reference's
     # transparency draw is a forward pass with no shadow sampling
     # (render_system.rs:501)
-    r_o, g_o, b_o, _ = shade_layer(cho_ref, d_o, cov_o, n_slots > 0)
-    r_t, g_t, b_t, alpha = shade_layer(cht_ref, d_t, cov_t, False)
+    r_o, g_o, b_o, _ = shade_layer(cho_ref, d_o, cov_o, n_slots > 0, 0)
+    r_t, g_t, b_t, alpha = shade_layer(cht_ref, d_t, cov_t, False, 4)
 
     t_front = cov_t & (d_t <= d_o)
     flags = cov_o.astype(jnp.float32) + 2.0 * t_front.astype(jnp.float32)
@@ -291,7 +299,7 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
                 light_budget: int | None = None,
                 interpret: bool | None = None,
                 slot_factor_tiles=None, slot_entity=None,
-                pixel_origin=(0.0, 0.0)):
+                pixel_origin=(0.0, 0.0), albedo_override=None):
     """Run the fused shading kernel over tiled buffers.
 
     res_o/res_t: (A, NT, th, tw) resolve outputs; d/w: (NT, th, tw).
@@ -323,10 +331,13 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
         n_slots = slot_factor_tiles.shape[0]
         assert n_slots <= N_LCOL - 21, "shadow budget exceeds light-table pad"
         sf = slot_factor_tiles
+    has_texture = albedo_override is not None
+    ovr = (albedo_override if has_texture
+           else jnp.zeros((8, 1, th, tw), jnp.float32))
 
     kernel = functools.partial(_shade_kernel, tiles_x, th, tw,
                                light_budget, float(width), float(height),
-                               n_slots)
+                               n_slots, has_texture)
     s_dim = sf.shape[0]
     return pl.pallas_call(
         kernel,
@@ -356,6 +367,11 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((s_dim, 1, th, tw), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, 1, th, tw),
+                (lambda i: (0, i, 0, 0)) if has_texture
+                else (lambda i: (0, 0, 0, 0)),
+                memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((8, 1, th, tw), lambda i: (0, i, 0, 0),
@@ -364,4 +380,4 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
         out_shape=[jax.ShapeDtypeStruct((8, nt, th, tw), jnp.float32)],
         interpret=interpret,
     )(res_o, res_t, d_o, d_t, w_o, w_t, ltab, lcount, cam, inv_pv, org,
-      sf)[0]
+      sf, ovr)[0]

@@ -26,13 +26,19 @@ import numpy as np
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["layers", "uv_scale"],
+    data_fields=["layers", "uv_scale", "bilin_rows"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class TextureAtlas:
     layers: jnp.ndarray  # (L, S, S, 3) f32 linear color
     uv_scale: jnp.ndarray  # (L, 2) fraction of the layer actually used
+    # (L*S*S, 16): per texel the 2x2 bilinear footprint [c00 c01 c10 c11]
+    # rgb (edge-clamped), padded to an aligned 64-byte row. The fused frame
+    # path samples with ONE contiguous row gather per pixel + an
+    # elementwise bilinear mix — the same vector-memory-vs-scalar-memory
+    # trade as the PCF neighborhood stack.
+    bilin_rows: jnp.ndarray
 
     @property
     def size(self) -> int:
@@ -75,9 +81,21 @@ class TextureAtlasBuilder:
     def finalize(self) -> TextureAtlas | None:
         if not self._imgs:
             return None
+        stack = np.stack(self._imgs)  # (L, S, S, 3)
+        length, s = stack.shape[0], stack.shape[1]
+        # 2x2 bilinear footprints via edge-clamped shifts (no gathers)
+        right = stack[:, :, np.minimum(np.arange(s) + 1, s - 1)]
+        down = stack[:, np.minimum(np.arange(s) + 1, s - 1)]
+        downright = down[:, :, np.minimum(np.arange(s) + 1, s - 1)]
+        rows = np.concatenate(
+            [stack, right, down, downright,
+             np.zeros(stack.shape[:3] + (4,), np.float32)],
+            axis=-1,
+        ).reshape(length * s * s, 16)
         return TextureAtlas(
-            layers=jnp.asarray(np.stack(self._imgs)),
+            layers=jnp.asarray(stack),
             uv_scale=jnp.asarray(np.asarray(self._scales, np.float32)),
+            bilin_rows=jnp.asarray(rows),
         )
 
 
@@ -112,6 +130,31 @@ def sample_atlas(atlas: TextureAtlas, layer: jnp.ndarray,
 # minimal image loading (the stb_image replacement): PPM (P6) and
 # non-interlaced 8-bit RGB/RGBA PNG
 # ---------------------------------------------------------------------------
+def sample_atlas_rows(atlas: TextureAtlas, layer_f: jnp.ndarray,
+                      uv: jnp.ndarray, uv_scale: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample via the precomputed 2x2-footprint rows — matches
+    ``sample_atlas`` bit-for-bit (same coordinate math, same edge clamp)
+    but costs ONE row gather per pixel. ``layer_f``: (...,) f32 layer ids
+    (<0 = untextured, clipped); ``uv_scale``: (..., 2) per-pixel scale
+    (carried per triangle through the packed attribute table)."""
+    s = atlas.size
+    lay = jnp.clip(layer_f, 0.0, atlas.uv_scale.shape[0] - 1.0)
+    u = jnp.mod(uv[..., 0], 1.0) * uv_scale[..., 0] * (s - 1)
+    v = (1.0 - jnp.mod(uv[..., 1], 1.0)) * uv_scale[..., 1] * (s - 1)
+    u0 = jnp.clip(jnp.floor(u), 0.0, s - 1.0)
+    v0 = jnp.clip(jnp.floor(v), 0.0, s - 1.0)
+    flat = (lay * (s * s) + v0 * s + u0).astype(jnp.int32)
+    r = atlas.bilin_rows[flat]  # (..., 16) one contiguous row gather
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    return (
+        r[..., 0:3] * (1 - fu) * (1 - fv)
+        + r[..., 3:6] * fu * (1 - fv)
+        + r[..., 6:9] * (1 - fu) * fv
+        + r[..., 9:12] * fu * fv
+    )
+
+
 def load_image(path: str) -> np.ndarray:
     if path.endswith(".npy"):
         return np.load(path)

@@ -52,6 +52,7 @@ class Engine:
         from render_engine_tpu.logic.types import NUM_KEYS
 
         self._prev_keys = np.zeros(NUM_KEYS, bool)
+        self._last_drops = None  # device-side budget-overflow counters
         self._step = None
         self._step_render = None
         self._frame_times: list[float] = []
@@ -107,6 +108,7 @@ class Engine:
             logic_radius=self.config.logic_radius,
             spawn_budget=self.config.spawn_budget,
             collision_budget=self.config.collision_budget,
+            with_stats=True,
         )
         bank = self.bank
         settings = self.config.render
@@ -145,11 +147,6 @@ class Engine:
         def step_only(world, camera, inputs, dt):
             return step(world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
 
-        def render_pure(world, camera, shadow_state=None):
-            return render_frame(world, camera, bank, settings, cubemap=cubemap,
-                                atlas=atlas, shadow_state=shadow_state,
-                                systems=systems)
-
         # BIT-DETERMINISM INVARIANT: state advances through this ONE compiled
         # program whether or not the frame is rendered. A fused step+render
         # program would be a *different* XLA program whose step sub-graph may
@@ -157,7 +154,7 @@ class Engine:
         # share the exact binary. Rendering is a separate pure program over
         # the stepped state (XLA async dispatch still overlaps the two).
         self._step = jax.jit(step_only, donate_argnums=(0,))
-        self._render = jax.jit(render_pure)
+        self._build_render()
 
         def step_many(world, camera, inputs_batch, dts):
             """lax.scan over a batch of frames — ONE dispatch for N steps.
@@ -170,7 +167,7 @@ class Engine:
             def body(carry, xs):
                 w, c = carry
                 inp, dt = xs
-                w, c = step(w, c, inp, dt, bank.aabb_min, bank.aabb_max)
+                w, c, _ = step(w, c, inp, dt, bank.aabb_min, bank.aabb_max)
                 return (w, c), None
 
             (world, camera), _ = jax.lax.scan(
@@ -179,6 +176,59 @@ class Engine:
             return world, camera
 
         self._step_many = jax.jit(step_many, donate_argnums=(0,))
+
+    def _build_render(self):
+        """(Re)jit the render program from the current settings. Window /
+        resolution changes only touch this — the step program (and so the
+        replayed trajectory) is untouched."""
+        bank = self.bank
+        settings = self.config.render
+        cubemap = self.cubemap
+        atlas = self.atlas
+        systems = self.compiled_systems
+
+        def render_pure(world, camera, shadow_state=None):
+            return render_frame(world, camera, bank, settings, cubemap=cubemap,
+                                atlas=atlas, shadow_state=shadow_state,
+                                systems=systems)
+
+        self._render = jax.jit(render_pure)
+
+    # -- mid-run config changes (recorded; replay applies them at the same
+    # frame — FrameChange::DrawDistancesChange / WindowDimensionsChange,
+    # public_common_structures.rs:7-16) ------------------------------------
+    def apply_config_event(self, event: dict):
+        import dataclasses as dc
+
+        cam_keys = {k: float(v) for k, v in event.items()
+                    if k in ("draw_distance", "near", "far", "fov_y")}
+        if cam_keys:
+            self.camera = dc.replace(self.camera, **cam_keys)
+        if "window" in event:
+            w, h = (int(v) for v in event["window"])
+            self.config.render = dc.replace(self.config.render,
+                                            width=w, height=h)
+            self.camera = dc.replace(self.camera, aspect=w / h)
+            self._build_render()
+
+    def set_draw_distances(self, *, draw_distance=None, near=None, far=None,
+                           fov_y=None):
+        """Change camera draw distances mid-run; recorded so playback
+        reproduces the change at the same frame."""
+        ev = {k: float(v) for k, v in (
+            ("draw_distance", draw_distance), ("near", near), ("far", far),
+            ("fov_y", fov_y)) if v is not None}
+        self.apply_config_event(ev)
+        if self.config.record_history:
+            self.history.record_event(ev)
+
+    def set_window(self, width: int, height: int):
+        """Change the render resolution mid-run (recorded). Re-jits only
+        the render program — the step trajectory is unaffected."""
+        ev = {"window": [int(width), int(height)]}
+        self.apply_config_event(ev)
+        if self.config.record_history:
+            self.history.record_event(ev)
 
     # -- frame loop --------------------------------------------------------
     def frame(self, inputs: InputState | None = None, dt: float = 1.0 / 60.0,
@@ -195,7 +245,7 @@ class Engine:
         import numpy as np
 
         t0 = time.perf_counter()
-        self.world, self.camera = self._step(
+        self.world, self.camera, self._last_drops = self._step(
             self.world, self.camera, inputs, np.float32(dt))
         img = None
         if render:
@@ -250,12 +300,66 @@ class Engine:
         import numpy as np
 
         ts = np.asarray(self._frame_times[1:] or self._frame_times)
-        return {
+        out = {
             "frames": len(self._frame_times),
             "mean_ms": float(ts.mean() * 1e3),
             "p50_ms": float(np.percentile(ts, 50) * 1e3),
             "fps": float(1.0 / max(ts.mean(), 1e-9)),
         }
+        out["drops"] = self.drop_stats()
+        return out
+
+    def drop_stats(self) -> dict:
+        """Budget-overflow counters: the engine's conservatism made
+        observable (the reference's soft-error prints, texture_array.rs:91,
+        mapped_buffer.rs:171-181). Step counters come from the last frame
+        (device values read back here, on demand); render counters run a
+        small diagnostic jit over the current state."""
+        out = {}
+        if self._last_drops is not None:
+            out.update({k: int(v) for k, v in self._last_drops.items()})
+        out.update(self.render_drop_stats())
+        return out
+
+    def render_drop_stats(self) -> dict:
+        """Triangle-budget + tile-candidate overflow for the current state
+        (diagnostic jit, not part of the frame hot path)."""
+        if self.bank is None:
+            return {}
+        if not hasattr(self, "_render_diag"):
+            bank = self.bank
+            settings = self.config.render
+            systems = self.compiled_systems
+
+            def diag(world, camera):
+                from render_engine_tpu.render import raster_pallas as RP
+                from render_engine_tpu.render.geometry import (
+                    build_triangle_batch,
+                    to_screen,
+                )
+                from render_engine_tpu.render.raster_jnp import _bin_triangles
+
+                batch = build_triangle_batch(
+                    world, bank, camera, max_tris=settings.max_tris,
+                    systems=systems)
+                batch = to_screen(batch, settings.width, settings.height)
+                cfg = settings.raster
+                tiles_x = -(-settings.width // cfg.tile_w)
+                tiles_y = -(-settings.height // cfg.tile_h)
+                tri_class = jnp.where(
+                    batch.valid,
+                    jnp.where(batch.transparent, 2.0, 1.0), 0.0,
+                ).astype(jnp.float32)
+                _, _, _, _, cand_dropped = _bin_triangles(
+                    batch, cfg, tiles_x, tiles_y, tri_class)
+                tri_dropped = jnp.maximum(
+                    batch.total_requested - settings.max_tris, 0)
+                return {"triangle_budget_dropped": tri_dropped,
+                        "tile_candidate_dropped": cand_dropped}
+
+            self._render_diag = jax.jit(diag)
+        vals = self._render_diag(self.world, self.camera)
+        return {k: int(v) for k, v in vals.items()}
 
     def flush_history(self) -> str | None:
         if self.config.record_history:

@@ -42,6 +42,10 @@ class HistoryLog:
         self.frames_inputs: list[np.ndarray] = []
         self.frames_dt: list[float] = []
         self.meta: dict = {}
+        # mid-recording config-change events, keyed by the frame index they
+        # precede (FrameChange::DrawDistancesChange / WindowDimensionsChange,
+        # reference src/threads/public_common_structures.rs:7-16)
+        self.events: dict = {}
 
     # -- recording ---------------------------------------------------------
     def set_baseline(self, world, camera, meta: dict | None = None):
@@ -53,6 +57,11 @@ class HistoryLog:
     def record_frame(self, inputs: InputState, dt: float):
         self.frames_inputs.append(np.asarray(inputs.serialize()))
         self.frames_dt.append(float(dt))
+
+    def record_event(self, event: dict):
+        """Record a config change to apply before the NEXT recorded frame
+        (draw distances, window dimensions)."""
+        self.events.setdefault(self.num_frames, {}).update(event)
 
     @property
     def num_frames(self) -> int:
@@ -86,7 +95,9 @@ class HistoryLog:
                     raise
         with open(os.path.join(directory, "history_meta.json"), "w") as f:
             json.dump({"version": FORMAT_VERSION,
-                       "num_frames": self.num_frames, **self.meta}, f)
+                       "num_frames": self.num_frames,
+                       "events": {str(k): v for k, v in self.events.items()},
+                       **self.meta}, f)
         return path
 
     @staticmethod
@@ -110,6 +121,8 @@ class HistoryLog:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 log.meta = json.load(f)
+            log.events = {int(k): v
+                          for k, v in log.meta.pop("events", {}).items()}
         return log
 
     # -- reconstruction ------------------------------------------------------

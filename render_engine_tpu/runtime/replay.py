@@ -91,6 +91,12 @@ class Player:
             if self.cursor >= self.history.num_frames:
                 self.mode = PlaybackMode.ONE_PAST_LAST_FRAME
                 return None, True
+            # recorded config changes apply before the frame they preceded
+            # (DrawDistancesChange / WindowDimensionsChange replay,
+            # pipeline.rs:373-401)
+            event = self.history.events.get(self.cursor)
+            if event:
+                self.engine.apply_config_event(event)
             inputs, dt = self.history.frame(self.cursor)
             self.cursor += 1
             if self.mode == PlaybackMode.DEBUG_CUSTOM_MOVEMENT and controls:

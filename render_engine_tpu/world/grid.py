@@ -169,7 +169,9 @@ def neighbor_candidate_rows(
     slot = jnp.clip(slot, 0, grid.capacity - 1)
     q = query_keys.shape[0]
     rows = sorted_rows[slot.reshape(q, 27 * b)]  # (Q, 27*b, C)
-    return rows, valid.reshape(q, 27 * b)
+    # per-cell budget overflow count (drop diagnostics)
+    cell_dropped = jnp.sum(jnp.maximum(ends - starts - b, 0))
+    return rows, valid.reshape(q, 27 * b), cell_dropped
 
 
 def occupied_section_count(grid: GridIndex) -> jnp.ndarray:

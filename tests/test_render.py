@@ -272,6 +272,7 @@ class TestEndToEndRender:
         class FakeBank:
             mat_emissive = jnp.zeros(1)
             mat_alpha = jnp.ones(1)
+            mat_specular = jnp.ones(1)
 
         img = np.asarray(L.shade(gb, lights, FakeBank(),
                                  jnp.array([0.0, 0.0, 10.0])))

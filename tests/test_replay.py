@@ -137,3 +137,59 @@ class TestSupervisor:
         sup.tick(InputState.idle(0), render=False)
         assert sup.heartbeat == 1
         assert sup.seconds_since_heartbeat() < 60.0
+
+
+class TestConfigChangeReplay:
+    def test_mid_recording_draw_distance_and_seed_roundtrip(self, tmp_path):
+        """A mid-recording draw-distance change + a 2^32-1 rng seed replay
+        bit-identically (VERDICT items: DrawDistancesChange analogue +
+        uint32 seed serialization)."""
+        import dataclasses as dc
+
+        d = str(tmp_path)
+        eng = build_space_engine(**ENGINE_KW)
+        eng.config.history_dir = d
+        hashes = []
+        for i in range(6):
+            if i == 3:
+                # culling radius shrinks mid-recording -> different logic
+                # masks from frame 3 on
+                eng.set_draw_distances(draw_distance=200.0)
+            seed = 2**32 - 1 if i == 2 else i
+            inp = dc.replace(InputState.idle(i).with_keys(KEY_W),
+                             rng_seed=np.uint32(seed))
+            eng.frame(inp, 1 / 30, render=False)
+            hashes.append(world_hash(eng.world))
+        assert float(eng.camera.draw_distance) == 200.0
+        eng.flush_history()
+
+        eng2 = build_space_engine(**ENGINE_KW)
+        from render_engine_tpu.runtime.history import HistoryLog
+
+        player = Player(eng2, HistoryLog.load(d))
+        got = player.replay_all(render=False)
+        assert got == hashes
+        assert float(eng2.camera.draw_distance) == 200.0
+
+    def test_mid_recording_window_change(self, tmp_path):
+        """WindowDimensionsChange analogue: resolution changes re-jit only
+        the render; the replayed trajectory is unchanged and the replayed
+        engine renders at the recorded new size."""
+        d = str(tmp_path)
+        eng = build_space_engine(**ENGINE_KW)
+        eng.config.history_dir = d
+        eng.frame(InputState.idle(0), 1 / 30, render=False)
+        eng.set_window(64, 16)
+        img = eng.frame(InputState.idle(1), 1 / 30, render=True)
+        assert img.shape == (16, 64, 3)
+        h_live = world_hash(eng.world)
+        eng.flush_history()
+
+        eng2 = build_space_engine(**ENGINE_KW)
+        from render_engine_tpu.runtime.history import HistoryLog
+
+        player = Player(eng2, HistoryLog.load(d))
+        player.step(render=False)
+        img2, _ = player.step(render=True)
+        assert img2.shape == (16, 64, 3)
+        assert world_hash(eng2.world) == h_live

@@ -82,3 +82,32 @@ class TestStageTimer:
         assert set(rep) == {"logic", "render"}
         assert all(v >= 0 for v in rep.values())
         assert "logic=" in t.hud_line()
+
+
+class TestDropCounters:
+    def test_starved_budgets_report_nonzero(self):
+        """Deliberately starved triangle budget reports drops; a healthy
+        scene reports zero (the observable-truncation contract)."""
+        eng = build_space_engine(width=128, height=32, capacity=64,
+                                 num_asteroids=12, max_tris=64)
+        eng.config.record_history = False
+        eng.frame(InputState.idle(0), render=False)
+        drops = eng.drop_stats()
+        assert drops["triangle_budget_dropped"] > 0
+
+        eng2 = build_space_engine(width=128, height=32, capacity=64,
+                                  num_asteroids=4, max_tris=8192)
+        eng2.config.record_history = False
+        eng2.frame(InputState.idle(0), render=False)
+        d2 = eng2.drop_stats()
+        assert d2["triangle_budget_dropped"] == 0
+        assert set(d2) >= {"collision_query_dropped",
+                           "collision_cell_dropped", "spawn_dropped",
+                           "oob_killed", "tile_candidate_dropped"}
+
+    def test_fps_stats_includes_drops(self):
+        eng = build_space_engine(**ENGINE_KW)
+        eng.config.record_history = False
+        eng.frame(InputState.idle(0), render=False)
+        stats = eng.fps_stats()
+        assert "drops" in stats and isinstance(stats["drops"], dict)

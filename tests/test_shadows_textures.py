@@ -203,3 +203,94 @@ class TestTextures:
                             atlas=atlas)
         center = np.asarray(gb.albedo)[16, 64]
         np.testing.assert_allclose(center, [0.0, 0.0, 1.0], atol=1e-4)
+
+
+class TestFusedTexturingAndSpecular:
+    def _scene(self, specular=1.0):
+        from render_engine_tpu.math.camera import CameraBuilder
+
+        ab = TextureAtlasBuilder(layer_size=32)
+        tex = ab.add_checkerboard(a=(1, 0, 0), b=(0, 0, 1), cells=4)
+        atlas = ab.finalize()
+        bb = ModelBankBuilder()
+        m = bb.add_material(albedo=(1.0, 1.0, 1.0), texture=tex,
+                            specular=specular)
+        plain = bb.add_material(albedo=(0.4, 0.8, 0.4), specular=specular)
+        bb.add_model("quad", primitives.quad(3.0), material=m)
+        bb.add_model("ball", primitives.uv_sphere(1.2, 6, 8), material=plain)
+        bank = bb.finalize()
+        cfg = W.WorldConfig(capacity=8, world_length=64.0,
+                            section_length=8.0)
+        w = W.create_world(cfg)
+        w, _ = W.spawn_host(
+            w, 3,
+            position=np.array([[30.0, 32.0, 27.0], [34.0, 32.0, 28.0],
+                               [32.0, 33.5, 29.5]], np.float32),
+            model_id=np.array([0, 1, -1], np.int32),
+            sortable=np.array([0, 0, R.SORTABLE_POINT], np.int32),
+            light_diffuse=np.array(
+                [[0, 0, 0], [0, 0, 0], [1.0, 1.0, 0.9]], np.float32),
+            light_specular=np.array(
+                [[0, 0, 0], [0, 0, 0], [1.0, 1.0, 1.0]], np.float32),
+            light_atten=np.array(
+                [[0, 0], [0, 0], [0.05, 0.01]], np.float32),
+        )
+        w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                 jnp.asarray(w.alive))
+        cam = (CameraBuilder().with_position(32.0, 32.0, 33.0)
+               .with_yaw_pitch_degrees(-90.0, 0.0).with_fov_degrees(70.0)
+               .with_aspect(4.0).with_near_far(0.1, 50.0)
+               .with_draw_distance(50.0).build())
+        return w, bank, cam, atlas
+
+    def _settings(self, **kw):
+        from render_engine_tpu.render.frame import RenderSettings
+
+        return RenderSettings(
+            width=128, height=32, max_tris=256, backend="pallas",
+            raster=RasterConfig(tile_budget=48, max_tiles_per_tri=8,
+                                global_budget=16, chunk=4),
+            max_point_lights=4, **kw,
+        )
+
+    def test_fused_atlas_matches_tall_path(self):
+        from render_engine_tpu.render.frame import render_frame
+
+        w, bank, cam, atlas = self._scene()
+        s_f = self._settings(fused_shading=True, texture_scale=1,
+                             texture_transparent=True)
+        s_t = self._settings(fused_shading=False)
+        a = np.asarray(render_frame(w, cam, bank, s_f, atlas=atlas))
+        b = np.asarray(render_frame(w, cam, bank, s_t, atlas=atlas))
+        diff = np.abs(a - b).max(axis=-1)
+        assert diff.max() < 0.03, f"max diff {diff.max():.4f}"
+        # the checkerboard is visible (red and blue texels both present)
+        assert (a[..., 0] > 0.3).any() and (a[..., 2] > 0.3).any()
+
+    def test_specular_strength_changes_highlight(self):
+        from render_engine_tpu.render.frame import render_frame
+
+        w0, bank0, cam, atlas = self._scene(specular=0.0)
+        w5, bank5, _, _ = self._scene(specular=5.0)
+        s = self._settings(fused_shading=True, texture_scale=1)
+        img0 = np.asarray(render_frame(w0, cam, bank0, s, atlas=atlas))
+        img5 = np.asarray(render_frame(w5, cam, bank5, s, atlas=atlas))
+        # stronger material specular -> brighter highlights somewhere
+        assert img5.max() > img0.max() + 0.05
+
+    def test_obj_mtl_specular_and_texture_roundtrip(self, tmp_path):
+        """OBJ+MTL with Ks + map_Kd loads through add_obj into the atlas."""
+        from render_engine_tpu.demo.space_scene import _write_station_asset
+
+        obj = _write_station_asset(str(tmp_path))
+        ab = TextureAtlasBuilder(layer_size=64)
+        bb = ModelBankBuilder()
+        mid = bb.add_obj("station", obj, atlas_builder=ab)
+        bank = bb.finalize()
+        atlas = ab.finalize()
+        assert atlas is not None and atlas.layers.shape[0] == 1
+        assert int(bank.tri_count[mid]) == 12
+        # the hull material carries Ks=0.6 and the texture layer
+        mat = int(np.asarray(bank.tri_material)[int(bank.tri_offset[mid])])
+        assert abs(float(bank.mat_specular[mat]) - 0.6) < 1e-6
+        assert int(bank.mat_texture[mat]) == 0
