@@ -16,8 +16,8 @@ class TestDemoScene:
     def test_scene_population(self):
         eng = build_space_engine(**KW)
         alive = int(np.asarray(eng.world.alive).sum())
-        # 2 stars + 12 asteroids + wormhole + producer + user
-        assert alive == 17
+        # 2 stars + 12 asteroids + wormhole + producer + station + user
+        assert alive == 18
 
     def test_frame_renders_finite_image(self):
         eng = build_space_engine(**KW)
