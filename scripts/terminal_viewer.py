@@ -44,6 +44,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=160)
     ap.add_argument("--height", type=int, default=88)
+    ap.add_argument("--max-fps", type=float, default=None,
+                    help="FPS cap (default: EngineConfig.max_fps)")
     args = ap.parse_args()
 
     if not sys.stdin.isatty():
@@ -58,6 +60,13 @@ def main():
     print("building engine (first compile is slow)...")
     eng = build_space_engine(width=args.width, height=args.height,
                              capacity=256, num_asteroids=40, max_tris=16384)
+
+    # the reference's sleep-based frame cap (gl_window.rs:434-453) driven
+    # by the config (UserUploadInformation.max_fps, main.rs:46)
+    from render_engine_tpu.runtime.host_loop import FpsLimiter
+
+    max_fps = args.max_fps if args.max_fps is not None else eng.config.max_fps
+    limiter = FpsLimiter(max_fps)
 
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
@@ -93,13 +102,14 @@ def main():
             inp = dataclasses.replace(
                 inp, mouse_delta=jnp.asarray(look, jnp.float32))
             t0 = time.time()
-            img = eng.frame(inp, dt=1 / 30)
+            img = eng.frame(inp, dt=limiter.delta_time() or 1 / 30)
             rgb = np.asarray(to_srgb_u8(img))
             sys.stdout.write(paint(rgb))
             sys.stdout.write(
                 f"\x1b[0m{1.0 / max(time.time() - t0, 1e-6):5.1f} fps  "
-                f"frame {frame}  (q quits)\n")
+                f"cap {max_fps:.0f}  frame {frame}  (q quits)\n")
             sys.stdout.flush()
+            limiter.wait()
             frame += 1
     finally:
         termios.tcsetattr(fd, termios.TCSADRAIN, old)

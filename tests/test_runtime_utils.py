@@ -111,3 +111,31 @@ class TestDropCounters:
         eng.frame(InputState.idle(0), render=False)
         stats = eng.fps_stats()
         assert "drops" in stats and isinstance(stats["drops"], dict)
+
+
+class TestFpsLimiter:
+    def test_cap_sleeps_to_budget(self):
+        import time
+
+        from render_engine_tpu.runtime.host_loop import FpsLimiter
+
+        lim = FpsLimiter(50.0)  # 20 ms budget
+        t0 = time.perf_counter()
+        for _ in range(5):
+            lim.wait()
+        took = time.perf_counter() - t0
+        assert took >= 0.08  # 5 frames at >=20ms when work is instant
+
+    def test_over_budget_frames_do_not_sleep(self):
+        import time
+
+        from render_engine_tpu.runtime.host_loop import FpsLimiter
+
+        lim = FpsLimiter(1000.0)
+        time.sleep(0.01)  # frame took longer than the 1ms budget
+        assert lim.wait() == 0.0
+
+    def test_uncapped(self):
+        from render_engine_tpu.runtime.host_loop import FpsLimiter
+
+        assert FpsLimiter(None).wait() == 0.0
