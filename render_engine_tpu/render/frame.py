@@ -41,10 +41,8 @@ class RenderSettings:
     backend: str = "auto"
     # fuse interp+lighting into one Pallas kernel (tiled path only)
     fused_shading: bool = False
-    # atlas sampling on the fused path: compute the textured-albedo image
-    # every texture_scale-th pixel (the gather is row-latency-bound like
-    # PCF; 2 quarters it) and only for the transparent layer when asked
-    texture_scale: int = 2
+    # atlas sampling on the fused path: texture the transparent layer only
+    # when asked (each layer costs one full-screen row gather)
     texture_transparent: bool = False
 
     def __hash__(self):
@@ -52,8 +50,7 @@ class RenderSettings:
                      tuple(dataclasses.astuple(self.raster)),
                      self.max_dir_lights, self.max_point_lights,
                      self.max_spot_lights, self.clear_color, self.backend,
-                     self.fused_shading, self.texture_scale,
-                     self.texture_transparent))
+                     self.fused_shading, self.texture_transparent))
 
 
 def pick_rasterizer(backend: str = "auto"):
@@ -241,11 +238,13 @@ def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv,
         jnp.abs(wp[..., 3:4]) > 1e-12, wp[..., 3:4], 1.0)
 
 
-def _texture_override(res, atlas, tiles_x, th, twd, scale=1):
+def _texture_override(res, atlas, tiles_x, th, twd):
     """Per-pixel textured albedo from the resolve channels: barycentric UV
     interpolation (elementwise) + ONE bilinear row gather from the atlas.
-    ``scale`` > 1 samples every scale-th pixel and nearest-upsamples (the
-    gather is the dominant cost). Returns (4, NT, th, tw): [rgb | flag]."""
+    Full resolution: a lane-strided ::2 subsample of the channel array was
+    measured at 30 ms (TPU lane-dim strides force relayouts) — far slower
+    than simply gathering every pixel (~7 ms).
+    Returns (4, NT, th, tw): [rgb | flag]."""
     from render_engine_tpu.render.textures import sample_atlas_rows
 
     a, nt = res.shape[0], res.shape[1]
@@ -259,10 +258,6 @@ def _texture_override(res, atlas, tiles_x, th, twd, scale=1):
           + jnp.arange(twd, dtype=jnp.float32)[None, None, :] + 0.5)
     py = jnp.broadcast_to(py, (nt, th, twd)).reshape(nt * th, twd)
     px = jnp.broadcast_to(px, (nt, th, twd)).reshape(nt * th, twd)
-    if scale > 1:
-        ch = ch[:, ::scale, ::scale]
-        px = px[::scale, ::scale]
-        py = py[::scale, ::scale]
 
     x0, y0, x1, y1, x2, y2 = ch[0], ch[1], ch[2], ch[3], ch[4], ch[5]
     l0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
@@ -284,9 +279,6 @@ def _texture_override(res, atlas, tiles_x, th, twd, scale=1):
     )  # (rows, cols, 3)
     flag = (layer >= 0.0).astype(jnp.float32)
     out = jnp.concatenate([rgb, flag[..., None]], axis=-1)
-    if scale > 1:
-        out = jnp.repeat(jnp.repeat(out, scale, axis=0), scale, axis=1)
-        out = out[:nt * th, :twd]
     return jnp.moveaxis(out, -1, 0).reshape(4, nt, th, twd)
 
 
@@ -324,11 +316,9 @@ def tiled_fused_core(
 
     albedo_override = None
     if atlas is not None:
-        k = settings.texture_scale
-        ovr_o = _texture_override(res_o, atlas, tiles_x, th, twd, scale=k)
+        ovr_o = _texture_override(res_o, atlas, tiles_x, th, twd)
         if settings.texture_transparent:
-            ovr_t = _texture_override(res_t, atlas, tiles_x, th, twd,
-                                      scale=k)
+            ovr_t = _texture_override(res_t, atlas, tiles_x, th, twd)
         else:
             ovr_t = jnp.zeros_like(ovr_o)
         albedo_override = jnp.concatenate([ovr_o, ovr_t])  # (8, NT, th, tw)

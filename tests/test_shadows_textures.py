@@ -257,7 +257,7 @@ class TestFusedTexturingAndSpecular:
         from render_engine_tpu.render.frame import render_frame
 
         w, bank, cam, atlas = self._scene()
-        s_f = self._settings(fused_shading=True, texture_scale=1,
+        s_f = self._settings(fused_shading=True,
                              texture_transparent=True)
         s_t = self._settings(fused_shading=False)
         a = np.asarray(render_frame(w, cam, bank, s_f, atlas=atlas))
@@ -272,7 +272,7 @@ class TestFusedTexturingAndSpecular:
 
         w0, bank0, cam, atlas = self._scene(specular=0.0)
         w5, bank5, _, _ = self._scene(specular=5.0)
-        s = self._settings(fused_shading=True, texture_scale=1)
+        s = self._settings(fused_shading=True)
         img0 = np.asarray(render_frame(w0, cam, bank0, s, atlas=atlas))
         img5 = np.asarray(render_frame(w5, cam, bank5, s, atlas=atlas))
         # stronger material specular -> brighter highlights somewhere
