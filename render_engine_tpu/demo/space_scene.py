@@ -410,6 +410,12 @@ def space_config(
         render=RenderSettings(width=width, height=height, max_tris=max_tris,
                               max_point_lights=8, max_spot_lights=8,
                               fused_shading=True,
+                              # space scenes are mostly sky: compact the
+                              # latency-bound PCF/texture gathers to the
+                              # most-occupied tiles (overflow degrades to
+                              # lit/untextured, never crashes)
+                              shadow_tile_budget=0.5,
+                              texture_tile_budget=0.15,
                               raster=RasterConfig(tile_budget=96,
                                                   global_budget=32)),
         entity_types=ENTITY_TYPES,

@@ -44,13 +44,21 @@ class RenderSettings:
     # atlas sampling on the fused path: texture the transparent layer only
     # when asked (each layer costs one full-screen row gather)
     texture_transparent: bool = False
+    # coverage-compacted gathers: PCF / texture row gathers (the latency
+    # wall, ~10 ns/row) run only for the most-occupied fraction of screen
+    # tiles. 1.0 = every tile (exact); lower trades sky-tile gather cost
+    # for conservative-lit / untextured overflow tiles when the screen is
+    # denser than the budget — the engine's usual budgeted conservatism.
+    shadow_tile_budget: float = 1.0
+    texture_tile_budget: float = 1.0
 
     def __hash__(self):
         return hash((self.width, self.height, self.max_tris,
                      tuple(dataclasses.astuple(self.raster)),
                      self.max_dir_lights, self.max_point_lights,
                      self.max_spot_lights, self.clear_color, self.backend,
-                     self.fused_shading, self.texture_transparent))
+                     self.fused_shading, self.texture_transparent,
+                     self.shadow_tile_budget, self.texture_tile_budget))
 
 
 def pick_rasterizer(backend: str = "auto"):
@@ -218,11 +226,13 @@ def render_frame(
 
 
 def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv,
-                     y_off=0.0):
+                     y_off=0.0, tids=None):
     """World positions from tiled depth (NT, th, tw) -> (NT, th, tw, 3).
-    ``y_off``: global row of this buffer's first tile row (row sharding)."""
+    ``y_off``: global row of this buffer's first tile row (row sharding).
+    ``tids``: optional tile ids when ``d`` is a compacted tile subset."""
     nt = d.shape[0]
-    tids = jnp.arange(nt, dtype=jnp.int32)
+    if tids is None:
+        tids = jnp.arange(nt, dtype=jnp.int32)
     oy = ((tids // tiles_x) * th).astype(jnp.float32) + y_off
     ox = ((tids % tiles_x) * twd).astype(jnp.float32)
     py = (oy[:, None, None]
@@ -238,18 +248,20 @@ def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv,
         jnp.abs(wp[..., 3:4]) > 1e-12, wp[..., 3:4], 1.0)
 
 
-def _texture_override(res, atlas, tiles_x, th, twd):
+def _texture_override(res, atlas, tiles_x, th, twd, tids=None):
     """Per-pixel textured albedo from the resolve channels: barycentric UV
     interpolation (elementwise) + ONE bilinear row gather from the atlas.
     Full resolution: a lane-strided ::2 subsample of the channel array was
     measured at 30 ms (TPU lane-dim strides force relayouts) — far slower
     than simply gathering every pixel (~7 ms).
-    Returns (4, NT, th, tw): [rgb | flag]."""
+    ``tids``: optional (NT_sel,) tile ids when ``res`` is a compacted tile
+    subset. Returns (4, NT[_sel], th, tw): [rgb | flag]."""
     from render_engine_tpu.render.textures import sample_atlas_rows
 
     a, nt = res.shape[0], res.shape[1]
     ch = res.reshape(a, nt * th, twd)
-    tids = jnp.arange(nt, dtype=jnp.int32)
+    if tids is None:
+        tids = jnp.arange(nt, dtype=jnp.int32)
     oy = ((tids // tiles_x) * th).astype(jnp.float32)
     ox = ((tids % tiles_x) * twd).astype(jnp.float32)
     py = (oy[:, None, None]
@@ -316,23 +328,54 @@ def tiled_fused_core(
 
     albedo_override = None
     if atlas is not None:
-        ovr_o = _texture_override(res_o, atlas, tiles_x, th, twd)
+        ntt = res_o.shape[1]
+        ttb = max(1, int(round(ntt * settings.texture_tile_budget)))
+
+        def textured(res, winner):
+            if ttb >= ntt:
+                return _texture_override(res, atlas, tiles_x, th, twd)
+            # only tiles containing textured winners need the atlas gather
+            occ = jnp.any((winner >= 0) & (res[35] >= 0), axis=(1, 2))
+            order = jnp.argsort(jnp.where(occ, 0, 1).astype(jnp.int32),
+                                stable=True).astype(jnp.int32)
+            sel = order[:ttb]
+            ovr_sel = _texture_override(res[:, sel], atlas, tiles_x, th,
+                                        twd, tids=sel)
+            return jnp.zeros((4, ntt, th, twd),
+                             jnp.float32).at[:, sel].set(ovr_sel)
+
+        ovr_o = textured(res_o, wn)
         if settings.texture_transparent:
-            ovr_t = _texture_override(res_t, atlas, tiles_x, th, twd)
+            ovr_t = textured(res_t, twn)
         else:
             ovr_t = jnp.zeros_like(ovr_o)
         albedo_override = jnp.concatenate([ovr_o, ovr_t])  # (8, NT, th, tw)
 
     inv_pv = jnp.linalg.inv(camera.proj_view())
+    nt_ = d.shape[0]
     sft = sent = None
     if shadow_state is not None:
         from render_engine_tpu.render import shadows as SHD
 
-        # per-slot PCF factor images at the opaque layer's world positions
-        # (tall tiled layout), consumed in-kernel
-        wp = _unproject_tiled(d, tiles_x, th, twd, width, h_total, inv_pv,
-                              y_off=y_off)
-        sft = SHD.slot_factors(shadow_state, wp)  # (S, NT, th, tw)
+        # per-slot PCF factor images at the opaque layer's world positions,
+        # computed only for the most-occupied shadow_tile_budget fraction
+        # of tiles (row gathers are latency-bound; sky tiles waste them).
+        # Overflow tiles beyond the budget stay lit (factor 1).
+        tb = max(1, int(round(nt_ * settings.shadow_tile_budget)))
+        if tb < nt_:
+            occ = jnp.any(wn >= 0, axis=(1, 2))
+            order = jnp.argsort(jnp.where(occ, 0, 1).astype(jnp.int32),
+                                stable=True).astype(jnp.int32)
+            sel = order[:tb]
+            wp = _unproject_tiled(d[sel], tiles_x, th, twd, width, h_total,
+                                  inv_pv, y_off=y_off, tids=sel)
+            f_sel = SHD.slot_factors(shadow_state, wp)  # (S, tb, th, tw)
+            sft = jnp.ones((f_sel.shape[0], nt_, th, twd),
+                           jnp.float32).at[:, sel].set(f_sel)
+        else:
+            wp = _unproject_tiled(d, tiles_x, th, twd, width, h_total,
+                                  inv_pv, y_off=y_off)
+            sft = SHD.slot_factors(shadow_state, wp)  # (S, NT, th, tw)
         sent = shadow_state.slot_entity
     shaded = fused_shade(
         res_o, res_t, d, td, wn, twn, lights, camera.position, inv_pv,

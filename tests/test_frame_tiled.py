@@ -136,3 +136,28 @@ class TestTiledFramePath:
         # and shadows actually darken something vs the no-shadow render
         img_ns = np.asarray(render_frame(w, cam, bank, s_fused))
         assert (img_b <= img_ns + 1e-5).all()
+
+    def test_gather_tile_budgets_exact_when_unsaturated(self):
+        """With tile budgets above actual occupancy, the compacted PCF and
+        texture gathers reproduce the full-gather image exactly; a starved
+        shadow budget only ever BRIGHTENS pixels (conservative-lit)."""
+        from render_engine_tpu.render import shadows as SH
+
+        w, bank, cam = scene()
+        shadow = SH.create_shadow_state(resolution=64, budget=2)
+        shadow = SH.render_shadow_map(shadow, w, cam, bank, max_tris=256,
+                                      raster_cfg=settings("pallas").raster)
+        s_full = dataclasses.replace(settings("pallas"), fused_shading=True)
+        # the scene covers a minority of the 4 tiles; 0.75 is unsaturated
+        s_budget = dataclasses.replace(s_full, shadow_tile_budget=0.75,
+                                       texture_tile_budget=0.75)
+        a = np.asarray(render_frame(w, cam, bank, s_full,
+                                    shadow_state=shadow))
+        b = np.asarray(render_frame(w, cam, bank, s_budget,
+                                    shadow_state=shadow))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        # starved budget: shadows degrade to lit, never darker
+        s_starved = dataclasses.replace(s_full, shadow_tile_budget=0.01)
+        c = np.asarray(render_frame(w, cam, bank, s_starved,
+                                    shadow_state=shadow))
+        assert (c >= a - 1e-5).all()
