@@ -323,30 +323,37 @@ def tiled_fused_core(
         batch, h_local, width, cfg, tri_class, two_pass=True,
         interpret=interpret, cand=cand, counts=counts, rows=rows,
     )
-    res_o = RP.resolve_attributes_pallas(s, rows, cfg, interpret=interpret)
-    res_t = RP.resolve_attributes_pallas(ts, rows, cfg, interpret=interpret)
+    # NOTE: no full-frame attribute resolve here — the fused shading kernel
+    # resolves winner attributes in-kernel from ``rows`` (the ~330 MB/layer
+    # channel images never touch HBM). Only texture-selected tiles get a
+    # small explicit resolve below for UV interpolation.
 
     albedo_override = None
     if atlas is not None:
-        ntt = res_o.shape[1]
+        ntt = s.shape[0]
         ttb = max(1, int(round(ntt * settings.texture_tile_budget)))
+        # tiles with any textured CANDIDATE (conservative superset of
+        # textured winners — avoids resolving every tile just to test)
+        tex_cand = jnp.any((cand >= 0) & (rows[..., 35] >= 0.0), axis=1)
 
-        def textured(res, winner):
+        def textured(slot):
             if ttb >= ntt:
+                res = RP.resolve_attributes_pallas(slot, rows, cfg,
+                                                   interpret=interpret)
                 return _texture_override(res, atlas, tiles_x, th, twd)
-            # only tiles containing textured winners need the atlas gather
-            occ = jnp.any((winner >= 0) & (res[35] >= 0), axis=(1, 2))
-            order = jnp.argsort(jnp.where(occ, 0, 1).astype(jnp.int32),
+            order = jnp.argsort(jnp.where(tex_cand, 0, 1).astype(jnp.int32),
                                 stable=True).astype(jnp.int32)
             sel = order[:ttb]
-            ovr_sel = _texture_override(res[:, sel], atlas, tiles_x, th,
+            res_sel = RP.resolve_attributes_pallas(
+                slot[sel], rows[sel], cfg, interpret=interpret)
+            ovr_sel = _texture_override(res_sel, atlas, tiles_x, th,
                                         twd, tids=sel)
             return jnp.zeros((4, ntt, th, twd),
                              jnp.float32).at[:, sel].set(ovr_sel)
 
-        ovr_o = textured(res_o, wn)
+        ovr_o = textured(s)
         if settings.texture_transparent:
-            ovr_t = textured(res_t, twn)
+            ovr_t = textured(ts)
         else:
             ovr_t = jnp.zeros_like(ovr_o)
         albedo_override = jnp.concatenate([ovr_o, ovr_t])  # (8, NT, th, tw)
@@ -378,7 +385,7 @@ def tiled_fused_core(
             sft = SHD.slot_factors(shadow_state, wp)  # (S, NT, th, tw)
         sent = shadow_state.slot_entity
     shaded = fused_shade(
-        res_o, res_t, d, td, wn, twn, lights, camera.position, inv_pv,
+        rows, s, ts, d, td, lights, camera.position, inv_pv,
         tiles_x, width, h_total, slot_factor_tiles=sft, slot_entity=sent,
         pixel_origin=(0.0, y_off), interpret=interpret,
         albedo_override=albedo_override,

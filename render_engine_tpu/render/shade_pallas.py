@@ -149,9 +149,9 @@ def _interp(ch, px, py, inv_pv, width, height):
 
 def _shade_kernel(
     tiles_x, tile_h, tile_w, n_lights, width, height, n_slots, has_texture,
-    cho_ref, cht_ref,  # (A, 1, th, tw) channel blocks, opaque/transparent
+    rows_ref,  # (1, K, A) candidate attribute rows (as gathered)
+    so_ref, st_ref,  # (1, th, tw) winner candidate slots, opaque/transparent
     do_ref, dt_ref,  # (1, th, tw) depths
-    wo_ref, wt_ref,  # (1, th, tw) winners
     ltab_ref,  # SMEM (n_lights, N_LCOL)
     lcount_ref,  # SMEM (1, 1)
     cam_ref,  # SMEM (1, 3) camera position
@@ -189,8 +189,26 @@ def _shade_kernel(
         inv = 1.0 / jnp.where(jnp.abs(cw) > 1e-12, cw, 1.0)
         return cx * inv, cy * inv, cz * inv
 
-    def shade_layer(ch_ref, depth, covered, use_shadows, ovr_base):
-        ch = ch_ref[:, 0]  # (A, th, tw)
+    def resolve(slot_ref):
+        """In-kernel one-hot resolve: winner slots -> per-pixel channel
+        block (A, th, tw). Fusing this here (instead of a separate resolve
+        kernel) keeps the ~330 MB/layer channel images out of HBM."""
+        slot = slot_ref[0]  # (th, tw) int32
+        attrs = rows_ref[0]  # (K, A)
+        k = attrs.shape[0]
+        kio = jax.lax.broadcasted_iota(jnp.int32, (k, tile_w), 0)
+        chs = []
+        for r in range(tile_h):  # static unroll: tile_h is 8
+            row = slot[r, :]
+            onehot = ((kio == row[None, :]) & (row[None, :] >= 0)).astype(
+                jnp.float32)  # (K, tw)
+            chs.append(jax.lax.dot_general(
+                attrs, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))  # (A, tw)
+        return jnp.stack(chs, axis=1)  # (A, th, tw)
+
+    def shade_layer(slot_ref, depth, covered, use_shadows, ovr_base):
+        ch = resolve(slot_ref)  # (A, th, tw)
         (nx, ny, nz), (ar, ag, ab), emissive, alpha, spec_k = _interp(
             ch, px, py, None, width, height)
         if has_texture:
@@ -274,13 +292,13 @@ def _shade_kernel(
 
     d_o = do_ref[0]
     d_t = dt_ref[0]
-    cov_o = wo_ref[0] >= 0
-    cov_t = wt_ref[0] >= 0
+    cov_o = so_ref[0] >= 0
+    cov_t = st_ref[0] >= 0
     # shadows apply to the opaque (deferred) layer only — the reference's
     # transparency draw is a forward pass with no shadow sampling
     # (render_system.rs:501)
-    r_o, g_o, b_o, _ = shade_layer(cho_ref, d_o, cov_o, n_slots > 0, 0)
-    r_t, g_t, b_t, alpha = shade_layer(cht_ref, d_t, cov_t, False, 4)
+    r_o, g_o, b_o, _ = shade_layer(so_ref, d_o, cov_o, n_slots > 0, 0)
+    r_t, g_t, b_t, alpha = shade_layer(st_ref, d_t, cov_t, False, 4)
 
     t_front = cov_t & (d_t <= d_o)
     flags = cov_o.astype(jnp.float32) + 2.0 * t_front.astype(jnp.float32)
@@ -294,17 +312,19 @@ def _shade_kernel(
     out_ref[7, 0] = flags
 
 
-def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
+def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
                 camera_position, inv_pv, tiles_x, width, height,
                 light_budget: int | None = None,
                 interpret: bool | None = None,
                 slot_factor_tiles=None, slot_entity=None,
                 pixel_origin=(0.0, 0.0), albedo_override=None):
-    """Run the fused shading kernel over tiled buffers.
+    """Run the fused resolve+interp+lighting kernel over tiled buffers.
 
-    res_o/res_t: (A, NT, th, tw) resolve outputs; d/w: (NT, th, tw).
-    Returns (8, NT, th, tw): [lit rgb | t_lit rgb | alpha | flags] where
-    flags bit0 = opaque covered, bit1 = transparent in front.
+    rows: (NT, K, A) gathered candidate attribute rows; s_o/s_t:
+    (NT, th, tw) winner candidate slots; d: (NT, th, tw) depths. The
+    one-hot attribute resolve happens IN-KERNEL (the channel images never
+    touch HBM). Returns (8, NT, th, tw): [lit rgb | t_lit rgb | alpha |
+    flags] where flags bit0 = opaque covered, bit1 = transparent in front.
 
     ``light_budget`` defaults to the full packed-table size
     (dir+point+spot capacities) so no light is ever truncated.
@@ -319,7 +339,8 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
         light_budget = (lights.dir_direction.shape[0]
                         + lights.pt_position.shape[0]
                         + lights.sp_position.shape[0])
-    a, nt, th, tw = res_o.shape
+    nt, k, a = rows.shape
+    th, tw = s_o.shape[1], s_o.shape[2]
     ltab, n_live = pack_lights(lights, light_budget, slot_entity=slot_entity)
     lcount = n_live.reshape(1, 1)
     cam = jnp.asarray(camera_position, jnp.float32).reshape(1, 3)
@@ -343,9 +364,7 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
         kernel,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((a, 1, th, tw), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((a, 1, th, tw), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((1, k, a), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -379,5 +398,5 @@ def fused_shade(res_o, res_t, d_o, d_t, w_o, w_t, lights: LightArrays,
         ],
         out_shape=[jax.ShapeDtypeStruct((8, nt, th, tw), jnp.float32)],
         interpret=interpret,
-    )(res_o, res_t, d_o, d_t, w_o, w_t, ltab, lcount, cam, inv_pv, org,
+    )(rows, s_o, s_t, d_o, d_t, ltab, lcount, cam, inv_pv, org,
       sf, ovr)[0]
