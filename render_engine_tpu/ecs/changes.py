@@ -244,8 +244,13 @@ def apply_changeset(world: World, cs: ChangeSet) -> World:
     for _ in range(OWNED_CASCADE_ROUNDS):
         valid = anc >= 0
         anc_c = jnp.clip(anc, 0, cap - 1)
-        dead = dead | (valid & dead[anc_c])
-        anc = jnp.where(valid, anc[anc_c], -1)
+        # one f32 ROW gather per round (separate 1-D bool/int gathers land
+        # in TPU scalar memory at ~5x the cost; ids < 2^24 round-trip f32)
+        tbl = jnp.stack(
+            [dead.astype(jnp.float32), anc.astype(jnp.float32)], axis=1)
+        g = tbl[anc_c]
+        dead = dead | (valid & (g[:, 0] > 0.5))
+        anc = jnp.where(valid, g[:, 1].astype(jnp.int32), -1)
     despawn = dead & (world.alive | cs.despawn_mask)
 
     alive = world.alive & ~despawn
