@@ -414,7 +414,7 @@ def space_config(
                               # latency-bound PCF/texture gathers to the
                               # most-occupied tiles (overflow degrades to
                               # lit/untextured, never crashes)
-                              shadow_tile_budget=0.5,
+                              shadow_tile_budget=0.7,
                               texture_tile_budget=0.15,
                               raster=RasterConfig(tile_budget=96,
                                                   global_budget=32)),

@@ -370,9 +370,10 @@ def tiled_fused_core(
         # Overflow tiles beyond the budget stay lit (factor 1).
         tb = max(1, int(round(nt_ * settings.shadow_tile_budget)))
         if tb < nt_:
-            occ = jnp.any(wn >= 0, axis=(1, 2))
-            order = jnp.argsort(jnp.where(occ, 0, 1).astype(jnp.int32),
-                                stable=True).astype(jnp.int32)
+            # densest tiles first: on overflow, sparse boundary tiles lose
+            # their shadows before anything visually heavy does
+            ncov = jnp.sum((wn >= 0).astype(jnp.int32), axis=(1, 2))
+            order = jnp.argsort(-ncov, stable=True).astype(jnp.int32)
             sel = order[:tb]
             wp = _unproject_tiled(d[sel], tiles_x, th, twd, width, h_total,
                                   inv_pv, y_off=y_off, tids=sel)

@@ -350,12 +350,20 @@ class Engine:
                     batch.valid,
                     jnp.where(batch.transparent, 2.0, 1.0), 0.0,
                 ).astype(jnp.float32)
-                _, _, _, _, cand_dropped = _bin_triangles(
+                tile_cand, _, _, _, cand_dropped = _bin_triangles(
                     batch, cfg, tiles_x, tiles_y, tri_class)
                 tri_dropped = jnp.maximum(
                     batch.total_requested - settings.max_tris, 0)
+                # gather-tile budget overflow (candidate-occupied tiles are
+                # a conservative superset of winner-covered tiles)
+                nt = tiles_x * tiles_y
+                occ_tiles = jnp.sum(
+                    jnp.any(tile_cand >= 0, axis=1).astype(jnp.int32))
+                sb = max(1, int(round(nt * settings.shadow_tile_budget)))
                 return {"triangle_budget_dropped": tri_dropped,
-                        "tile_candidate_dropped": cand_dropped}
+                        "tile_candidate_dropped": cand_dropped,
+                        "shadow_tile_overflow_est":
+                            jnp.maximum(occ_tiles - sb, 0)}
 
             self._render_diag = jax.jit(diag)
         vals = self._render_diag(self.world, self.camera)
