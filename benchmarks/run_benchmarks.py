@@ -77,7 +77,7 @@ def bench_asteroids():
     cap = 1 << (n + 64).bit_length()
     eng = build_space_engine(
         width=_s(1920, 256), height=_s(1080, 144), capacity=cap,
-        num_asteroids=n, max_tris=262144,
+        num_asteroids=n, max_tris=49152,
     )
     eng.config.record_history = False
     # one directional light
@@ -147,7 +147,7 @@ def bench_tick():
     cap = 1 << (n + 64).bit_length()
     eng = build_space_engine(
         width=_s(1920, 256), height=_s(1080, 144), capacity=cap,
-        num_asteroids=n, max_tris=262144,
+        num_asteroids=n, max_tris=49152,
     )
     eng.config.record_history = False
     steps_per_sec = _time_frames(eng, _s(30, 5), render=False)

@@ -135,14 +135,6 @@ class Engine:
                 self.config.shadow_resolution,
                 pcf_scale=self.config.shadow_pcf_scale,
             )
-            shadow_tris = self.config.shadow_max_tris
-
-            def shadow_update(shadow, world, camera):
-                return SH.render_shadow_map(
-                    shadow, world, camera, bank, max_tris=shadow_tris
-                )
-
-            self._shadow_update = jax.jit(shadow_update, donate_argnums=(0,))
 
         def step_only(world, camera, inputs, dt):
             return step(world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
@@ -193,6 +185,29 @@ class Engine:
                                 systems=systems)
 
         self._render = jax.jit(render_pure)
+
+        if self.config.enable_shadows:
+            from render_engine_tpu.render import shadows as SH
+
+            shadow_tris = self.config.shadow_max_tris
+
+            def render_shadowed(world, camera, shadow_state):
+                # the frame's single shadow-map update (<=1 new map,
+                # shadow_flow.rs:111-133) rides in the SAME program as the
+                # render: one dispatch, and XLA schedules the shadow raster
+                # alongside the frame's other work. Shadow maps are derived
+                # caches outside the replayed state, so this never touches
+                # the step program's determinism.
+                shadow_state = SH.render_shadow_map(
+                    shadow_state, world, camera, bank, max_tris=shadow_tris)
+                img = render_frame(world, camera, bank, settings,
+                                   cubemap=cubemap, atlas=atlas,
+                                   shadow_state=shadow_state,
+                                   systems=systems)
+                return img, shadow_state
+
+            self._render_shadowed = jax.jit(render_shadowed,
+                                            donate_argnums=(2,))
 
     # -- mid-run config changes (recorded; replay applies them at the same
     # frame — FrameChange::DrawDistancesChange / WindowDimensionsChange,
@@ -250,11 +265,8 @@ class Engine:
         img = None
         if render:
             if self.shadow_state is not None:
-                # <=1 new shadow map per frame (shadow_flow.rs:111-133);
-                # derived cache, outside the replayed state
-                self.shadow_state = self._shadow_update(
-                    self.shadow_state, self.world, self.camera)
-                img = self._render(self.world, self.camera, self.shadow_state)
+                img, self.shadow_state = self._render_shadowed(
+                    self.world, self.camera, self.shadow_state)
             else:
                 img = self._render(self.world, self.camera)
         self.frame_index += 1
