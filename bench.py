@@ -39,6 +39,7 @@ def main():
     eng = build_space_engine(
         width=width, height=height, capacity=capacity,
         num_asteroids=n_ast, max_tris=max_tris,
+        shadow_tile_budget=float(os.environ.get("BENCH_SHADOW_TILES", 0.4)),
     )
     eng.config.record_history = False
 

@@ -390,6 +390,7 @@ def space_config(
     enable_shadows: bool = True,
     shadow_resolution: int | None = None,
     shadow_max_tris: int | None = None,
+    shadow_tile_budget: float = 0.4,
 ) -> EngineConfig:
     from render_engine_tpu.render.raster_jnp import RasterConfig
 
@@ -413,8 +414,10 @@ def space_config(
                               # space scenes are mostly sky: compact the
                               # latency-bound PCF/texture gathers to the
                               # most-occupied tiles (overflow degrades to
-                              # lit/untextured, never crashes)
-                              shadow_tile_budget=0.7,
+                              # lit/untextured, never crashes). The shadow
+                              # budget is PER SLOT and applies after the
+                              # per-slot light-frustum tile cull.
+                              shadow_tile_budget=shadow_tile_budget,
                               texture_tile_budget=0.15,
                               raster=RasterConfig(tile_budget=96,
                                                   global_budget=32)),

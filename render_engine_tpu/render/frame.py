@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from render_engine_tpu.ecs.world import World
@@ -294,6 +295,114 @@ def _texture_override(res, atlas, tiles_x, th, twd, tids=None):
     return jnp.moveaxis(out, -1, 0).reshape(4, nt, th, twd)
 
 
+def _tile_frustum_inputs(d, wn, tiles_x, th, twd, width, h_total, y_off):
+    """Per-tile covered-pixel stats + conservative clip-space corner rays
+    for the per-slot light-frustum tile test: returns (ncov, corners) with
+    corners (NT, 8, 4) = the tile's screen rect x its covered depth range
+    in camera NDC homogeneous coords."""
+    nt = d.shape[0]
+    cov = wn >= 0
+    ncov = jnp.sum(cov.astype(jnp.int32), axis=(1, 2))  # (nt,)
+    big = jnp.float32(1e9)
+    dmin = jnp.min(jnp.where(cov, d, big), axis=(1, 2))
+    dmax = jnp.max(jnp.where(cov, d, -big), axis=(1, 2))
+
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    oy = (tids // tiles_x * th).astype(jnp.float32) + y_off
+    ox = (tids % tiles_x * twd).astype(jnp.float32)
+    x0 = ox / width * 2.0 - 1.0
+    x1 = (ox + twd) / width * 2.0 - 1.0
+    y0 = 1.0 - oy / h_total * 2.0
+    y1 = 1.0 - (oy + th) / h_total * 2.0
+    cx = jnp.stack([x0, x1, x0, x1] * 2, axis=1)
+    cy = jnp.stack([y0, y0, y1, y1] * 2, axis=1)
+    cz = jnp.stack([dmin] * 4 + [dmax] * 4, axis=1)
+    corners = jnp.stack([cx, cy, cz, jnp.ones_like(cx)], axis=-1)
+    return ncov, corners
+
+
+def _frustum_need(m, corners, ncov):
+    """(NT,) tiles that may contain a pixel inside the light frustum
+    ``m`` = light_mat @ inv_pv (conservative: a tile is culled only when
+    all 8 corners fail one clip plane — a LINEAR condition on the
+    homogeneous corner vectors, so it bounds the whole projective hull;
+    culled tiles are exactly lit by pcf_factor's inside mask)."""
+    clip = corners @ m.T
+    x, y, z, w = clip[..., 0], clip[..., 1], clip[..., 2], clip[..., 3]
+    culled = (jnp.all(x + w < 0, 1) | jnp.all(x - w > 0, 1)
+              | jnp.all(y + w < 0, 1) | jnp.all(y - w > 0, 1)
+              | jnp.all(z - w > 0, 1) | jnp.all(w <= 0, 1))
+    return (~culled) & (ncov > 0)
+
+
+def shadow_tile_overflow(shadow, d, wn, tiles_x, th, twd, width, h_total,
+                         inv_pv, y_off, frac):
+    """Max over active slots of (frustum-needed tiles - per-slot budget):
+    the EXACT count of tiles whose PCF degraded to lit this frame (the
+    drop-stats analogue of the reference's soft-error prints)."""
+    nt = d.shape[0]
+    tb = max(1, int(round(nt * frac)))
+    ncov, corners = _tile_frustum_inputs(d, wn, tiles_x, th, twd, width,
+                                         h_total, y_off)
+    over = jnp.int32(0)
+    for s in range(shadow.slot_entity.shape[0]):
+        m = shadow.light_mats[s] @ inv_pv
+        need = jnp.sum(_frustum_need(m, corners, ncov).astype(jnp.int32))
+        need = jnp.where(shadow.slot_entity[s] >= 0, need, 0)
+        over = jnp.maximum(over, jnp.maximum(need - tb, 0))
+    return over
+
+
+def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
+                           inv_pv, y_off, frac):
+    """(S, NT, th, tw) per-shadow-slot PCF factor images, gathering rows
+    ONLY for tiles that conservatively intersect the slot's light frustum.
+
+    The PCF row gather is latency-bound (~10 ns/row) so the win is per-slot
+    ROW reduction: a spot light's frustum covers a fraction of the screen,
+    and any tile fully outside it is exactly lit (pcf_factor's ``inside``
+    mask returns 1 there) — culling those tiles is lossless. The test is
+    conservative in clip space: the tile's screen rect x its covered-pixel
+    depth range maps (projectively, so corners bound the hull) through
+    light_mat @ inv_pv; a tile whose 8 corners all fail one clip plane
+    cannot contain a shadowed pixel. Per slot, the densest intersecting
+    tiles fill a static budget of round(NT * frac); overflow degrades to
+    lit (counted in drop stats as shadow_tile_overflow_est)."""
+    from render_engine_tpu.render import shadows as SHD
+
+    nt = d.shape[0]
+    n_slots = shadow.slot_entity.shape[0]
+    tb = max(1, int(round(nt * frac)))
+    ncov, corners = _tile_frustum_inputs(d, wn, tiles_x, th, twd, width,
+                                         h_total, y_off)
+
+    ones_plane = jnp.ones((nt, th, twd), jnp.float32)
+    k = shadow.pcf_scale
+    planes = []
+    for s in range(n_slots):
+        def active(s=s):
+            m = shadow.light_mats[s] @ inv_pv  # camera NDC -> light clip
+            need = _frustum_need(m, corners, ncov)
+            key = jnp.where(need, ncov, -1)
+            order = jnp.argsort(-key, stable=True).astype(jnp.int32)
+            sel = order[:tb]
+            wp = _unproject_tiled(d[sel], tiles_x, th, twd, width, h_total,
+                                  inv_pv, y_off=y_off, tids=sel)
+            if k > 1:
+                wp = wp[:, ::k, ::k, :]
+            f = SHD.pcf_factor(shadow, s, wp)[..., 0]
+            if k > 1:
+                f = jnp.repeat(jnp.repeat(f, k, axis=-2), k, axis=-1)
+                f = f[:, :th, :twd]
+            # budget underflow pads sel with non-needed tiles: keep them lit
+            f = jnp.where(need[sel][:, None, None], f, 1.0)
+            return ones_plane.at[sel].set(f)
+
+        planes.append(jax.lax.cond(
+            shadow.slot_entity[s] >= 0, active, lambda: ones_plane))
+    return jnp.stack(planes)
+
+
 def tiled_fused_core(
     batch, lights, bank, settings: RenderSettings, camera, *,
     width, h_total, h_local, y_off, background, shadow_state, ent_attrs,
@@ -362,28 +471,13 @@ def tiled_fused_core(
     nt_ = d.shape[0]
     sft = sent = None
     if shadow_state is not None:
-        from render_engine_tpu.render import shadows as SHD
-
-        # per-slot PCF factor images at the opaque layer's world positions,
-        # computed only for the most-occupied shadow_tile_budget fraction
-        # of tiles (row gathers are latency-bound; sky tiles waste them).
-        # Overflow tiles beyond the budget stay lit (factor 1).
-        tb = max(1, int(round(nt_ * settings.shadow_tile_budget)))
-        if tb < nt_:
-            # densest tiles first: on overflow, sparse boundary tiles lose
-            # their shadows before anything visually heavy does
-            ncov = jnp.sum((wn >= 0).astype(jnp.int32), axis=(1, 2))
-            order = jnp.argsort(-ncov, stable=True).astype(jnp.int32)
-            sel = order[:tb]
-            wp = _unproject_tiled(d[sel], tiles_x, th, twd, width, h_total,
-                                  inv_pv, y_off=y_off, tids=sel)
-            f_sel = SHD.slot_factors(shadow_state, wp)  # (S, tb, th, tw)
-            sft = jnp.ones((f_sel.shape[0], nt_, th, twd),
-                           jnp.float32).at[:, sel].set(f_sel)
-        else:
-            wp = _unproject_tiled(d, tiles_x, th, twd, width, h_total,
-                                  inv_pv, y_off=y_off)
-            sft = SHD.slot_factors(shadow_state, wp)  # (S, NT, th, tw)
+        # per-slot PCF factor images: each slot gathers rows only for the
+        # densest tiles intersecting ITS light frustum (lossless cull —
+        # outside tiles are exactly lit), up to shadow_tile_budget * NT
+        # tiles per slot. Overflow tiles stay lit (counted in drops).
+        sft = _per_slot_factor_tiles(
+            shadow_state, d, wn, tiles_x, th, twd, width, h_total,
+            inv_pv, y_off, settings.shadow_tile_budget)
         sent = shadow_state.slot_entity
     shaded = fused_shade(
         rows, s, ts, d, td, lights, camera.position, inv_pv,

@@ -75,6 +75,7 @@ def build_triangle_batch(
     apply_lov: bool = True,
     proj_view: jnp.ndarray | None = None,
     systems=None,
+    depth_only: bool = False,
 ) -> TriangleBatch:
     """Cull, LoV-select, and expand instances into screen triangles.
 
@@ -85,6 +86,10 @@ def build_triangle_batch(
     model is bound to no system are not drawn, LoV is gated per system, and
     alpha_scale uniforms route triangles to the transparency pass (the
     per-render-system draw routing of render_flow.rs:317-334, as data).
+    ``depth_only``: skip normals/uvs/materials/transparency — the shadow
+    raster only consumes positions (the reference's depth-only shadow
+    shader, render_flow.rs:267-308); the skipped gathers + the slimmer
+    near-clip save ~1 ms/frame at the shadow pass's budget.
     """
     cap = world.capacity
     pv = camera.proj_view() if proj_view is None else proj_view
@@ -149,9 +154,6 @@ def build_triangle_batch(
     # gather model-space geometry
     tv = bank.tri_v[tri_idx]  # (T, 3)
     v_obj = bank.vertices[tv]  # (T, 3, 3)
-    n_obj = bank.normals[tv]
-    uv = bank.uvs[tv]
-    material = bank.tri_material[tri_idx]
 
     # object -> world (per-entity TRS, composed on the fly — (T,4,4)
     # matrices are never materialized, see kinematics.refresh_transforms)
@@ -162,33 +164,49 @@ def build_triangle_batch(
         T.quat_rotate(quat[:, None, :], v_obj * scale[:, None, :])
         + pos_e[:, None, :]
     )  # (T, 3, 3)
-    # normal transform for TRS: n' = R @ (n / scale) (inverse-transpose of
-    # R S without a matrix inverse)
-    safe_scale = jnp.where(jnp.abs(scale) > 1e-12, scale, 1.0)
-    w_nrm = T.quat_rotate(quat[:, None, :], n_obj / safe_scale[:, None, :])
+
+    if depth_only:
+        t = max_tris
+        n_obj = uv = None
+        material = jnp.zeros(t, jnp.int32)
+        w_nrm = jnp.zeros((t, 3, 3), jnp.float32)
+        uv = jnp.zeros((t, 3, 2), jnp.float32)
+        transparent = jnp.zeros(t, bool)
+    else:
+        n_obj = bank.normals[tv]
+        uv = bank.uvs[tv]
+        material = bank.tri_material[tri_idx]
+        # normal transform for TRS: n' = R @ (n / scale) (inverse-transpose
+        # of R S without a matrix inverse)
+        safe_scale = jnp.where(jnp.abs(scale) > 1e-12, scale, 1.0)
+        w_nrm = T.quat_rotate(quat[:, None, :],
+                              n_obj / safe_scale[:, None, :])
 
     # world -> clip (MXU) -------------------------------------------------
     ones = jnp.ones(w_pos.shape[:-1] + (1,), jnp.float32)
     homo = jnp.concatenate([w_pos, ones], axis=-1)  # (T, 3, 4)
     clip = jnp.einsum("ij,tnj->tni", pv, homo)  # (T, 3, 4)
 
-    # transparency routing: material alpha < 1 or entity FLAG_TRANSPARENT
-    # or a render-system alpha_scale uniform below 1
-    ent_flags = world["flags"][ent]
-    transparent = (bank.mat_alpha[material] < 1.0) | (
-        (ent_flags & R.FLAG_TRANSPARENT) != 0
-    )
-    if msys is not None:
-        ns = systems.sys_table.shape[0]
-        ascale = systems.sys_table[jnp.clip(msys, 0, ns - 1), 5]
-        transparent = transparent | ((ascale[ent] < 1.0) & (msys[ent] >= 0))
+    if not depth_only:
+        # transparency routing: material alpha < 1, entity FLAG_TRANSPARENT
+        # or a render-system alpha_scale uniform below 1
+        ent_flags = world["flags"][ent]
+        transparent = (bank.mat_alpha[material] < 1.0) | (
+            (ent_flags & R.FLAG_TRANSPARENT) != 0
+        )
+        if msys is not None:
+            ns = systems.sys_table.shape[0]
+            ascale = systems.sys_table[jnp.clip(msys, 0, ns - 1), 5]
+            transparent = transparent | (
+                (ascale[ent] < 1.0) & (msys[ent] >= 0))
 
     # near-plane clipping: triangles crossing z_clip = -w are re-cut
     # (vectorized; second triangles from quad cases reuse unused budget
     # rows — see _near_clip)
     (clip, w_pos, w_nrm, uv, material, ent, transparent,
      valid) = _near_clip(
-        clip, w_pos, w_nrm, uv, material, ent, transparent, valid
+        clip, w_pos, w_nrm, uv, material, ent, transparent, valid,
+        depth_only=depth_only,
     )
 
     w = clip[..., 3]
@@ -218,7 +236,8 @@ def build_triangle_batch(
     )
 
 
-def _near_clip(clip, w_pos, w_nrm, uv, material, ent, transparent, valid):
+def _near_clip(clip, w_pos, w_nrm, uv, material, ent, transparent, valid,
+               depth_only: bool = False):
     """Vectorized near-plane clipping (the GL clipper's z_clip >= -w case).
 
     Per triangle, classify vertices by signed distance s = z_clip + w:
@@ -238,8 +257,13 @@ def _near_clip(clip, w_pos, w_nrm, uv, material, ent, transparent, valid):
     # [clip4 | pos3 | nrm3 | uv2] so the rot/lerp/select/scatter passes are
     # one fused op each instead of four (the separate (T,3,2..4) arrays'
     # scatters cost ~2.7 ms/frame at 24k tris, dominated by per-op overhead
-    # and trailing-small-dim padding).
-    big = jnp.concatenate([clip, w_pos, w_nrm, uv], axis=-1)  # (T, 3, 12)
+    # and trailing-small-dim padding). Depth-only passes (shadow maps) carry
+    # just the clip coords: (T, 3, 4).
+    if depth_only:
+        big = clip
+    else:
+        big = jnp.concatenate([clip, w_pos, w_nrm, uv], axis=-1)
+    nch = big.shape[-1]
 
     s = clip[..., 2] + clip[..., 3]  # (T, 3) signed distance to near plane
     inside = s > 0.0
@@ -301,12 +325,13 @@ def _near_clip(clip, w_pos, w_nrm, uv, material, ent, transparent, valid):
         dest_ok, free_slots[jnp.clip(extra_rank, 0, t_budget - 1)], t_budget
     )  # rows without an extra scatter to t_budget -> dropped
 
-    # scatter flat (T, 36) rows: the (T, 3, 12) layout pads its trailing
-    # dims ~10x and its scatter ran ~0.9 ms; a contiguous 144-byte row
-    # scatter stays on the vector path
-    big_o = big_o.reshape(t_budget, 36).at[dest].set(
-        tri_b2.reshape(t_budget, 36), mode="drop"
-    ).reshape(t_budget, 3, 12)
+    # scatter flat (T, 3*nch) rows: the (T, 3, nch) layout pads its trailing
+    # dims ~10x and its scatter ran ~0.9 ms; a contiguous row scatter stays
+    # on the vector path
+    flat = 3 * nch
+    big_o = big_o.reshape(t_budget, flat).at[dest].set(
+        tri_b2.reshape(t_budget, flat), mode="drop"
+    ).reshape(t_budget, 3, nch)
     # per-tri metadata rides one (T, 4) f32 row scatter (ids < 2^24: exact)
     meta = jnp.stack(
         [
@@ -320,9 +345,13 @@ def _near_clip(clip, w_pos, w_nrm, uv, material, ent, transparent, valid):
     meta0 = meta.at[:, 3].set(new_valid.astype(jnp.float32))
     meta_o = meta0.at[dest].set(meta, mode="drop")
 
-    clip_o, pos_o, nrm_o, uv_o = (
-        big_o[..., 0:4], big_o[..., 4:7], big_o[..., 7:10], big_o[..., 10:12]
-    )
+    if depth_only:
+        clip_o, pos_o, nrm_o, uv_o = big_o, w_pos, w_nrm, uv
+    else:
+        clip_o, pos_o, nrm_o, uv_o = (
+            big_o[..., 0:4], big_o[..., 4:7], big_o[..., 7:10],
+            big_o[..., 10:12]
+        )
     material = meta_o[:, 0].astype(jnp.int32)
     ent = meta_o[:, 1].astype(jnp.int32)
     transparent = meta_o[:, 2] > 0.5

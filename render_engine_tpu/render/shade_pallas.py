@@ -294,11 +294,23 @@ def _shade_kernel(
     d_t = dt_ref[0]
     cov_o = so_ref[0] >= 0
     cov_t = st_ref[0] >= 0
+    zero = jnp.zeros((tile_h, tile_w), jnp.float32)
+    # per-tile coverage gates: sky tiles skip the whole resolve+light loop,
+    # and the transparent layer (usually a handful of tiles) only shades
+    # where a transparent candidate actually won a pixel
     # shadows apply to the opaque (deferred) layer only — the reference's
     # transparency draw is a forward pass with no shadow sampling
     # (render_system.rs:501)
-    r_o, g_o, b_o, _ = shade_layer(so_ref, d_o, cov_o, n_slots > 0, 0)
-    r_t, g_t, b_t, alpha = shade_layer(st_ref, d_t, cov_t, False, 4)
+    r_o, g_o, b_o, _ = jax.lax.cond(
+        jnp.any(cov_o),
+        lambda: shade_layer(so_ref, d_o, cov_o, n_slots > 0, 0),
+        lambda: (zero, zero, zero, zero),
+    )
+    r_t, g_t, b_t, alpha = jax.lax.cond(
+        jnp.any(cov_t),
+        lambda: shade_layer(st_ref, d_t, cov_t, False, 4),
+        lambda: (zero, zero, zero, zero),
+    )
 
     t_front = cov_t & (d_t <= d_o)
     flags = cov_o.astype(jnp.float32) + 2.0 * t_front.astype(jnp.float32)

@@ -236,7 +236,7 @@ def render_shadow_map(
 
     batch = build_triangle_batch(
         world, bank, camera, max_tris=max_tris,
-        apply_lov=True, proj_view=pv,
+        apply_lov=True, proj_view=pv, depth_only=True,
     )
     batch = to_screen(batch, res, res)
     depth, _ = rasterizer(batch, res, res, cfg)

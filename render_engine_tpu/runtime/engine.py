@@ -146,6 +146,7 @@ class Engine:
         # share the exact binary. Rendering is a separate pure program over
         # the stepped state (XLA async dispatch still overlaps the two).
         self._step = jax.jit(step_only, donate_argnums=(0,))
+        self._step_fn = step
         self._build_render()
 
         def step_many(world, camera, inputs_batch, dts):
@@ -209,6 +210,43 @@ class Engine:
             self._render_shadowed = jax.jit(render_shadowed,
                                             donate_argnums=(2,))
 
+        # one-dispatch frame for UNRECORDED runs: step + shadow update +
+        # render in a single XLA program (halves the per-frame host dispatch
+        # cost, ~1-2 ms through the axon tunnel). RECORDED runs never take
+        # this path — their state must advance through the standalone _step
+        # program so live and replay trajectories share the exact binary
+        # (see the determinism note above); frame() enforces that.
+        step_fn = self._step_fn
+
+        if self.config.enable_shadows:
+            from render_engine_tpu.render import shadows as SH
+
+            shadow_tris = self.config.shadow_max_tris
+
+            def frame_fused(world, camera, shadow_state, inputs, dt):
+                world, camera, drops = step_fn(
+                    world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
+                shadow_state = SH.render_shadow_map(
+                    shadow_state, world, camera, bank, max_tris=shadow_tris)
+                img = render_frame(world, camera, bank, settings,
+                                   cubemap=cubemap, atlas=atlas,
+                                   shadow_state=shadow_state,
+                                   systems=systems)
+                return world, camera, drops, shadow_state, img
+
+            self._frame_fused = jax.jit(frame_fused, donate_argnums=(0, 2))
+        else:
+
+            def frame_fused_ns(world, camera, inputs, dt):
+                world, camera, drops = step_fn(
+                    world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
+                img = render_frame(world, camera, bank, settings,
+                                   cubemap=cubemap, atlas=atlas,
+                                   systems=systems)
+                return world, camera, drops, img
+
+            self._frame_fused = jax.jit(frame_fused_ns, donate_argnums=(0,))
+
     # -- mid-run config changes (recorded; replay applies them at the same
     # frame — FrameChange::DrawDistancesChange / WindowDimensionsChange,
     # public_common_structures.rs:7-16) ------------------------------------
@@ -260,15 +298,29 @@ class Engine:
         import numpy as np
 
         t0 = time.perf_counter()
-        self.world, self.camera, self._last_drops = self._step(
-            self.world, self.camera, inputs, np.float32(dt))
         img = None
-        if render:
+        if render and not self.config.record_history:
+            # unrecorded interactive/bench frames: one fused dispatch.
+            # Recorded runs MUST advance state through the standalone _step
+            # program (bit-determinism invariant) and take the path below.
             if self.shadow_state is not None:
-                img, self.shadow_state = self._render_shadowed(
-                    self.world, self.camera, self.shadow_state)
+                (self.world, self.camera, self._last_drops,
+                 self.shadow_state, img) = self._frame_fused(
+                    self.world, self.camera, self.shadow_state, inputs,
+                    np.float32(dt))
             else:
-                img = self._render(self.world, self.camera)
+                (self.world, self.camera, self._last_drops,
+                 img) = self._frame_fused(
+                    self.world, self.camera, inputs, np.float32(dt))
+        else:
+            self.world, self.camera, self._last_drops = self._step(
+                self.world, self.camera, inputs, np.float32(dt))
+            if render:
+                if self.shadow_state is not None:
+                    img, self.shadow_state = self._render_shadowed(
+                        self.world, self.camera, self.shadow_state)
+                else:
+                    img = self._render(self.world, self.camera)
         self.frame_index += 1
         self._frame_times.append(time.perf_counter() - t0)
         return img
@@ -343,13 +395,15 @@ class Engine:
             settings = self.config.render
             systems = self.compiled_systems
 
-            def diag(world, camera):
+            def diag(world, camera, shadow_state):
                 from render_engine_tpu.render import raster_pallas as RP
+                from render_engine_tpu.render.frame import (
+                    shadow_tile_overflow,
+                )
                 from render_engine_tpu.render.geometry import (
                     build_triangle_batch,
                     to_screen,
                 )
-                from render_engine_tpu.render.raster_jnp import _bin_triangles
 
                 batch = build_triangle_batch(
                     world, bank, camera, max_tris=settings.max_tris,
@@ -362,23 +416,32 @@ class Engine:
                     batch.valid,
                     jnp.where(batch.transparent, 2.0, 1.0), 0.0,
                 ).astype(jnp.float32)
-                tile_cand, _, _, _, cand_dropped = _bin_triangles(
+                from render_engine_tpu.render.raster_jnp import _bin_triangles
+
+                cand, counts = RP._candidate_table(
+                    batch, cfg, tiles_x, tiles_y, tri_class)
+                _, _, _, _, cand_dropped = _bin_triangles(
                     batch, cfg, tiles_x, tiles_y, tri_class)
                 tri_dropped = jnp.maximum(
                     batch.total_requested - settings.max_tris, 0)
-                # gather-tile budget overflow (candidate-occupied tiles are
-                # a conservative superset of winner-covered tiles)
-                nt = tiles_x * tiles_y
-                occ_tiles = jnp.sum(
-                    jnp.any(tile_cand >= 0, axis=1).astype(jnp.int32))
-                sb = max(1, int(round(nt * settings.shadow_tile_budget)))
-                return {"triangle_budget_dropped": tri_dropped,
-                        "tile_candidate_dropped": cand_dropped,
-                        "shadow_tile_overflow_est":
-                            jnp.maximum(occ_tiles - sb, 0)}
+                out = {"triangle_budget_dropped": tri_dropped,
+                       "tile_candidate_dropped": cand_dropped}
+                if shadow_state is not None:
+                    # true per-slot PCF overflow: raster the frame's depth
+                    # and count frustum-needed tiles beyond the budget
+                    d, wn, *_ = RP._launch(
+                        batch, settings.height, settings.width, cfg,
+                        tri_class, two_pass=True, interpret=None,
+                        cand=cand, counts=counts)
+                    inv_pv = jnp.linalg.inv(camera.proj_view())
+                    out["shadow_tile_overflow"] = shadow_tile_overflow(
+                        shadow_state, d, wn, tiles_x, cfg.tile_h,
+                        cfg.tile_w, settings.width, settings.height,
+                        inv_pv, 0.0, settings.shadow_tile_budget)
+                return out
 
-            self._render_diag = jax.jit(diag)
-        vals = self._render_diag(self.world, self.camera)
+            self._render_diag = jax.jit(diag, static_argnums=())
+        vals = self._render_diag(self.world, self.camera, self.shadow_state)
         return {k: int(v) for k, v in vals.items()}
 
     def flush_history(self) -> str | None:

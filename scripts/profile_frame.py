@@ -70,13 +70,14 @@ def main():
         return tot
 
     for label, prefix in (("STEP", "jit_step_only"),
-                          ("RENDER", "jit_render_pure")):
+                          ("RENDER", "jit_render_pure"),
+                          ("RENDER", "jit_render_shadowed")):
         win = next((s for s in spans if s["name"].startswith(prefix)), None)
         if win is None:
             continue
         print(f"=== {label} top ops (one frame window, {win['dur']/1e3:.1f} ms)")
-        for n, d in ops_in(win).most_common(15):
-            print(f"{d/1e3:8.2f} ms  {n[:80]}")
+        for n, d in ops_in(win).most_common(30):
+            print(f"{d/1e3:8.2f} ms  {n[:100]}")
 
 
 if __name__ == "__main__":
