@@ -29,8 +29,9 @@ def main():
     frames = int(os.environ.get("BENCH_FRAMES", 30))
     # budget sizing: the scattered 10k-asteroid field leaves ~8.6k visible
     # triangles after culling+LoV; every geometry/binning stage pays for the
-    # full budget, so keep headroom modest (~3x)
-    max_tris = int(os.environ.get("BENCH_MAX_TRIS", 24576))
+    # full budget, so keep headroom modest (~1.9x; triangle_budget_dropped
+    # in the output stays 0)
+    max_tris = int(os.environ.get("BENCH_MAX_TRIS", 16384))
 
     from render_engine_tpu.demo.space_scene import build_space_engine
     from render_engine_tpu.logic.types import InputState, KEY_W
@@ -39,7 +40,7 @@ def main():
     eng = build_space_engine(
         width=width, height=height, capacity=capacity,
         num_asteroids=n_ast, max_tris=max_tris,
-        shadow_tile_budget=float(os.environ.get("BENCH_SHADOW_TILES", 0.4)),
+        shadow_tile_budget=float(os.environ.get("BENCH_SHADOW_TILES", 0.3)),
     )
     eng.config.record_history = False
 

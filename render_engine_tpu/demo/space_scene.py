@@ -390,7 +390,7 @@ def space_config(
     enable_shadows: bool = True,
     shadow_resolution: int | None = None,
     shadow_max_tris: int | None = None,
-    shadow_tile_budget: float = 0.4,
+    shadow_tile_budget: float = 0.3,
 ) -> EngineConfig:
     from render_engine_tpu.render.raster_jnp import RasterConfig
 

@@ -43,6 +43,7 @@ def render_frame_sharded(
     mesh,
     *,
     cubemap=None,
+    atlas=None,
     shadow_state=None,
     systems=None,
     axis_name: str = "world",
@@ -52,7 +53,9 @@ def render_frame_sharded(
 
     Call under ``jit`` with the world entity-sharded (parallel/mesh.py);
     returns a row-sharded (H, W, 3) image. Requires fused shading (the
-    production TPU path); textures are not yet supported here.
+    production TPU path). ``atlas``: an optional TextureAtlas, replicated
+    to every rank — the texture resolve runs per rank on its own tile
+    band (UV interpolation is local-coordinate, so row shifting is safe).
     """
     from jax.experimental.shard_map import shard_map
 
@@ -97,17 +100,22 @@ def render_frame_sharded(
     extra_specs = []
     has_attrs = ent_attrs is not None
     has_shadow = shadow_state is not None
+    has_atlas = atlas is not None
     if has_attrs:
         extras.append(ent_attrs)
         extra_specs.append(P())
     if has_shadow:
         extras.append(shadow_state)
         extra_specs.append(P())
+    if has_atlas:
+        extras.append(atlas)
+        extra_specs.append(P())
 
     def rank_body(batch, lights, background_rows, *rest):
         it = iter(rest)
         ea = next(it) if has_attrs else None
         ss = next(it) if has_shadow else None
+        at = next(it) if has_atlas else None
         r = jax.lax.axis_index(axis_name)
         y_off = (r * band).astype(jnp.float32)
         local = dataclasses.replace(
@@ -119,7 +127,7 @@ def render_frame_sharded(
             local, lights, bank, settings, camera,
             width=w, h_total=h, h_local=band, y_off=y_off,
             background=background_rows[0], shadow_state=ss,
-            ent_attrs=ea, interpret=interpret,
+            ent_attrs=ea, atlas=at, interpret=interpret,
         )
         return img[None]  # leading rank axis for the sharded output
 

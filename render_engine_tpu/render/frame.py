@@ -355,8 +355,10 @@ def shadow_tile_overflow(shadow, d, wn, tiles_x, th, twd, width, h_total,
 
 def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
                            inv_pv, y_off, frac):
-    """(S, NT, th, tw) per-shadow-slot PCF factor images, gathering rows
-    ONLY for tiles that conservatively intersect the slot's light frustum.
+    """COMPACT per-shadow-slot PCF factor tiles: (S, TB, th, tw) factors +
+    an (S, NT) int32 inverse map (tile -> its row in the slot's compact
+    buffer, -1 = not selected, treated as lit). Rows are gathered ONLY for
+    tiles that conservatively intersect the slot's light frustum.
 
     The PCF row gather is latency-bound (~10 ns/row) so the win is per-slot
     ROW reduction: a spot light's frustum covers a fraction of the screen,
@@ -367,7 +369,9 @@ def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
     light_mat @ inv_pv; a tile whose 8 corners all fail one clip plane
     cannot contain a shadowed pixel. Per slot, the densest intersecting
     tiles fill a static budget of round(NT * frac); overflow degrades to
-    lit (counted in drop stats as shadow_tile_overflow_est)."""
+    lit (counted in drop stats as shadow_tile_overflow). The compact form
+    feeds the fused kernel via scalar-prefetch tile indexing — the dense
+    (S, NT, th, tw) factor image is never materialized in HBM."""
     from render_engine_tpu.render import shadows as SHD
 
     nt = d.shape[0]
@@ -376,9 +380,8 @@ def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
     ncov, corners = _tile_frustum_inputs(d, wn, tiles_x, th, twd, width,
                                          h_total, y_off)
 
-    ones_plane = jnp.ones((nt, th, twd), jnp.float32)
     k = shadow.pcf_scale
-    planes = []
+    facs, invs = [], []
     for s in range(n_slots):
         def active(s=s):
             m = shadow.light_mats[s] @ inv_pv  # camera NDC -> light clip
@@ -394,13 +397,20 @@ def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
             if k > 1:
                 f = jnp.repeat(jnp.repeat(f, k, axis=-2), k, axis=-1)
                 f = f[:, :th, :twd]
-            # budget underflow pads sel with non-needed tiles: keep them lit
-            f = jnp.where(need[sel][:, None, None], f, 1.0)
-            return ones_plane.at[sel].set(f)
+            # budget-underflow rows point at non-needed tiles: unmap them
+            # (the kernel treats inv < 0 as lit; their factor rows are
+            # never read)
+            inv = jnp.full(nt, -1, jnp.int32).at[sel].set(
+                jnp.where(need[sel], jnp.arange(tb, dtype=jnp.int32), -1))
+            return f, inv
 
-        planes.append(jax.lax.cond(
-            shadow.slot_entity[s] >= 0, active, lambda: ones_plane))
-    return jnp.stack(planes)
+        f_s, inv_s = jax.lax.cond(
+            shadow.slot_entity[s] >= 0, active,
+            lambda: (jnp.ones((tb, th, twd), jnp.float32),
+                     jnp.full(nt, -1, jnp.int32)))
+        facs.append(f_s)
+        invs.append(inv_s)
+    return jnp.stack(facs), jnp.stack(invs)
 
 
 def tiled_fused_core(
@@ -469,19 +479,21 @@ def tiled_fused_core(
 
     inv_pv = jnp.linalg.inv(camera.proj_view())
     nt_ = d.shape[0]
-    sft = sent = None
+    sft = sfi = sent = None
     if shadow_state is not None:
-        # per-slot PCF factor images: each slot gathers rows only for the
-        # densest tiles intersecting ITS light frustum (lossless cull —
-        # outside tiles are exactly lit), up to shadow_tile_budget * NT
-        # tiles per slot. Overflow tiles stay lit (counted in drops).
-        sft = _per_slot_factor_tiles(
+        # per-slot PCF factor tiles (COMPACT + inverse map): each slot
+        # gathers rows only for the densest tiles intersecting ITS light
+        # frustum (lossless cull — outside tiles are exactly lit), up to
+        # shadow_tile_budget * NT tiles per slot. Overflow tiles stay lit
+        # (counted in drops).
+        sft, sfi = _per_slot_factor_tiles(
             shadow_state, d, wn, tiles_x, th, twd, width, h_total,
             inv_pv, y_off, settings.shadow_tile_budget)
         sent = shadow_state.slot_entity
     shaded = fused_shade(
         rows, s, ts, d, td, lights, camera.position, inv_pv,
-        tiles_x, width, h_total, slot_factor_tiles=sft, slot_entity=sent,
+        tiles_x, width, h_total, slot_factor_tiles=sft,
+        slot_factor_inv=sfi, slot_entity=sent,
         pixel_origin=(0.0, y_off), interpret=interpret,
         albedo_override=albedo_override,
     )  # (8, NT, th, tw)

@@ -149,6 +149,9 @@ def _interp(ch, px, py, inv_pv, width, height):
 
 def _shade_kernel(
     tiles_x, tile_h, tile_w, n_lights, width, height, n_slots, has_texture,
+    inv_ref,  # scalar-prefetch SMEM (max(n_slots,1), NT) int32: per-slot
+    #           tile -> compact factor row (-1 = not selected -> lit).
+    #           Also drives the sf_refs block index maps.
     rows_ref,  # (1, K, A) candidate attribute rows (as gathered)
     so_ref, st_ref,  # (1, th, tw) winner candidate slots, opaque/transparent
     do_ref, dt_ref,  # (1, th, tw) depths
@@ -159,11 +162,14 @@ def _shade_kernel(
     org_ref,  # SMEM (1, 2) global pixel origin (x, y) of this buffer —
     #           nonzero under multi-chip row sharding, where the local
     #           tile grid starts partway down the global image
-    sf_ref,  # (n_slots or 1, 1, th, tw) per-slot PCF factors
-    ovr_ref,  # (8, 1, th, tw) texture albedo overrides:
-    #           [o rgb, o flag, t rgb, t flag] (all-zero when untextured)
-    out_ref,  # (8, 1, th, tw): lit rgb, t_lit rgb, alpha, flags
+    *rest,  # n_slots x (1, th, tw) compact PCF factor tiles (block-indexed
+    #         by inv_ref via scalar prefetch), then:
+    #         ovr_ref (8, 1, th, tw) texture albedo overrides
+    #         out_ref (8, 1, th, tw): lit rgb, t_lit rgb, alpha, flags
 ):
+    sf_refs = rest[:n_slots]
+    ovr_ref = rest[n_slots]
+    out_ref = rest[n_slots + 1]
     t = pl.program_id(0)
     oy = ((t // tiles_x) * tile_h).astype(jnp.float32)
     ox = ((t % tiles_x) * tile_w).astype(jnp.float32)
@@ -265,10 +271,13 @@ def _shade_kernel(
             s = atten * intensity
             if use_shadows:
                 # per-slot PCF factor, multiplicatively combined over the
-                # slots this light owns (cube faces etc.)
+                # slots this light owns (cube faces etc.); tiles outside
+                # the slot's compact selection (inv < 0) are lit
                 for sl in range(n_slots):
                     own = ltab_ref[i, 21 + sl]
-                    s = s * jnp.where(own > 0.5, sf_ref[sl, 0], 1.0)
+                    mapped = (inv_ref[sl, t] >= 0).astype(jnp.float32)
+                    s = s * jnp.where(own * mapped > 0.5,
+                                      sf_refs[sl][0], 1.0)
             cr = cr + s * (ltab_ref[i, 13] * ar + ltab_ref[i, 7] * ndl * ar
                            + ltab_ref[i, 10] * spec)
             cg = cg + s * (ltab_ref[i, 14] * ag + ltab_ref[i, 8] * ndl * ag
@@ -328,7 +337,8 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
                 camera_position, inv_pv, tiles_x, width, height,
                 light_budget: int | None = None,
                 interpret: bool | None = None,
-                slot_factor_tiles=None, slot_entity=None,
+                slot_factor_tiles=None, slot_factor_inv=None,
+                slot_entity=None,
                 pixel_origin=(0.0, 0.0), albedo_override=None):
     """Run the fused resolve+interp+lighting kernel over tiled buffers.
 
@@ -340,10 +350,13 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
 
     ``light_budget`` defaults to the full packed-table size
     (dir+point+spot capacities) so no light is ever truncated.
-    ``slot_factor_tiles``: optional (S, NT, th, tw) per-shadow-slot PCF
-    factor images (shadows.slot_factors reshaped); ``slot_entity`` the
-    matching (S,) owner entities. Shadows multiply the opaque layer's
-    per-light contribution in-kernel.
+    ``slot_factor_tiles``: optional COMPACT (S, TB, th, tw) per-shadow-slot
+    PCF factor tiles with ``slot_factor_inv`` (S, NT) int32 mapping each
+    screen tile to its compact row (-1 = unselected -> lit). The inverse
+    map rides as a scalar-prefetch operand and block-indexes each slot's
+    factor input, so the dense (S, NT, th, tw) image never exists.
+    ``slot_entity``: the matching (S,) owner entities. Shadows multiply
+    the opaque layer's per-light contribution in-kernel.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -359,11 +372,14 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
     org = jnp.asarray(pixel_origin, jnp.float32).reshape(1, 2)
     if slot_factor_tiles is None:
         n_slots = 0
-        sf = jnp.ones((1, nt, th, tw), jnp.float32)
+        sf_args = []
+        sfi = jnp.full((1, nt), -1, jnp.int32)
     else:
         n_slots = slot_factor_tiles.shape[0]
         assert n_slots <= N_LCOL - 21, "shadow budget exceeds light-table pad"
-        sf = slot_factor_tiles
+        assert slot_factor_inv.shape == (n_slots, nt)
+        sf_args = [slot_factor_tiles[s] for s in range(n_slots)]
+        sfi = slot_factor_inv
     has_texture = albedo_override is not None
     ovr = (albedo_override if has_texture
            else jnp.zeros((8, 1, th, tw), jnp.float32))
@@ -371,44 +387,51 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
     kernel = functools.partial(_shade_kernel, tiles_x, th, tw,
                                light_budget, float(width), float(height),
                                n_slots, has_texture)
-    s_dim = sf.shape[0]
-    return pl.pallas_call(
-        kernel,
+
+    def vmem_tile(index_map):
+        return pl.BlockSpec((1, th, tw), index_map, memory_space=pltpu.VMEM)
+
+    def smem(shape):
+        return pl.BlockSpec(shape, lambda i, inv: (0,) * len(shape),
+                            memory_space=pltpu.SMEM)
+
+    def sf_spec(s):
+        # block-index the slot's compact factor buffer by the prefetch map
+        # (clamped: unmapped tiles load row 0, masked to lit in-kernel)
+        return vmem_tile(
+            lambda i, inv, s=s: (jnp.maximum(inv[s, i], 0), 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, k, a), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, k, a), lambda i, inv: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((light_budget, N_LCOL), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, 4), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((s_dim, 1, th, tw), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            vmem_tile(lambda i, inv: (i, 0, 0)),
+            vmem_tile(lambda i, inv: (i, 0, 0)),
+            vmem_tile(lambda i, inv: (i, 0, 0)),
+            vmem_tile(lambda i, inv: (i, 0, 0)),
+            smem((light_budget, N_LCOL)),
+            smem((1, 1)),
+            smem((1, 3)),
+            smem((4, 4)),
+            smem((1, 2)),
+            *[sf_spec(s) for s in range(n_slots)],
             pl.BlockSpec(
                 (8, 1, th, tw),
-                (lambda i: (0, i, 0, 0)) if has_texture
-                else (lambda i: (0, 0, 0, 0)),
+                (lambda i, inv: (0, i, 0, 0)) if has_texture
+                else (lambda i, inv: (0, 0, 0, 0)),
                 memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, 1, th, tw), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((8, 1, th, tw), lambda i, inv: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((8, nt, th, tw), jnp.float32)],
         interpret=interpret,
-    )(rows, s_o, s_t, d_o, d_t, ltab, lcount, cam, inv_pv, org,
-      sf, ovr)[0]
+    )(sfi, rows, s_o, s_t, d_o, d_t, ltab, lcount, cam, inv_pv, org,
+      *sf_args, ovr)[0]

@@ -71,7 +71,8 @@ def main():
 
     for label, prefix in (("STEP", "jit_step_only"),
                           ("RENDER", "jit_render_pure"),
-                          ("RENDER", "jit_render_shadowed")):
+                          ("RENDER", "jit_render_shadowed"),
+                          ("FRAME", "jit_frame_fused")):
         win = next((s for s in spans if s["name"].startswith(prefix)), None)
         if win is None:
             continue
