@@ -57,6 +57,12 @@ def main():
                         render=True)
     sync(img)
 
+    # per-frame fused dispatches (step+shadow+render in one program per
+    # frame; XLA async dispatch pipelines them). NOTE: a lax.scan-batched
+    # variant (Engine.run_frames_rendered) was measured SLOWER end-to-end
+    # through the axon tunnel (~28 vs ~21 ms/frame at N=30: identical
+    # device time but ~270 ms per-call host overhead + a fresh multi-minute
+    # compile per scan length) — keep the per-frame loop here.
     t0 = time.perf_counter()
     for i in range(frames):
         img = eng.frame(InputState.idle(100 + i).with_keys(KEY_W),

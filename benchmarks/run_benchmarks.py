@@ -41,6 +41,9 @@ def _sync(eng, img=None):
 def _time_frames(eng, frames, render=True, key=None):
     from render_engine_tpu.logic.types import InputState, KEY_W
 
+    # per-frame fused dispatches: the scan-batched variant measured SLOWER
+    # through the axon tunnel (identical device time, ~270 ms per-call host
+    # overhead + one compile per scan length) — see bench.py
     for i in range(3):
         img = eng.frame(InputState.idle(i).with_keys(KEY_W), 1 / 60,
                         render=render)
@@ -77,7 +80,7 @@ def bench_asteroids():
     cap = 1 << (n + 64).bit_length()
     eng = build_space_engine(
         width=_s(1920, 256), height=_s(1080, 144), capacity=cap,
-        num_asteroids=n, max_tris=49152,
+        num_asteroids=n, max_tris=16384,
     )
     eng.config.record_history = False
     # one directional light
@@ -94,7 +97,8 @@ def bench_asteroids():
     fps = _time_frames(eng, _s(20, 5))
     return {"config": "asteroids",
             "metric": f"{n} asteroids culled+drawn at 1080p",
-            "value": round(fps, 2), "unit": "fps"}
+            "value": round(fps, 2), "unit": "fps",
+            "drops": eng.drop_stats()}
 
 
 def bench_lights():
@@ -110,7 +114,7 @@ def bench_lights():
     nl = _s(256, 8)
     eng = build_space_engine(
         width=_s(1280, 256), height=_s(720, 144), capacity=1024,
-        num_asteroids=200, max_tris=65536,
+        num_asteroids=200, max_tris=24576,
     )
     eng.config.record_history = False
     rng = np.random.default_rng(0)
@@ -135,7 +139,8 @@ def bench_lights():
     return {"config": "lights",
             "metric": (f"{nl} point lights deferred 720p, "
                        f"{n_sys} render systems, shared G-buffer"),
-            "value": round(fps, 2), "unit": "fps"}
+            "value": round(fps, 2), "unit": "fps",
+            "drops": eng.drop_stats()}
 
 
 def bench_tick():

@@ -419,8 +419,13 @@ def space_config(
                               # per-slot light-frustum tile cull.
                               shadow_tile_budget=shadow_tile_budget,
                               texture_tile_budget=0.15,
+                              # pair_budget: live (tile, tri) pairs run
+                              # ~1.5 per visible triangle; 4x max_tris
+                              # halves the binning scatter's row count
+                              # (overflow would show in drop stats)
                               raster=RasterConfig(tile_budget=96,
-                                                  global_budget=32)),
+                                                  global_budget=32,
+                                                  pair_budget=4 * max_tris)),
         entity_types=ENTITY_TYPES,
         spawn_budget=spawn_budget,
         build_scene=lambda e: build_scene(e, num_asteroids=num_asteroids),

@@ -227,19 +227,25 @@ def render_frame(
 
 
 def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv,
-                     y_off=0.0, tids=None):
+                     y_off=0.0, tids=None, stride=1):
     """World positions from tiled depth (NT, th, tw) -> (NT, th, tw, 3).
     ``y_off``: global row of this buffer's first tile row (row sharding).
-    ``tids``: optional tile ids when ``d`` is a compacted tile subset."""
+    ``tids``: optional tile ids when ``d`` is a compacted tile subset.
+    ``stride``: when ``d`` is already a pixel-subsampled tile (every
+    stride-th pixel, phase 0), generate the matching strided centers —
+    identical values to unprojecting full tiles then striding, without the
+    lane-dim relayout that striding a computed array costs."""
     nt = d.shape[0]
     if tids is None:
         tids = jnp.arange(nt, dtype=jnp.int32)
     oy = ((tids // tiles_x) * th).astype(jnp.float32) + y_off
     ox = ((tids % tiles_x) * twd).astype(jnp.float32)
     py = (oy[:, None, None]
-          + jnp.arange(th, dtype=jnp.float32)[None, :, None] + 0.5)
+          + jnp.arange(d.shape[1], dtype=jnp.float32)[None, :, None] * stride
+          + 0.5)
     px = (ox[:, None, None]
-          + jnp.arange(twd, dtype=jnp.float32)[None, None, :] + 0.5)
+          + jnp.arange(d.shape[2], dtype=jnp.float32)[None, None, :] * stride
+          + 0.5)
     ndc = jnp.stack(
         [jnp.broadcast_to(px / width * 2.0 - 1.0, d.shape),
          jnp.broadcast_to(1.0 - py / height * 2.0, d.shape),
@@ -381,6 +387,13 @@ def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
                                          h_total, y_off)
 
     k = shadow.pcf_scale
+    # pcf_scale subsample ONCE, shared by every slot (striding the lane dim
+    # forces a relayout — pay it once on the depth image, not per slot on
+    # the 3x-wider unprojected positions), flattened so per-slot tile
+    # selection is one contiguous row gather
+    ds = d[:, ::k, ::k] if k > 1 else d
+    sh, sw = ds.shape[1], ds.shape[2]
+    ds_flat = ds.reshape(nt, sh * sw)
     facs, invs = [], []
     for s in range(n_slots):
         def active(s=s):
@@ -389,10 +402,9 @@ def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
             key = jnp.where(need, ncov, -1)
             order = jnp.argsort(-key, stable=True).astype(jnp.int32)
             sel = order[:tb]
-            wp = _unproject_tiled(d[sel], tiles_x, th, twd, width, h_total,
-                                  inv_pv, y_off=y_off, tids=sel)
-            if k > 1:
-                wp = wp[:, ::k, ::k, :]
+            wp = _unproject_tiled(
+                ds_flat[sel].reshape(tb, sh, sw), tiles_x, th, twd, width,
+                h_total, inv_pv, y_off=y_off, tids=sel, stride=k)
             f = SHD.pcf_factor(shadow, s, wp)[..., 0]
             if k > 1:
                 f = jnp.repeat(jnp.repeat(f, k, axis=-2), k, axis=-1)

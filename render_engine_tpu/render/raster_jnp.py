@@ -47,6 +47,13 @@ class RasterConfig:
     global_budget: int = 64  # big-triangle list tested by every tile
     chunk: int = 8  # candidates evaluated per tile-loop iteration
     cull_backfaces: bool = False  # accept both windings by default
+    # cap on live (tile, tri) pairs fed to the window scatter. The scatter
+    # is row-latency-bound, so its cost is T * max_tiles_per_tri rows even
+    # though live pairs are typically ~1.5 per VISIBLE triangle; live pairs
+    # sort to a prefix, so slicing the sorted pair list to this budget
+    # scatters only rows that can matter. None = no cap (exact). Overflow
+    # (live pairs beyond the cap) is counted in cand_dropped.
+    pair_budget: int | None = None
 
 
 def _edge(ax, ay, bx, by, px, py):
@@ -123,6 +130,17 @@ def _bin_triangles(batch: TriangleBatch, cfg: RasterConfig,
         pair_key, pair_tri, is_stable=True
     )
 
+    # live pairs are a sorted prefix (sentinel keys are max): cap the
+    # scatter length at cfg.pair_budget rows — the dominant binning cost is
+    # scatter-row latency over T * mt rows, almost all of them sentinels.
+    # Sliced-off LIVE pairs are budget overflow, counted in cand_dropped.
+    pair_sliced = jnp.int32(0)
+    if cfg.pair_budget is not None and cfg.pair_budget < pair_key.shape[0]:
+        pb = cfg.pair_budget
+        pair_sliced = jnp.sum((sorted_key[pb:] < sentinel).astype(jnp.int32))
+        sorted_key = sorted_key[:pb]
+        sorted_tri = sorted_tri[:pb]
+
     # window fill by run-rank SCATTER: each sorted pair knows its window row
     # (its rank within its base's run) directly, so no searchsorted and no
     # window gather — both land in TPU scalar memory at ~2 ms/frame. Base
@@ -162,7 +180,7 @@ def _bin_triangles(batch: TriangleBatch, cfg: RasterConfig,
     )[:, 0].astype(jnp.int32).reshape(nt, width_w)
     # budget-overflow diagnostics (the engine's silent-truncation counter,
     # cf. the reference's soft-error prints texture_array.rs:91)
-    cand_dropped = jnp.sum((live & ~ok).astype(jnp.int32))
+    cand_dropped = jnp.sum((live & ~ok).astype(jnp.int32)) + pair_sliced
     if classed:
         tile_cand = win[:, :bt]
         trans_cand = win[:, bt:]

@@ -222,7 +222,8 @@ def render_shadow_map(
 ) -> ShadowState:
     """One frame's shadow update: choose a light, depth-raster its view into
     its slot (the shadow render system, render_flow.rs:267-308,1111-1178)."""
-    cfg = raster_cfg or RasterConfig(tile_budget=64, global_budget=16)
+    cfg = raster_cfg or RasterConfig(tile_budget=64, global_budget=16,
+                                     pair_budget=4 * max_tris)
     res = shadow.resolution
     # depth raster via the Pallas tile kernel on TPU (31x the jnp path at
     # this size; see docs/STATUS.md), jnp golden elsewhere

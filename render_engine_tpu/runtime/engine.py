@@ -247,6 +247,40 @@ class Engine:
 
             self._frame_fused = jax.jit(frame_fused_ns, donate_argnums=(0,))
 
+        # scan-batched rendered frames for UNRECORDED headless runs: ONE
+        # dispatch steps+shadows+renders N frames back-to-back (every frame
+        # is fully rendered; only the last image survives the carry). This
+        # removes the per-frame host->device dispatch latency (~2-3 ms
+        # through the axon tunnel) that even async dispatch doesn't hide —
+        # the analogue of the reference's frames-in-flight pipelining
+        # (mapped_buffer.rs fences). Recorded runs never take this path.
+        has_shadows = self.config.enable_shadows
+        if has_shadows:
+            from render_engine_tpu.render import shadows as SH2
+
+        def frames_scan(world, camera, shadow_state, inputs_batch, dts):
+            def body(carry, xs):
+                w, c, sh, _ = carry
+                inp, dt = xs
+                w, c, drops = step_fn(w, c, inp, dt, bank.aabb_min,
+                                      bank.aabb_max)
+                if has_shadows:
+                    sh = SH2.render_shadow_map(
+                        sh, w, c, bank, max_tris=self.config.shadow_max_tris)
+                img = render_frame(w, c, bank, settings, cubemap=cubemap,
+                                   atlas=atlas, shadow_state=sh,
+                                   systems=systems)
+                return (w, c, sh, img), None
+
+            init_img = jnp.zeros((settings.height, settings.width, 3),
+                                 jnp.float32)
+            (world, camera, shadow_state, img), _ = jax.lax.scan(
+                body, (world, camera, shadow_state, init_img),
+                (inputs_batch, dts))
+            return world, camera, shadow_state, img
+
+        self._frames_scan = jax.jit(frames_scan, donate_argnums=(0, 2))
+
     # -- mid-run config changes (recorded; replay applies them at the same
     # frame — FrameChange::DrawDistancesChange / WindowDimensionsChange,
     # public_common_structures.rs:7-16) ------------------------------------
@@ -347,6 +381,33 @@ class Engine:
             return self.render_only()
         return None
 
+    def run_frames_rendered(self, inputs_list, dts):
+        """Advance AND fully render many frames in one device dispatch
+        (scan over the fused step+shadow+render body). Returns the last
+        frame's image. Only for unrecorded runs — recorded state must
+        advance through the standalone _step program (see the determinism
+        note in finalize_scene)."""
+        assert not self.config.record_history, (
+            "run_frames_rendered is for unrecorded runs; recorded runs "
+            "must step through the one compiled _step program")
+        import jax.tree_util as jtu
+
+        chained = []
+        prev = self._prev_keys
+        for inp in inputs_list:
+            chained.append(inp.with_prev(prev))
+            prev = inp.keys
+        self._prev_keys = prev
+        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *chained)
+        dts = jnp.asarray(dts, jnp.float32)
+        t0 = time.perf_counter()
+        self.world, self.camera, self.shadow_state, img = self._frames_scan(
+            self.world, self.camera, self.shadow_state, stacked, dts)
+        self.frame_index += len(inputs_list)
+        per = (time.perf_counter() - t0) / len(inputs_list)
+        self._frame_times.extend([per] * len(inputs_list))
+        return img
+
     def render_only(self, camera=None):
         """Render the current state without stepping (detached-camera
         replay views, debug HUD)."""
@@ -394,6 +455,7 @@ class Engine:
             bank = self.bank
             settings = self.config.render
             systems = self.compiled_systems
+            atlas = self.atlas
 
             def diag(world, camera, shadow_state):
                 from render_engine_tpu.render import raster_pallas as RP
@@ -426,6 +488,22 @@ class Engine:
                     batch.total_requested - settings.max_tris, 0)
                 out = {"triangle_budget_dropped": tri_dropped,
                        "tile_candidate_dropped": cand_dropped}
+                if atlas is not None:
+                    # textured-candidate tiles beyond texture_tile_budget
+                    # degrade to solid albedo; count them (conservative:
+                    # candidate-level superset of textured winners)
+                    nt_ = tiles_x * tiles_y
+                    ttb = max(1, int(round(
+                        nt_ * settings.texture_tile_budget)))
+                    tri_tex = (bank.mat_texture[jnp.clip(
+                        batch.material, 0,
+                        bank.mat_texture.shape[0] - 1)] >= 0) & batch.valid
+                    tex_cand = jnp.any(
+                        (cand >= 0)
+                        & tri_tex[jnp.clip(cand, 0, batch.budget - 1)],
+                        axis=1)
+                    out["texture_tile_overflow"] = jnp.maximum(
+                        jnp.sum(tex_cand.astype(jnp.int32)) - ttb, 0)
                 if shadow_state is not None:
                     # true per-slot PCF overflow: raster the frame's depth
                     # and count frustum-needed tiles beyond the budget

@@ -159,3 +159,42 @@ class TestPallasEquivalence:
         np.testing.assert_array_equal(w1, w2)
         assert int(w2[5, 5]) == 1  # small tri in front where they overlap
         assert int(w2[20, 60]) == 0  # big tri elsewhere
+
+
+class TestPairBudget:
+    """cfg.pair_budget caps the binning scatter's row count; live pairs are
+    a sorted prefix, so a generous cap is bit-identical and a starved cap
+    drops (and counts) overflow candidates."""
+
+    def _scene(self):
+        rng = np.random.default_rng(5)
+        tris = rng.uniform(-10, 140, (9, 3, 2)).astype(np.float32)
+        zs = rng.uniform(-0.9, 0.9, (9, 3)).astype(np.float32)
+        return manual_batch(tris, z=zs, budget=16)
+
+    def test_generous_budget_identical(self):
+        import dataclasses
+
+        batch = self._scene()
+        d1, w1 = rasterize_depth_winner(batch, H, WIDTH, CFG)
+        cfg = dataclasses.replace(CFG, pair_budget=batch.budget * 4)
+        d2, w2 = rasterize_depth_winner(batch, H, WIDTH, cfg)
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    def test_starved_budget_drops_and_counts(self):
+        import dataclasses
+
+        from render_engine_tpu.render.raster_jnp import _bin_triangles
+
+        batch = self._scene()
+        tiles_x = -(-WIDTH // CFG.tile_w)
+        tiles_y = -(-H // CFG.tile_h)
+        _, _, _, full_dropped = _bin_triangles(batch, CFG, tiles_x, tiles_y)
+        cfg = dataclasses.replace(CFG, pair_budget=2)
+        _, _, _, starved_dropped = _bin_triangles(batch, cfg, tiles_x,
+                                                  tiles_y)
+        assert int(starved_dropped) > int(full_dropped)
+        # still rasterizes without error (degraded, not crashed)
+        d, w = rasterize_depth_winner(batch, H, WIDTH, cfg)
+        assert np.isfinite(np.asarray(d)).all()
