@@ -71,6 +71,18 @@ class ModelBank:
     names: tuple  # (M,) model names, static
 
     @property
+    def tri_packed(self) -> jnp.ndarray:
+        """(F, 4) f32 [v0 v1 v2 material]: the geometry stage's per-triangle
+        gather as ONE f32 row (int-typed gathers land in TPU scalar memory
+        at ~5x the cost; ids stay far below 2^24 so the round-trip is
+        exact). Built per trace — a two-op concat, negligible."""
+        return jnp.concatenate(
+            [self.tri_v.astype(jnp.float32),
+             self.tri_material.astype(jnp.float32)[:, None]],
+            axis=1,
+        )
+
+    @property
     def num_models(self) -> int:
         return len(self.names)
 

@@ -148,18 +148,38 @@ def build_triangle_batch(
     ent = ent_of_rank[jnp.clip(rank, 0, cap - 1)]
     valid = t_ids < total
     tri_within = t_ids - starts[ent]
-    tri_idx = bank.tri_offset[mid_safe[ent]] + tri_within
+
+    # per-ENTITY attributes as ONE packed f32 row gather (quat 4 | scale 3 |
+    # pos 3 | flags | tri start | lov tri offset): separate gathers cost 3
+    # f32 row gathers + 3 scalar-memory int gathers (S(1) layouts, ~5x) per
+    # batch. Flag bits and offsets stay far below 2^24 — the f32 round-trip
+    # is exact.
+    ent_table = jnp.concatenate(
+        [
+            world["orientation"], world["scale"], world["position"],
+            world["flags"].astype(jnp.float32)[:, None],
+            starts.astype(jnp.float32)[:, None],
+            bank.tri_offset[mid_safe].astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (CAP, 13)
+    erow = ent_table[ent]  # (T, 13)
+    quat = erow[:, 0:4]
+    scale = erow[:, 4:7]
+    pos_e = erow[:, 7:10]
+    ent_flags = erow[:, 10].astype(jnp.int32)
+    tri_within = t_ids - erow[:, 11].astype(jnp.int32)
+    tri_idx = erow[:, 12].astype(jnp.int32) + tri_within
     tri_idx = jnp.clip(tri_idx, 0, bank.num_triangles - 1)
 
-    # gather model-space geometry
-    tv = bank.tri_v[tri_idx]  # (T, 3)
+    # gather model-space geometry (vertex ids + material ride one packed
+    # f32 row — int-typed gathers land in scalar memory)
+    trow = bank.tri_packed[tri_idx]  # (T, 4): v0 v1 v2 material
+    tv = trow[:, 0:3].astype(jnp.int32)
     v_obj = bank.vertices[tv]  # (T, 3, 3)
 
     # object -> world (per-entity TRS, composed on the fly — (T,4,4)
     # matrices are never materialized, see kinematics.refresh_transforms)
-    quat = world["orientation"][ent]  # (T, 4)
-    scale = world["scale"][ent]  # (T, 3)
-    pos_e = world["position"][ent]  # (T, 3)
     w_pos = (
         T.quat_rotate(quat[:, None, :], v_obj * scale[:, None, :])
         + pos_e[:, None, :]
@@ -175,7 +195,7 @@ def build_triangle_batch(
     else:
         n_obj = bank.normals[tv]
         uv = bank.uvs[tv]
-        material = bank.tri_material[tri_idx]
+        material = trow[:, 3].astype(jnp.int32)
         # normal transform for TRS: n' = R @ (n / scale) (inverse-transpose
         # of R S without a matrix inverse)
         safe_scale = jnp.where(jnp.abs(scale) > 1e-12, scale, 1.0)
@@ -189,8 +209,8 @@ def build_triangle_batch(
 
     if not depth_only:
         # transparency routing: material alpha < 1, entity FLAG_TRANSPARENT
-        # or a render-system alpha_scale uniform below 1
-        ent_flags = world["flags"][ent]
+        # or a render-system alpha_scale uniform below 1 (ent_flags rides
+        # the packed entity row gathered above)
         transparent = (bank.mat_alpha[material] < 1.0) | (
             (ent_flags & R.FLAG_TRANSPARENT) != 0
         )

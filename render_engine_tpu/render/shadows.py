@@ -42,7 +42,7 @@ N_PCF = 16  # neighborhood row width: 9 taps padded to a 64-byte row
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["maps", "maps_pcf", "light_mats", "slot_entity",
-                 "slot_face", "cursor"],
+                 "slot_face", "cursor", "tick"],
     meta_fields=["resolution", "pcf_scale"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +59,7 @@ class ShadowState:
     slot_entity: jnp.ndarray  # (BUDGET,) entity index of the light, -1 free
     slot_face: jnp.ndarray  # (BUDGET,) cube face 0-5 (point lights), else 0
     cursor: jnp.ndarray  # int32 round-robin cursor
+    tick: jnp.ndarray  # int32 frames seen (drives update_interval gating)
     resolution: int
     # compute PCF factors every pcf_scale-th pixel and nearest-upsample:
     # the gather is the dominant cost (12.8 ms/slot at 1080p full-res);
@@ -78,6 +79,7 @@ def create_shadow_state(resolution: int = SHADOW_RES,
         slot_entity=jnp.full(budget, -1, jnp.int32),
         slot_face=jnp.zeros(budget, jnp.int32),
         cursor=jnp.int32(0),
+        tick=jnp.int32(0),
         resolution=resolution,
         pcf_scale=pcf_scale,
     )
@@ -219,9 +221,43 @@ def render_shadow_map(
     *,
     max_tris: int = 16384,
     raster_cfg: RasterConfig | None = None,
+    interval: int = 1,
 ) -> ShadowState:
     """One frame's shadow update: choose a light, depth-raster its view into
-    its slot (the shadow render system, render_flow.rs:267-308,1111-1178)."""
+    its slot (the shadow render system, render_flow.rs:267-308,1111-1178).
+
+    ``interval``: render a new map every N-th frame instead of every frame.
+    The reference's budget is AT MOST one new map per frame
+    (shadow_flow.rs:111-133) — with every slot mapped it refreshes each
+    light round-robin, so maps are always schedule-stale; a larger interval
+    stretches that staleness (demo: each of 2 lights refreshes every
+    2*interval frames) and halves the per-frame shadow cost. Skipped frames
+    run only the tick increment (lax.cond — the whole batch build + raster
+    is in the untaken branch). Deterministic: the schedule is a pure
+    function of (state, tick)."""
+    if interval > 1:
+        bumped = dataclasses.replace(shadow, tick=shadow.tick + 1)
+        return jax.lax.cond(
+            shadow.tick % interval == 0,
+            lambda: _render_shadow_map_now(
+                bumped, world, camera, bank, max_tris=max_tris,
+                raster_cfg=raster_cfg),
+            lambda: bumped,
+        )
+    return _render_shadow_map_now(
+        dataclasses.replace(shadow, tick=shadow.tick + 1), world, camera,
+        bank, max_tris=max_tris, raster_cfg=raster_cfg)
+
+
+def _render_shadow_map_now(
+    shadow: ShadowState,
+    world: World,
+    camera,
+    bank,
+    *,
+    max_tris: int,
+    raster_cfg: RasterConfig | None = None,
+) -> ShadowState:
     cfg = raster_cfg or RasterConfig(tile_budget=64, global_budget=16,
                                      pair_budget=4 * max_tris)
     res = shadow.resolution

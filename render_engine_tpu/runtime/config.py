@@ -56,6 +56,10 @@ class EngineConfig:
     # PCF factor subsampling (1 = full res; 2 quarters the dominant gather
     # cost at a penumbra-sharpness cost only)
     shadow_pcf_scale: int = 2
+    # render a new shadow map every N-th frame (1 = reference cadence of
+    # <=1 map per frame; 2 halves per-frame shadow cost by stretching the
+    # round-robin staleness — see shadows.render_shadow_map)
+    shadow_update_interval: int = 1
 
     # record/playback (the is_debugging switch, main.rs:53 / lib.rs:76)
     is_debugging: bool = False

@@ -191,6 +191,7 @@ class Engine:
             from render_engine_tpu.render import shadows as SH
 
             shadow_tris = self.config.shadow_max_tris
+            shadow_ivl = self.config.shadow_update_interval
 
             def render_shadowed(world, camera, shadow_state):
                 # the frame's single shadow-map update (<=1 new map,
@@ -200,7 +201,8 @@ class Engine:
                 # caches outside the replayed state, so this never touches
                 # the step program's determinism.
                 shadow_state = SH.render_shadow_map(
-                    shadow_state, world, camera, bank, max_tris=shadow_tris)
+                    shadow_state, world, camera, bank, max_tris=shadow_tris,
+                    interval=shadow_ivl)
                 img = render_frame(world, camera, bank, settings,
                                    cubemap=cubemap, atlas=atlas,
                                    shadow_state=shadow_state,
@@ -222,12 +224,14 @@ class Engine:
             from render_engine_tpu.render import shadows as SH
 
             shadow_tris = self.config.shadow_max_tris
+            shadow_ivl = self.config.shadow_update_interval
 
             def frame_fused(world, camera, shadow_state, inputs, dt):
                 world, camera, drops = step_fn(
                     world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
                 shadow_state = SH.render_shadow_map(
-                    shadow_state, world, camera, bank, max_tris=shadow_tris)
+                    shadow_state, world, camera, bank, max_tris=shadow_tris,
+                    interval=shadow_ivl)
                 img = render_frame(world, camera, bank, settings,
                                    cubemap=cubemap, atlas=atlas,
                                    shadow_state=shadow_state,
@@ -266,7 +270,8 @@ class Engine:
                                       bank.aabb_max)
                 if has_shadows:
                     sh = SH2.render_shadow_map(
-                        sh, w, c, bank, max_tris=self.config.shadow_max_tris)
+                        sh, w, c, bank, max_tris=self.config.shadow_max_tris,
+                        interval=self.config.shadow_update_interval)
                 img = render_frame(w, c, bank, settings, cubemap=cubemap,
                                    atlas=atlas, shadow_state=sh,
                                    systems=systems)

@@ -93,6 +93,28 @@ class TestShadowState:
         assert (np.asarray(shadow2.slot_entity) == -1).all()
 
 
+    def test_update_interval_skips_frames(self):
+        """interval=2: maps render on even ticks only; skipped frames just
+        bump the tick (the headline demo's stretched round-robin)."""
+        w, bank = self._world_with_light_and_blocker()
+        cam = (CameraBuilder().with_position(64.0, 25.0, 80.0)
+               .with_draw_distance(500.0).build())
+        cfg = RasterConfig(tile_budget=16, global_budget=8)
+        sh = SH.create_shadow_state(resolution=64, budget=2)
+        sh = SH.render_shadow_map(sh, w, cam, bank, max_tris=64,
+                                  raster_cfg=cfg, interval=2)  # tick 0: runs
+        assert int(sh.tick) == 1
+        c1 = int(sh.cursor)
+        assert (np.asarray(sh.slot_entity) >= 0).any()
+        sh = SH.render_shadow_map(sh, w, cam, bank, max_tris=64,
+                                  raster_cfg=cfg, interval=2)  # tick 1: skips
+        assert int(sh.tick) == 2
+        assert int(sh.cursor) == c1  # choose_light did not run
+        sh = SH.render_shadow_map(sh, w, cam, bank, max_tris=64,
+                                  raster_cfg=cfg, interval=2)  # tick 2: runs
+        assert int(sh.cursor) == c1 + 1
+
+
 class TestCubeShadows:
     def test_point_light_fills_faces_over_frames(self):
         """A point light claims one cube face per frame (the reference's
