@@ -40,7 +40,7 @@ def main():
     eng = build_space_engine(
         width=width, height=height, capacity=capacity,
         num_asteroids=n_ast, max_tris=max_tris,
-        shadow_tile_budget=float(os.environ.get("BENCH_SHADOW_TILES", 0.3)),
+        shadow_tile_budget=float(os.environ.get("BENCH_SHADOW_TILES", 0.2)),
     )
     eng.config.record_history = False
 
@@ -63,14 +63,25 @@ def main():
     # through the axon tunnel (~28 vs ~21 ms/frame at N=30: identical
     # device time but ~270 ms per-call host overhead + a fresh multi-minute
     # compile per scan length) — keep the per-frame loop here.
-    t0 = time.perf_counter()
-    for i in range(frames):
-        img = eng.frame(InputState.idle(100 + i).with_keys(KEY_W),
-                        dt=1 / 60, render=True)
-    sync(img)
-    dt = time.perf_counter() - t0
+    # MEDIAN of 3 timed windows: the axon tunnel's throughput wobbles a few
+    # percent run to run (one observed transient measured 20x slow); a
+    # median is the honest steady-state figure. Every window simulates and
+    # renders every frame. The ship patrols (thrust, brake, thrust) so all
+    # three windows view comparable scene content instead of flying off.
+    from render_engine_tpu.logic.types import KEY_S
 
-    fps = frames / dt
+    windows = []
+    fidx = 100
+    for key in (KEY_W, KEY_S, KEY_W):
+        t0 = time.perf_counter()
+        for i in range(frames):
+            img = eng.frame(InputState.idle(fidx).with_keys(key),
+                            dt=1 / 60, render=True)
+            fidx += 1
+        sync(img)
+        windows.append(frames / (time.perf_counter() - t0))
+
+    fps = float(np.median(windows))
     alive = int(np.asarray(eng.world.alive).sum())
     result = {
         "metric": (
@@ -80,6 +91,7 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
+        "windows_fps": [round(w, 2) for w in windows],
         # budget-overflow observability: nonzero counters mean the frame
         # silently truncated work (grow the corresponding budget)
         "drops": eng.drop_stats(),

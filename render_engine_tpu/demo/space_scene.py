@@ -360,8 +360,11 @@ def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42):
             np.uint32),
     )
 
-    # star-splat skybox: gather-free background (see render/skybox.py);
-    # a cubemap can be swapped in via engine.set_skybox(cubemap_array)
+    # star-splat skybox: gather-free background (see render/skybox.py).
+    # Real 6-face cubemap alternative (the reference's space skybox,
+    # skybox.rs:4-19): engine.set_skybox(
+    #     SB.cubemap_rows(SB.starfield_cubemap())) — one row gather per
+    # pixel (~6 ms/frame at 1080p), exact vs the 4-tap golden sampler
     engine.set_skybox(SB.make_starfield(2400))
 
     # user render systems: the default lit deferred system over everything
@@ -390,7 +393,7 @@ def space_config(
     enable_shadows: bool = True,
     shadow_resolution: int | None = None,
     shadow_max_tris: int | None = None,
-    shadow_tile_budget: float = 0.3,
+    shadow_tile_budget: float = 0.2,
 ) -> EngineConfig:
     from render_engine_tpu.render.raster_jnp import RasterConfig
 
@@ -400,6 +403,8 @@ def space_config(
     if shadow_resolution is None:
         shadow_resolution = 1024 if height >= 240 else 128
     if shadow_max_tris is None:
+        # at shadow_lov_bias 2 the light-frustum request is ~7k triangles
+        # (shadow_triangle_dropped counts overflow; 8192 keeps it 0)
         shadow_max_tris = 8192 if height >= 240 else 1024
     # real frames stretch the round-robin: the reference's budget is AT
     # MOST one new map per frame (each of the demo's 2 lights refreshes
@@ -423,10 +428,13 @@ def space_config(
                               # budget is PER SLOT and applies after the
                               # per-slot light-frustum tile cull.
                               shadow_tile_budget=shadow_tile_budget,
-                              # 0.08 covers the station's textured tiles
-                              # with ~2x headroom at the demo viewpoint
-                              # (texture_tile_overflow stays 0 in drops)
-                              texture_tile_budget=0.08,
+                              # 0.04 covers the station's textured tiles
+                              # with headroom at the demo viewpoint
+                              # (texture_tile_overflow stays 0 in drops);
+                              # tiny CI targets have so few tiles the
+                              # fraction needs to be large
+                              texture_tile_budget=(0.04 if height >= 240
+                                                   else 0.5),
                               # pair_budget: live (tile, tri) pairs run
                               # ~1.5 per visible triangle; 4x max_tris
                               # halves the binning scatter's row count
@@ -436,7 +444,7 @@ def space_config(
                               # drops — per-candidate costs don't dominate
                               raster=RasterConfig(tile_budget=96,
                                                   global_budget=32,
-                                                  pair_budget=4 * max_tris)),
+                                                  pair_budget=3 * max_tris)),
         entity_types=ENTITY_TYPES,
         spawn_budget=spawn_budget,
         build_scene=lambda e: build_scene(e, num_asteroids=num_asteroids),
@@ -445,6 +453,12 @@ def space_config(
         shadow_resolution=shadow_resolution,
         shadow_max_tris=shadow_max_tris,
         shadow_update_interval=shadow_update_interval,
+        # shadow casters use two-bands-coarser LoV (the reference's
+        # shadow_render_system_lov, render_thread.rs:97-104): the light
+        # frustum sees ~2.4x the camera-visible triangle count at full
+        # detail (shadow_triangle_dropped counted ~14k over an 6144 budget
+        # without it); at bias 2 the requested count fits the budget
+        shadow_lov_bias=2,
     )
 
 

@@ -93,13 +93,16 @@ class ModelBank:
     def model_index(self, name: str) -> int:
         return self.names.index(name)
 
-    def lov_model_id(self, model_id, distance, draw_distance):
+    def lov_model_id(self, model_id, distance, draw_distance, band_bias=0):
         """Vectorized (model, camera distance) -> bank entry with the LoV
         band applied (the ModelId bit-packing replacement). ``model_id``
-        int32 (N,), ``distance`` f32 (N,)."""
+        int32 (N,), ``distance`` f32 (N,). ``band_bias`` shifts every
+        selection toward coarser bands — the shadow pass's own LoV
+        (the reference's shadow_render_system_lov,
+        src/threads/render_thread.rs:97-104, load_models.rs:27)."""
         frac = distance / jnp.float32(draw_distance)
         band = jnp.searchsorted(self.lov_fractions, frac, side="right")
-        band = jnp.clip(band, 0, NUM_LOV_BANDS)  # index L = beyond last band
+        band = jnp.clip(band + band_bias, 0, NUM_LOV_BANDS)  # L = beyond last
         safe = jnp.clip(model_id, 0, self.lov_table.shape[0] - 1)
         return jnp.where(
             model_id >= 0,

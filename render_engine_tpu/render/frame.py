@@ -187,16 +187,9 @@ def render_frame(
              "point": lights.pt_entity},
         )
 
-    # --- background: starfield splats, cubemap, or clear color ----------
-    if isinstance(cubemap, SB.Starfield):
-        background = SB.starfield_background(camera, cubemap, h, w)
-    elif cubemap is not None:
-        dirs = SB.pixel_ray_directions(camera, h, w)
-        background = SB.sample_cubemap(cubemap, dirs)
-    else:
-        background = jnp.broadcast_to(
-            jnp.asarray(settings.clear_color, jnp.float32), (h, w, 3)
-        )
+    # --- background: starfield splats, cubemap rows, or clear color -----
+    background = SB.background_for(camera, cubemap, h, w,
+                                   settings.clear_color)
 
     color = L.shade(
         gbuf, lights, bank, camera.position,
@@ -553,14 +546,8 @@ def _render_frame_pallas_tiled(
             max_point=settings.max_point_lights,
             max_spot=settings.max_spot_lights,
         )
-        if isinstance(cubemap, SB.Starfield):
-            background = SB.starfield_background(camera, cubemap, h, w)
-        elif cubemap is not None:
-            dirs = SB.pixel_ray_directions(camera, h, w)
-            background = SB.sample_cubemap(cubemap, dirs)
-        else:
-            background = jnp.broadcast_to(
-                jnp.asarray(settings.clear_color, jnp.float32), (h, w, 3))
+        background = SB.background_for(camera, cubemap, h, w,
+                                       settings.clear_color)
         return tiled_fused_core(
             batch, lights, bank, settings, camera,
             width=w, h_total=h, h_local=h, y_off=0.0,
@@ -675,16 +662,9 @@ def _render_frame_pallas_tiled(
     covered_i = img[..., 7:8] > 0.5
     t_front_i = img[..., 8:9] > 0.5
 
-    # background (image space): starfield splats / cubemap / clear color
-    if isinstance(cubemap, SB.Starfield):
-        background = SB.starfield_background(camera, cubemap, h, w)
-    elif cubemap is not None:
-        dirs = SB.pixel_ray_directions(camera, h, w)
-        background = SB.sample_cubemap(cubemap, dirs)
-    else:
-        background = jnp.broadcast_to(
-            jnp.asarray(settings.clear_color, jnp.float32), (h, w, 3))
-
+    # background (image space): starfield / cubemap rows / clear color
+    background = SB.background_for(camera, cubemap, h, w,
+                                   settings.clear_color)
     base = jnp.where(covered_i, color_i, background)
     out = jnp.where(t_front_i, alpha_i * t_lit_i + (1.0 - alpha_i) * base,
                     base)

@@ -76,6 +76,7 @@ def build_triangle_batch(
     proj_view: jnp.ndarray | None = None,
     systems=None,
     depth_only: bool = False,
+    lov_bias: int = 0,
 ) -> TriangleBatch:
     """Cull, LoV-select, and expand instances into screen triangles.
 
@@ -116,7 +117,8 @@ def build_triangle_batch(
         dist = jnp.linalg.norm(
             world["position"] - camera.position[None], axis=-1
         )
-        lov_mid = bank.lov_model_id(mid, dist, camera.draw_distance)
+        lov_mid = bank.lov_model_id(mid, dist, camera.draw_distance,
+                                    band_bias=lov_bias)
         if msys is None:
             mid = lov_mid
         else:  # per-system casts_lov gate

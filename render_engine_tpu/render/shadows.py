@@ -222,6 +222,7 @@ def render_shadow_map(
     max_tris: int = 16384,
     raster_cfg: RasterConfig | None = None,
     interval: int = 1,
+    lov_bias: int = 0,
 ) -> ShadowState:
     """One frame's shadow update: choose a light, depth-raster its view into
     its slot (the shadow render system, render_flow.rs:267-308,1111-1178).
@@ -241,12 +242,12 @@ def render_shadow_map(
             shadow.tick % interval == 0,
             lambda: _render_shadow_map_now(
                 bumped, world, camera, bank, max_tris=max_tris,
-                raster_cfg=raster_cfg),
+                raster_cfg=raster_cfg, lov_bias=lov_bias),
             lambda: bumped,
         )
     return _render_shadow_map_now(
         dataclasses.replace(shadow, tick=shadow.tick + 1), world, camera,
-        bank, max_tris=max_tris, raster_cfg=raster_cfg)
+        bank, max_tris=max_tris, raster_cfg=raster_cfg, lov_bias=lov_bias)
 
 
 def _render_shadow_map_now(
@@ -257,6 +258,7 @@ def _render_shadow_map_now(
     *,
     max_tris: int,
     raster_cfg: RasterConfig | None = None,
+    lov_bias: int = 0,
 ) -> ShadowState:
     cfg = raster_cfg or RasterConfig(tile_budget=64, global_budget=16,
                                      pair_budget=4 * max_tris)
@@ -271,9 +273,13 @@ def _render_shadow_map_now(
     )
     pv = light_proj_view(world, light, face=face)
 
+    # the shadow pass's own (coarser) LoV — shadow_render_system_lov
+    # semantics (render_thread.rs:97-104): silhouettes at 1024^2 don't
+    # need full-detail geometry, and the light frustum usually covers far
+    # more instances than the camera's
     batch = build_triangle_batch(
         world, bank, camera, max_tris=max_tris,
-        apply_lov=True, proj_view=pv, depth_only=True,
+        apply_lov=True, proj_view=pv, depth_only=True, lov_bias=lov_bias,
     )
     batch = to_screen(batch, res, res)
     depth, _ = rasterizer(batch, res, res, cfg)

@@ -60,6 +60,9 @@ class EngineConfig:
     # <=1 map per frame; 2 halves per-frame shadow cost by stretching the
     # round-robin staleness — see shadows.render_shadow_map)
     shadow_update_interval: int = 1
+    # LoV band shift for shadow casters (the shadow pass's own coarser
+    # level-of-view — shadow_render_system_lov, render_thread.rs:97-104)
+    shadow_lov_bias: int = 0
 
     # record/playback (the is_debugging switch, main.rs:53 / lib.rs:76)
     is_debugging: bool = False

@@ -192,6 +192,7 @@ class Engine:
 
             shadow_tris = self.config.shadow_max_tris
             shadow_ivl = self.config.shadow_update_interval
+            shadow_lov = self.config.shadow_lov_bias
 
             def render_shadowed(world, camera, shadow_state):
                 # the frame's single shadow-map update (<=1 new map,
@@ -202,7 +203,7 @@ class Engine:
                 # the step program's determinism.
                 shadow_state = SH.render_shadow_map(
                     shadow_state, world, camera, bank, max_tris=shadow_tris,
-                    interval=shadow_ivl)
+                    interval=shadow_ivl, lov_bias=shadow_lov)
                 img = render_frame(world, camera, bank, settings,
                                    cubemap=cubemap, atlas=atlas,
                                    shadow_state=shadow_state,
@@ -225,13 +226,14 @@ class Engine:
 
             shadow_tris = self.config.shadow_max_tris
             shadow_ivl = self.config.shadow_update_interval
+            shadow_lov = self.config.shadow_lov_bias
 
             def frame_fused(world, camera, shadow_state, inputs, dt):
                 world, camera, drops = step_fn(
                     world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
                 shadow_state = SH.render_shadow_map(
                     shadow_state, world, camera, bank, max_tris=shadow_tris,
-                    interval=shadow_ivl)
+                    interval=shadow_ivl, lov_bias=shadow_lov)
                 img = render_frame(world, camera, bank, settings,
                                    cubemap=cubemap, atlas=atlas,
                                    shadow_state=shadow_state,
@@ -271,7 +273,8 @@ class Engine:
                 if has_shadows:
                     sh = SH2.render_shadow_map(
                         sh, w, c, bank, max_tris=self.config.shadow_max_tris,
-                        interval=self.config.shadow_update_interval)
+                        interval=self.config.shadow_update_interval,
+                        lov_bias=self.config.shadow_lov_bias)
                 img = render_frame(w, c, bank, settings, cubemap=cubemap,
                                    atlas=atlas, shadow_state=sh,
                                    systems=systems)
@@ -509,6 +512,23 @@ class Engine:
                         axis=1)
                     out["texture_tile_overflow"] = jnp.maximum(
                         jnp.sum(tex_cand.astype(jnp.int32)) - ttb, 0)
+                if shadow_state is not None:
+                    # shadow-pass triangle budget overflow: rebuild the
+                    # depth-only batch the NEXT update would rasterize
+                    # (same choose_light schedule) and count the excess
+                    from render_engine_tpu.render import shadows as SHD
+
+                    _, _, slight, sface, _ = SHD.choose_light(
+                        shadow_state, world, camera.position)
+                    spv = SHD.light_proj_view(world, slight, face=sface)
+                    sbatch = build_triangle_batch(
+                        world, bank, camera,
+                        max_tris=self.config.shadow_max_tris,
+                        apply_lov=True, proj_view=spv, depth_only=True,
+                        lov_bias=self.config.shadow_lov_bias)
+                    out["shadow_triangle_dropped"] = jnp.maximum(
+                        sbatch.total_requested
+                        - self.config.shadow_max_tris, 0)
                 if shadow_state is not None:
                     # true per-slot PCF overflow: raster the frame's depth
                     # and count frustum-needed tiles beyond the budget

@@ -321,6 +321,30 @@ class TestSkybox:
         np.testing.assert_allclose(np.linalg.norm(dirs, axis=-1), 1.0,
                                    atol=1e-5)
 
+    def test_cubemap_rows_matches_gather_sampler(self):
+        """The row-gather cubemap sampler (one contiguous row per pixel)
+        reproduces the 4-tap golden sampler exactly — same coordinate math,
+        same edge clamp, same combine order."""
+        rng = np.random.default_rng(3)
+        cm = jnp.asarray(rng.uniform(0, 1, (6, 16, 16, 3)).astype(np.float32))
+        d = rng.normal(size=(500, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        dirs = jnp.asarray(d)
+        golden = np.asarray(SB.sample_cubemap(cm, dirs))
+        fast = np.asarray(SB.sample_cubemap_rows(SB.cubemap_rows(cm), dirs))
+        np.testing.assert_allclose(fast, golden, atol=1e-6)
+
+    def test_cubemap_rows_background_in_frame(self):
+        """background_for dispatches a CubemapRows skybox through the full
+        frame path."""
+        cam = front_camera()
+        cm = SB.cubemap_rows(SB.starfield_cubemap(size=32, stars_per_face=20))
+        bg = np.asarray(SB.background_for(cam, cm, H, WIDTH))
+        assert bg.shape == (H, WIDTH, 3)
+        assert np.isfinite(bg).all()
+        # deep-space base color everywhere stars are absent
+        assert bg.min() >= 0.0 and bg.max() <= 1.0
+
     def test_starfield_splats(self):
         """A star straight ahead lands at the screen center; one behind the
         camera does not draw."""
