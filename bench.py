@@ -26,7 +26,7 @@ def main():
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     n_ast = int(os.environ.get("BENCH_ASTEROIDS", 10000))
-    frames = int(os.environ.get("BENCH_FRAMES", 30))
+    frames = int(os.environ.get("BENCH_FRAMES", 50))
     # budget sizing: the scattered 10k-asteroid field leaves ~8.6k visible
     # triangles after culling+LoV; every geometry/binning stage pays for the
     # full budget, so keep headroom modest (~1.9x; triangle_budget_dropped
@@ -78,7 +78,10 @@ def main():
             img = eng.frame(InputState.idle(fidx).with_keys(key),
                             dt=1 / 60, render=True)
             fidx += 1
-        sync(img)
+        # ONE readback: the last image depends on the last stepped world,
+        # so this proves the whole fused chain drained (a second readback
+        # costs another ~28 ms tunnel round trip inside the timed window)
+        float(jnp.sum(img))
         windows.append(frames / (time.perf_counter() - t0))
 
     fps = float(np.median(windows))
