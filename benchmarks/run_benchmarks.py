@@ -53,7 +53,13 @@ def _time_frames(eng, frames, render=True, key=None):
     for i in range(frames):
         out = eng.frame(InputState.idle(100 + i).with_keys(KEY_W), 1 / 60,
                         render=render)
-    _sync(eng, out)
+    # ONE readback inside the timed region: the last frame's image (or the
+    # stepped world for render=False) proves the whole chain drained; each
+    # extra readback is a ~28 ms tunnel round trip measured into the run
+    if out is not None:
+        float(jnp.sum(out))
+    else:
+        float(jnp.sum(eng.world["position"]))
     return frames / (time.perf_counter() - t0)
 
 

@@ -436,8 +436,8 @@ def space_config(
                               texture_tile_budget=(0.04 if height >= 240
                                                    else 0.5),
                               # pair_budget: live (tile, tri) pairs run
-                              # ~1.5 per visible triangle; 4x max_tris
-                              # halves the binning scatter's row count
+                              # ~1.5 per visible triangle; 3x max_tris
+                              # cuts the binning scatter's row count 2.7x
                               # (overflow would show in drop stats)
                               # tile_budget 64 measured SLOWER than 96
                               # (52.6 vs 54.2 FPS) with 5x the candidate

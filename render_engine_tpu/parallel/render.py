@@ -84,15 +84,10 @@ def render_frame_sharded(
         max_spot=settings.max_spot_lights,
     )
 
-    # background rows for the padded image (extra rows are cropped)
-    if isinstance(cubemap, SB.Starfield):
-        background = SB.starfield_background(camera, cubemap, hp, w)
-    elif cubemap is not None:
-        dirs = SB.pixel_ray_directions(camera, hp, w)
-        background = SB.sample_cubemap(cubemap, dirs)
-    else:
-        background = jnp.broadcast_to(
-            jnp.asarray(settings.clear_color, jnp.float32), (hp, w, 3))
+    # background rows for the padded image (extra rows are cropped);
+    # background_for handles every skybox kind incl. CubemapRows
+    background = SB.background_for(camera, cubemap, hp, w,
+                                   settings.clear_color)
 
     # optional args can be None — build the arg/spec lists dynamically so
     # the pytree structures line up

@@ -149,13 +149,15 @@ def build_triangle_batch(
     ].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
     ent = ent_of_rank[jnp.clip(rank, 0, cap - 1)]
     valid = t_ids < total
-    tri_within = t_ids - starts[ent]
 
     # per-ENTITY attributes as ONE packed f32 row gather (quat 4 | scale 3 |
     # pos 3 | flags | tri start | lov tri offset): separate gathers cost 3
     # f32 row gathers + 3 scalar-memory int gathers (S(1) layouts, ~5x) per
-    # batch. Flag bits and offsets stay far below 2^24 — the f32 round-trip
-    # is exact.
+    # batch. f32 exactness: flag bits and bank offsets are < 2^24 by
+    # construction, and a START value is only ever CONSUMED for rows whose
+    # entity expanded within the budget (bump_at keeps starts >= max_tris
+    # out of rank), so consumed starts are < max_tris < 2^24 — huge
+    # pre-budget cumsum values may round in the table but are never read.
     ent_table = jnp.concatenate(
         [
             world["orientation"], world["scale"], world["position"],

@@ -250,6 +250,14 @@ def render_shadow_map(
         bank, max_tris=max_tris, raster_cfg=raster_cfg, lov_bias=lov_bias)
 
 
+def shadow_raster_cfg(max_tris: int) -> RasterConfig:
+    """Default raster config of the shadow depth pass — shared with the
+    engine's drop diagnostics so the counted binning budgets are exactly
+    the ones the pass runs with."""
+    return RasterConfig(tile_budget=64, global_budget=16,
+                        pair_budget=4 * max_tris)
+
+
 def _render_shadow_map_now(
     shadow: ShadowState,
     world: World,
@@ -260,8 +268,7 @@ def _render_shadow_map_now(
     raster_cfg: RasterConfig | None = None,
     lov_bias: int = 0,
 ) -> ShadowState:
-    cfg = raster_cfg or RasterConfig(tile_budget=64, global_budget=16,
-                                     pair_budget=4 * max_tris)
+    cfg = raster_cfg or shadow_raster_cfg(max_tris)
     res = shadow.resolution
     # depth raster via the Pallas tile kernel on TPU (31x the jnp path at
     # this size; see docs/STATUS.md), jnp golden elsewhere

@@ -34,33 +34,9 @@ def pixel_ray_directions(camera, height: int, width: int) -> jnp.ndarray:
 def sample_cubemap(cubemap: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Bilinear cubemap sample. ``cubemap``: (6, S, S, 3) faces ordered
     +X, -X, +Y, -Y, +Z, -Z (the GL convention the reference uploads in,
-    cubemap.rs:57-125); ``dirs``: (..., 3) unit vectors."""
-    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
-    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
-
-    # face selection
-    is_x = (ax >= ay) & (ax >= az)
-    is_y = (ay > ax) & (ay >= az)
-    face = jnp.where(
-        is_x,
-        jnp.where(x >= 0, 0, 1),
-        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
-    )
-    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
-    ma = jnp.maximum(ma, 1e-9)
-
-    # per-face (u, v) in [-1, 1] (GL cubemap face orientations)
-    u = jnp.where(
-        is_x,
-        jnp.where(x >= 0, -z, z),
-        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
-    ) / ma
-    v = jnp.where(
-        is_x,
-        -y,
-        jnp.where(is_y, jnp.where(y >= 0, z, -z), -y),
-    ) / ma
-
+    cubemap.rs:57-125); ``dirs``: (..., 3) unit vectors. Shares _face_uv
+    with the row sampler so the two stay exactly equivalent."""
+    face, u, v = _face_uv(dirs)
     s = cubemap.shape[1]
     uf = (u * 0.5 + 0.5) * (s - 1)
     vf = (v * 0.5 + 0.5) * (s - 1)

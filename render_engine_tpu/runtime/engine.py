@@ -278,14 +278,18 @@ class Engine:
                 img = render_frame(w, c, bank, settings, cubemap=cubemap,
                                    atlas=atlas, shadow_state=sh,
                                    systems=systems)
-                return (w, c, sh, img), None
+                return (w, c, sh, img), drops
 
             init_img = jnp.zeros((settings.height, settings.width, 3),
                                  jnp.float32)
-            (world, camera, shadow_state, img), _ = jax.lax.scan(
+            (world, camera, shadow_state, img), drops_seq = jax.lax.scan(
                 body, (world, camera, shadow_state, init_img),
                 (inputs_batch, dts))
-            return world, camera, shadow_state, img
+            # the LAST frame's step drop counters (drop_stats contract)
+            import jax.tree_util as jtu
+
+            last_drops = jtu.tree_map(lambda a: a[-1], drops_seq)
+            return world, camera, shadow_state, img, last_drops
 
         self._frames_scan = jax.jit(frames_scan, donate_argnums=(0, 2))
 
@@ -409,7 +413,8 @@ class Engine:
         stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *chained)
         dts = jnp.asarray(dts, jnp.float32)
         t0 = time.perf_counter()
-        self.world, self.camera, self.shadow_state, img = self._frames_scan(
+        (self.world, self.camera, self.shadow_state, img,
+         self._last_drops) = self._frames_scan(
             self.world, self.camera, self.shadow_state, stacked, dts)
         self.frame_index += len(inputs_list)
         per = (time.perf_counter() - t0) / len(inputs_list)
@@ -496,10 +501,20 @@ class Engine:
                     batch.total_requested - settings.max_tris, 0)
                 out = {"triangle_budget_dropped": tri_dropped,
                        "tile_candidate_dropped": cand_dropped}
-                if atlas is not None:
+                from render_engine_tpu.render.frame import pick_rasterizer
+                from render_engine_tpu.render.raster_pallas import (
+                    rasterize_depth_winner_pallas,
+                )
+
+                tiled_path = (pick_rasterizer(settings.backend)
+                              is rasterize_depth_winner_pallas)
+                if atlas is not None and tiled_path:
                     # textured-candidate tiles beyond texture_tile_budget
                     # degrade to solid albedo; count them (conservative:
-                    # candidate-level superset of textured winners)
+                    # candidate-level superset of textured winners). Only
+                    # the tiled Pallas path applies this budget — the jnp
+                    # path samples the atlas per pixel, so counting there
+                    # would report truncation that never happened.
                     nt_ = tiles_x * tiles_y
                     ttb = max(1, int(round(
                         nt_ * settings.texture_tile_budget)))
@@ -529,6 +544,16 @@ class Engine:
                     out["shadow_triangle_dropped"] = jnp.maximum(
                         sbatch.total_requested
                         - self.config.shadow_max_tris, 0)
+                    # binning overflow of the shadow raster itself (same
+                    # config the pass runs with — shadow_raster_cfg)
+                    scfg = SHD.shadow_raster_cfg(self.config.shadow_max_tris)
+                    res = self.config.shadow_resolution
+                    sb2 = to_screen(sbatch, res, res)
+                    s_tx = -(-res // scfg.tile_w)
+                    s_ty = -(-res // scfg.tile_h)
+                    _, _, _, s_cand_dropped = _bin_triangles(
+                        sb2, scfg, s_tx, s_ty)
+                    out["shadow_tile_candidate_dropped"] = s_cand_dropped
                 if shadow_state is not None:
                     # true per-slot PCF overflow: raster the frame's depth
                     # and count frustum-needed tiles beyond the budget
