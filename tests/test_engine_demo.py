@@ -95,3 +95,16 @@ class TestEngineShadows:
         # PCF/coverage thresholds can flip isolated pixels between the two
         # compilations; the images must agree except at such knife edges
         assert (np.abs(da - db) > 1e-2).mean() < 0.01
+
+    def test_run_frames_rendered_updates_drop_counters(self):
+        """The scan path must not leave _last_drops stale: drop_stats after
+        run_frames_rendered reflects the scanned frames' step counters."""
+        eng = build_space_engine(**KW)
+        eng.config.record_history = False
+        ins = [InputState.idle(i) for i in range(3)]
+        eng.run_frames_rendered(ins, [1 / 30] * 3)
+        d = eng.drop_stats()
+        # step counters present (values are scene-dependent; zero here)
+        for k in ("spawn_dropped", "collision_query_dropped", "oob_killed"):
+            assert k in d
+        assert all(v >= 0 for v in d.values())
