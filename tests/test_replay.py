@@ -193,3 +193,40 @@ class TestConfigChangeReplay:
         img2, _ = player.step(render=True)
         assert img2.shape == (16, 64, 3)
         assert world_hash(eng2.world) == h_live
+
+
+class TestChurnStress:
+    def test_capacity_churn_replays_bitwise(self):
+        """Integration stress: a near-capacity world where in-step spawning
+        hits the ceiling (spawn backpressure) must still replay
+        bit-identically, and the pressure must be visible in drop stats.
+
+        28 slots hold the fixed population (2 stars + 20 asteroids +
+        wormhole + producer + station + user = 26) plus two free; the mine
+        producer fires every 4 frames at dt = 1.0, exhausting the free
+        slots within the run (MINE_SPAWN_PERIOD = 4 s)."""
+        kw = dict(width=64, height=16, capacity=28, num_asteroids=20,
+                  max_tris=2048, spawn_budget=2)
+        eng = build_space_engine(**kw)
+        hashes = []
+        spawn_drops = 0
+        for i in range(40):
+            # large dt accelerates the producer's timer; varied keys churn
+            # the user entity through the recorded input stream
+            key = KEY_W if i % 3 else KEY_UP
+            eng.frame(InputState.idle(i).with_keys(key), 1.0, render=False)
+            hashes.append(world_hash(eng.world))
+            if eng._last_drops is not None:
+                spawn_drops += int(eng._last_drops["spawn_dropped"])
+        alive = int(np.asarray(eng.world.alive).sum())
+        # filled to (or within a kill of) capacity — OOB mine deaths can
+        # free a slot between spawns
+        assert alive >= eng.world.capacity - 2
+        assert spawn_drops > 0  # backpressure observed, not silent
+
+        # bit-identical replay of the whole churn
+        eng2 = build_space_engine(**kw)
+        player = Player(eng2, eng.history)
+        for i in range(eng.history.num_frames):
+            player.step(render=False)
+            assert world_hash(eng2.world) == hashes[i], f"frame {i} diverged"
