@@ -69,16 +69,40 @@ def main():
                 tot[e["name"]] += e["dur"]
         return tot
 
+    def by_source(win):
+        """Aggregate op time by source file:line (the attribution that
+        actually finds hot code; NOTE conditionals' spans INCLUDE their
+        inner ops, so cond lines double-count against their bodies)."""
+        t0, t1 = win["ts"], win["ts"] + win["dur"]
+        tot = collections.Counter()
+        cnt = collections.Counter()
+        for e in ev:
+            if (e.get("ph") == "X" and "dur" in e
+                    and not e.get("name", "").startswith("jit_")
+                    and e["ts"] >= t0 and e["ts"] + e["dur"] <= t1):
+                src = e.get("args", {}).get("source", "<none>")
+                src = src.replace("/root/repo/render_engine_tpu/", "")
+                tot[src] += e["dur"]
+                cnt[src] += 1
+        return tot, cnt
+
     for label, prefix in (("STEP", "jit_step_only"),
                           ("RENDER", "jit_render_pure"),
                           ("RENDER", "jit_render_shadowed"),
                           ("FRAME", "jit_frame_fused")):
-        win = next((s for s in spans if s["name"].startswith(prefix)), None)
-        if win is None:
-            continue
-        print(f"=== {label} top ops (one frame window, {win['dur']/1e3:.1f} ms)")
-        for n, d in ops_in(win).most_common(30):
-            print(f"{d/1e3:8.2f} ms  {n[:100]}")
+        # report BOTH captured frame windows when they differ (shadow
+        # update frames vs skip frames under shadow_update_interval)
+        wins = [s for s in spans if s["name"].startswith(prefix)][:2]
+        for wi, win in enumerate(wins):
+            print(f"=== {label} window {wi} ({win['dur']/1e3:.1f} ms) "
+                  "by source line")
+            tot, cnt = by_source(win)
+            for n, d in tot.most_common(20):
+                print(f"{d/1e3:8.2f} ms  x{cnt[n]:4d}  {n}")
+        if wins:
+            print(f"=== {label} top ops (window 0)")
+            for n, d in ops_in(wins[0]).most_common(15):
+                print(f"{d/1e3:8.2f} ms  {n[:100]}")
 
 
 if __name__ == "__main__":
