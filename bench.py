@@ -4,25 +4,112 @@
 one TPU core; metric = FPS (driver target: >60). The reference publishes no
 numbers (BASELINE.md), so vs_baseline is FPS / 60-FPS-target.
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
 
-Env knobs: BENCH_WIDTH/HEIGHT/ASTEROIDS/FRAMES/MAX_TRIS.
+The axon TPU tunnel demonstrably locks up for minutes at a time (round-2
+capture died with "Unable to initialize backend 'axon': UNAVAILABLE"), so
+the top-level process is a SUPERVISOR: it probes backend health in
+timeout-bounded subprocesses with backoff, then runs the actual bench in a
+child process and retries the whole child on failure. Only the child prints
+to stdout; all supervisor chatter goes to stderr.
+
+Env knobs: BENCH_WIDTH/HEIGHT/ASTEROIDS/FRAMES/MAX_TRIS,
+BENCH_ATTEMPTS/BENCH_TIMEOUT/BENCH_PROBE_BUDGET.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+
+def _log(msg):
+    print(f"[bench supervisor] {msg}", file=sys.stderr, flush=True)
+
+
+_PROBE_CODE = (
+    "import jax, jax.numpy as jnp;"
+    "print('probe ok:', float(jnp.ones((8, 128)).sum()),"
+    " jax.default_backend())"
+)
+
+
+def _probe_backend(timeout_s: float) -> bool:
+    """Touch the TPU backend in a throwaway process (a hung tunnel call
+    cannot be interrupted in-process, so probe where we can kill it)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        _log(f"probe timed out after {timeout_s:.0f}s (tunnel locked?)")
+        return False
+    if proc.returncode == 0:
+        _log(proc.stdout.strip())
+        return True
+    _log(f"probe failed rc={proc.returncode}: {proc.stderr.strip()[-500:]}")
+    return False
+
+
+def _wait_for_backend(budget_s: float) -> bool:
+    """Retry the probe with backoff until it passes or the budget is gone."""
+    deadline = time.monotonic() + budget_s
+    delay = 20.0
+    while True:
+        if _probe_backend(timeout_s=240):
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        sleep_s = min(delay, remaining)
+        _log(f"backing off {sleep_s:.0f}s "
+             f"({remaining:.0f}s of probe budget left)")
+        time.sleep(sleep_s)
+        delay = min(delay * 2, 120.0)
+
+
+def supervise() -> int:
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
+    child_timeout = float(os.environ.get("BENCH_TIMEOUT", 2400))
+    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET", 900))
+
+    env = dict(os.environ)
+    env["_BENCH_CHILD"] = "1"
+    for attempt in range(1, attempts + 1):
+        if not _wait_for_backend(probe_budget):
+            _log(f"attempt {attempt}: backend never became healthy within "
+                 f"{probe_budget:.0f}s; trying the bench anyway")
+        _log(f"attempt {attempt}/{attempts}: running bench child "
+             f"(timeout {child_timeout:.0f}s; first TPU compile through the "
+             "tunnel takes several minutes)")
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, timeout=child_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            _log(f"attempt {attempt}: bench child timed out")
+            continue
+        if proc.returncode == 0:
+            return 0
+        _log(f"attempt {attempt}: bench child failed rc={proc.returncode}")
+        if attempt < attempts:
+            backoff = 60.0 * attempt
+            _log(f"sleeping {backoff:.0f}s before retry")
+            time.sleep(backoff)
+    _log("all attempts exhausted")
+    return 1
 
 
 def main():
+    import jax.numpy as jnp
+    import numpy as np
+
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     n_ast = int(os.environ.get("BENCH_ASTEROIDS", 10000))
@@ -36,6 +123,8 @@ def main():
     from render_engine_tpu.demo.space_scene import build_space_engine
     from render_engine_tpu.logic.types import InputState, KEY_W
 
+    print(f"[bench child] building engine {width}x{height}, "
+          f"{n_ast} asteroids ...", file=sys.stderr, flush=True)
     capacity = 1 << (n_ast + 64).bit_length()  # headroom above population
     eng = build_space_engine(
         width=width, height=height, capacity=capacity,
@@ -51,6 +140,8 @@ def main():
         if img is not None:
             float(jnp.sum(img))
 
+    print("[bench child] warmup/compile (first TPU compile through the "
+          "tunnel takes several minutes) ...", file=sys.stderr, flush=True)
     # warmup / compile
     for i in range(3):
         img = eng.frame(InputState.idle(i).with_keys(KEY_W), dt=1 / 60,
@@ -83,6 +174,8 @@ def main():
         # costs another ~28 ms tunnel round trip inside the timed window)
         float(jnp.sum(img))
         windows.append(frames / (time.perf_counter() - t0))
+        print(f"[bench child] window {len(windows)}: "
+              f"{windows[-1]:.2f} fps", file=sys.stderr, flush=True)
 
     fps = float(np.median(windows))
     alive = int(np.asarray(eng.world.alive).sum())
@@ -103,4 +196,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(supervise())
