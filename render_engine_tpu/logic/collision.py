@@ -35,7 +35,8 @@ CAMERA_CUTOFF = 200.0  # same constant as logic_flow.rs collision cutoff
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["query", "query_valid", "cand", "cand_type", "hit",
-                 "query_dropped", "cell_dropped"],
+                 "lquery", "lquery_valid", "lhit",
+                 "query_dropped", "cell_dropped", "large_dropped"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -47,36 +48,98 @@ class CollisionResult:
     bool[Q, K]. Queries are compacted (lowest entity index first) so the
     per-frame gather cost scales with the query budget, not the world
     capacity — the analogue of the reference only testing *moved* entities
-    (logic_flow.rs:537-654)."""
+    (logic_flow.rs:537-654).
+
+    Entities LARGER than a grid cell (the reference stores these at coarser
+    tree levels, bounding_box_tree_v2.rs:21-109) get a second, exact table:
+    ``lquery`` int32[L] large movers with ``lhit`` bool[L, CAP] brute-force
+    hits against every entity — the 27-cell window cannot bound their AABB,
+    so they test everything. Small queries find large entities through
+    global candidate columns appended to ``cand``. Rows are disjoint
+    (large entities never enter ``query``), so the two tables merge by
+    scatter."""
 
     query: jnp.ndarray
     query_valid: jnp.ndarray
     cand: jnp.ndarray
     cand_type: jnp.ndarray
     hit: jnp.ndarray
+    lquery: jnp.ndarray  # int32[L] large query entity ids
+    lquery_valid: jnp.ndarray  # bool[L]
+    lhit: jnp.ndarray  # bool[L, CAP] brute-force hits
     query_dropped: jnp.ndarray  # int32 scalar: queries beyond the budget
     cell_dropped: jnp.ndarray  # int32 scalar: neighbors beyond cell budget
+    large_dropped: jnp.ndarray  # int32 scalar: large entities beyond budget
 
     def any_hit(self) -> jnp.ndarray:
         """bool[CAP] scattered back to entity space (capacity from ids)."""
         raise NotImplementedError("use first_hit_of_type")
+
+    def _tables(self, world: World):
+        """Both (query, valid, cand, cand_type, ok) tables; the large
+        table's candidate ids are just 0..CAP-1."""
+        cap = world.capacity
+        out = [(self.query, self.query_valid, self.cand, self.cand_type,
+                self.hit & self.query_valid[:, None])]
+        if self.lquery.shape[0] > 0:
+            lcand = jnp.broadcast_to(
+                jnp.arange(cap, dtype=jnp.int32)[None, :], self.lhit.shape)
+            ltype = jnp.broadcast_to(world["type_id"][None, :],
+                                     self.lhit.shape)
+            out.append((self.lquery, self.lquery_valid, lcand, ltype,
+                        self.lhit & self.lquery_valid[:, None]))
+        return out
+
+    def hits_topk(self, world: World, k: int
+                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(others int32[CAP, k], mask bool[CAP, k], dropped int32): the
+        first ``k`` colliding neighbors per query entity, scattered back to
+        entity space, plus the count of colliding pairs beyond slot ``k``.
+
+        This is the per-PAIR delivery of the reference's handle_collisions
+        (logic_flow.rs:537-655): every colliding (self, other) pair fires
+        the self type's callback once, so an entity touching a wormhole AND
+        a mine in the same frame gets both callbacks — not just the first
+        neighbor in slot order. Large-entity query rows merge in by scatter
+        (disjoint from the compact rows by construction)."""
+        cap = world.capacity
+        others = jnp.full((cap, k), -1, jnp.int32)
+        masks = jnp.zeros((cap, k), bool)
+        dropped = jnp.int32(0)
+        for query, valid, cand, _ctype, ok in self._tables(world):
+            rank = jnp.cumsum(ok.astype(jnp.int32), axis=-1)  # 1-based
+            dest = jnp.where(valid, query, cap)
+            for j in range(k):
+                sel = ok & (rank == j + 1)
+                has_q = jnp.any(sel, axis=-1)
+                first = jnp.argmax(sel, axis=-1)
+                other_q = jnp.take_along_axis(cand, first[:, None],
+                                              axis=-1)[:, 0]
+                others = others.at[dest, j].set(
+                    jnp.where(has_q, other_q, -1), mode="drop")
+                masks = masks.at[dest, j].set(has_q, mode="drop")
+            dropped = dropped + jnp.sum(jnp.maximum(rank[:, -1] - k, 0))
+        return others, masks, dropped.astype(jnp.int32)
 
     def first_hit_of_type(self, world: World, type_index: int
                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(other_idx int32[CAP], mask bool[CAP]): first colliding neighbor
         whose type is ``type_index`` (or any type if ``type_index < 0``),
         scattered back to full entity space."""
-        ok = self.hit
-        if type_index >= 0:
-            ok = ok & (self.cand_type == type_index)
-        has_q = jnp.any(ok, axis=-1) & self.query_valid
-        first = jnp.argmax(ok, axis=-1)
-        other_q = jnp.take_along_axis(self.cand, first[:, None], axis=-1)[:, 0]
         cap = world.capacity
-        dest = jnp.where(self.query_valid, self.query, cap)
-        other = jnp.full(cap, -1, jnp.int32).at[dest].set(other_q,
-                                                          mode="drop")
-        has = jnp.zeros(cap, bool).at[dest].set(has_q, mode="drop")
+        other = jnp.full(cap, -1, jnp.int32)
+        has = jnp.zeros(cap, bool)
+        for query, valid, cand, ctype, ok in self._tables(world):
+            if type_index >= 0:
+                ok = ok & (ctype == type_index)
+            has_q = jnp.any(ok, axis=-1)
+            first = jnp.argmax(ok, axis=-1)
+            other_q = jnp.take_along_axis(cand, first[:, None],
+                                          axis=-1)[:, 0]
+            dest = jnp.where(valid, query, cap)
+            other = other.at[dest].set(jnp.where(has_q, other_q, -1),
+                                       mode="drop")
+            has = has.at[dest].set(has_q, mode="drop")
         return other, has
 
 
@@ -87,11 +150,21 @@ def find_collisions(
     query_mask: jnp.ndarray,
     per_cell_budget: int = 8,
     query_budget: int = 1024,
+    large_budget: int = 8,
 ) -> CollisionResult:
     """AABB-overlap candidates for entities in ``query_mask`` (typically
     moved & CanCauseCollisions, plus the user entity when
     UserAlwaysCausesCollisions is set — logic_flow.rs:454-537), compacted
-    to at most ``query_budget`` queries (overflow drops highest indices)."""
+    to at most ``query_budget`` queries (overflow drops highest indices).
+
+    ``large_budget``: entities whose AABB reaches further than half a grid
+    cell from their position cannot rely on the 27-cell window (the
+    reference stores them at coarser tree levels,
+    bounding_box_tree_v2.rs:21-109, 563-678). Up to this many such entities
+    are handled exactly: every query tests all of them (global candidate
+    columns), and large MOVERS brute-force test every entity. Overflow is
+    counted in ``large_dropped``. 0 disables the machinery (and silently
+    reinstates the size assumption)."""
     cfg = world.config
     # camera cutoff (logic_flow.rs: collisions only near the camera)
     near_cam = (
@@ -99,40 +172,58 @@ def find_collisions(
         <= jnp.float32(CAMERA_CUTOFF) ** 2
     )
     q = query_mask & near_cam
-
     cap = world.capacity
+    mn, mx = world["aabb_min"], world["aabb_max"]
+    arange = jnp.arange(cap, dtype=jnp.int32)
+
+    lb = min(large_budget, cap)
+    if lb > 0:
+        # "large" = the window-correctness bound fails: overlap implies
+        # neighboring cells only while every halfspan <= section_length/2
+        halfspan = jnp.maximum(world["position"] - mn,
+                               mx - world["position"]).max(axis=-1)
+        is_large = world.alive & (
+            halfspan > jnp.float32(cfg.section_length) * 0.5)
+        # large entities never use the compact window table: their pairs
+        # deliver exclusively through the global columns / brute-force rows
+        q = q & ~is_large
+    else:
+        is_large = jnp.zeros(cap, bool)
+
     qb = min(query_budget, cap)
-    key = jnp.where(q, jnp.arange(cap, dtype=jnp.int32), cap)
+    key = jnp.where(q, arange, cap)
     qidx = jnp.sort(key)[:qb]
     qvalid = qidx < cap
     qidx = jnp.clip(qidx, 0, cap - 1)
 
-    # packed candidate rows: [entity, alive, type, aabb_min, aabb_max] as
-    # f32 (ids/capacities stay far below 2^24, so the f32 round-trip is
-    # exact). ONE row gather replaces five scalar-memory gathers — see
-    # grid.neighbor_candidate_rows.
-    mn, mx = world["aabb_min"], world["aabb_max"]
+    # packed candidate rows: [entity, alive, type, aabb_min, aabb_max,
+    # is_large] as f32 (ids/capacities stay far below 2^24, so the f32
+    # round-trip is exact). ONE row gather replaces six scalar-memory
+    # gathers — see grid.neighbor_candidate_rows.
     table = jnp.concatenate(
         [
-            jnp.arange(cap, dtype=jnp.float32)[:, None],
+            arange.astype(jnp.float32)[:, None],
             world.alive.astype(jnp.float32)[:, None],
             world["type_id"].astype(jnp.float32)[:, None],
             mn, mx,
+            is_large.astype(jnp.float32)[:, None],
         ],
         axis=1,
-    )  # (CAP, 9)
+    )  # (CAP, 10)
     rows, valid, cell_dropped = G.neighbor_candidate_rows(
         grid, grid.keys[qidx], cfg, table[grid.perm], per_cell_budget
-    )  # (Q, K, 9)
-    # channel-leading view: per-channel [..., c] slices of the (Q, K, 9)
+    )  # (Q, K, 10)
+    # channel-leading view: per-channel [..., c] slices of the (Q, K, 10)
     # rows are LANE-selects (measured 0.7 ms of cross-lane shuffles at
     # (1024, 216)); one transpose up front makes every channel a cheap
     # (Q, K) plane with K in the lane dim
-    ch = jnp.moveaxis(rows, -1, 0)  # (9, Q, K)
+    ch = jnp.moveaxis(rows, -1, 0)  # (10, Q, K)
     cand = ch[0].astype(jnp.int32)
     alive_c = ch[1] > 0.5
     ctype = ch[2].astype(jnp.int32)
     valid = valid & (cand != qidx[:, None]) & alive_c & qvalid[:, None]
+    if lb > 0:
+        valid = valid & ~(ch[9] > 0.5)  # large cands live in the columns
 
     # AABB intersect per axis on (Q, K) planes (A.intersects over a
     # trailing vec3 would re-pad the lane dim)
@@ -142,10 +233,58 @@ def find_collisions(
         hit = hit & (qmn[:, a:a + 1] <= ch[6 + a]) \
                   & (ch[3 + a] <= qmx[:, a:a + 1])
     query_dropped = jnp.maximum(jnp.sum(q.astype(jnp.int32)) - qb, 0)
+
+    large_dropped = jnp.int32(0)
+    if lb > 0:
+        # compact the large entities (lowest indices first)
+        lkey = jnp.where(is_large, arange, cap)
+        lidx = jnp.sort(lkey)[:lb]
+        lvalid = lidx < cap
+        lidx = jnp.clip(lidx, 0, cap - 1)
+        large_dropped = jnp.maximum(
+            jnp.sum(is_large.astype(jnp.int32)) - lb, 0)
+
+        # global candidate columns: every compact query tests every large
+        # entity exactly (L extra columns on the window table)
+        lmn, lmx = mn[lidx], mx[lidx]  # (L, 3)
+        ghit = (qvalid[:, None] & lvalid[None, :]
+                & (lidx[None, :] != qidx[:, None]))
+        for a in range(3):
+            ghit = ghit & (qmn[:, a:a + 1] <= lmx[None, :, a]) \
+                        & (lmn[None, :, a] <= qmx[:, a:a + 1])
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(lidx[None, :], ghit.shape)], axis=1)
+        ctype = jnp.concatenate(
+            [ctype, jnp.broadcast_to(world["type_id"][lidx][None, :],
+                                     ghit.shape)], axis=1)
+        hit = jnp.concatenate([hit, ghit], axis=1)
+
+        # large MOVERS brute-force every entity (their window can't bound
+        # their AABB); rows are disjoint from the compact table
+        lq = query_mask & near_cam & is_large
+        lqkey = jnp.where(lq, arange, cap)
+        lqidx = jnp.sort(lqkey)[:lb]
+        lqvalid = lqidx < cap
+        lqidx = jnp.clip(lqidx, 0, cap - 1)
+        lq_mn, lq_mx = mn[lqidx], mx[lqidx]  # (L, 3)
+        bhit = (lqvalid[:, None] & world.alive[None, :]
+                & (arange[None, :] != lqidx[:, None]))
+        for a in range(3):
+            bhit = bhit & (lq_mn[:, a:a + 1] <= mx[None, :, a]) \
+                        & (mn[None, :, a] <= lq_mx[:, a:a + 1])
+        lquery, lquery_valid, lhit = lqidx, lqvalid, bhit
+    else:
+        lquery = jnp.zeros((0,), jnp.int32)
+        lquery_valid = jnp.zeros((0,), bool)
+        lhit = jnp.zeros((0, cap), bool)
+
     return CollisionResult(query=qidx, query_valid=qvalid, cand=cand,
                            cand_type=ctype, hit=hit,
+                           lquery=lquery, lquery_valid=lquery_valid,
+                           lhit=lhit,
                            query_dropped=query_dropped,
-                           cell_dropped=cell_dropped)
+                           cell_dropped=cell_dropped,
+                           large_dropped=large_dropped)
 
 
 def collision_query_mask(world: World, moved: jnp.ndarray) -> jnp.ndarray:

@@ -125,10 +125,11 @@ def world_transforms(world: World, indices=None) -> jnp.ndarray:
 
 
 def handle_out_of_bounds(world: World, policies_by_type: dict,
-                         types) -> tuple[World, jnp.ndarray]:
+                         types) -> tuple[World, jnp.ndarray, jnp.ndarray]:
     """Out-of-bounds handling (logic_flow.rs:271-301 +
     entity_change_helpers.rs:325-351): clamp / mark / delete per type policy.
-    Returns (world, kill_mask)."""
+    Returns (world, kill_mask, oob_mask) — ``oob_mask`` feeds the per-type
+    user OutOfBoundsLogic callbacks in the step (logic_components.rs:15-18)."""
     cfg = world.config
     lo = jnp.asarray(cfg.world_min, jnp.float32)
     hi = lo + jnp.float32(cfg.world_length)
@@ -157,4 +158,4 @@ def handle_out_of_bounds(world: World, policies_by_type: dict,
     flags = world["flags"]
     flags = jnp.where(mark_mask | kill_mask, flags | R.FLAG_OUT_OF_BOUNDS, flags)
     world = world.replace(position=new_pos, flags=flags)
-    return world, kill_mask
+    return world, kill_mask, oob

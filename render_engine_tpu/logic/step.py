@@ -48,12 +48,18 @@ def make_step(
     logic_radius: float | None = None,
     spawn_budget: int = 0,
     collision_budget: int = 8,
+    collision_pairs: int = 4,
+    collision_large_budget: int = 8,
     with_stats: bool = False,
 ):
     """Build the world tick for a closed set of entity types.
 
     ``logic_radius``: the LogicFrustumCuller sphere radius (defaults to the
     camera draw distance at call time when None).
+    ``collision_pairs``: how many simultaneous colliding neighbors each
+    entity delivers callbacks for (the reference fires per PAIR,
+    logic_flow.rs:537-655; overflow past this static budget is counted in
+    ``collision_pair_dropped``).
     ``with_stats``: also return a small dict of budget-overflow counters
     (collision query/cell drops, spawn backpressure, OOB kills) — the
     analogue of the reference's soft-error prints (mapped_buffer.rs:171).
@@ -87,8 +93,15 @@ def make_step(
         # 3. kinematics
         world, moved, rotated = K.integrate(world, dt, active)
 
-        # 4. out of bounds
-        world, kill_oob = K.handle_out_of_bounds(world, {}, types)
+        # 4. out of bounds: policy pass, then per-type user callbacks (the
+        #    reference's OutOfBoundsLogic fns, logic_components.rs:15-18 via
+        #    entity_change_helpers.rs:325-351 — mark/delete first, custom
+        #    handling second)
+        world, kill_oob, oob = K.handle_out_of_bounds(world, {}, types)
+        for t in types:
+            if t.out_of_bounds_logic is not None:
+                cs = t.out_of_bounds_logic(world, oob & world.of_type(t.index),
+                                           cs)
 
         # 5. refresh transforms for kinematically dirty entities
         world = K.refresh_transforms(
@@ -99,6 +112,8 @@ def make_step(
         stats = {
             "collision_query_dropped": jnp.int32(0),
             "collision_cell_dropped": jnp.int32(0),
+            "collision_pair_dropped": jnp.int32(0),
+            "collision_large_dropped": jnp.int32(0),
             "spawn_dropped": jnp.int32(0),
             "oob_killed": jnp.sum(kill_oob.astype(jnp.int32)),
         }
@@ -112,18 +127,27 @@ def make_step(
             colres = COL.find_collisions(
                 world, grid, camera.position, qmask,
                 per_cell_budget=collision_budget,
+                large_budget=collision_large_budget,
             )
             stats["collision_query_dropped"] = colres.query_dropped
             stats["collision_cell_dropped"] = colres.cell_dropped
-            other_idx, hit_mask = colres.first_hit_of_type(world, -1)
+            stats["collision_large_dropped"] = colres.large_dropped
+            pairs = max(1, collision_pairs)
+            others, hitm, pair_dropped = colres.hits_topk(world, pairs)
+            stats["collision_pair_dropped"] = pair_dropped
+            # per-PAIR delivery (logic_flow.rs:537-655): slot j carries each
+            # entity's j-th simultaneous contact; empty slots mask to no-ops
             for t in types:
                 if t.collision is not None:
-                    tmask = hit_mask & world.of_type(t.index)
-                    cs = t.collision(world, other_idx, tmask, cs)
+                    for j in range(pairs):
+                        tmask = hitm[:, j] & world.of_type(t.index)
+                        cs = t.collision(world, others[:, j], tmask, cs)
                 if t.random_collision is not None:
-                    tmask = hit_mask & world.of_type(t.index)
-                    rng, sub = jax.random.split(rng)
-                    cs = t.random_collision(world, other_idx, tmask, sub, cs)
+                    for j in range(pairs):
+                        tmask = hitm[:, j] & world.of_type(t.index)
+                        rng, sub = jax.random.split(rng)
+                        cs = t.random_collision(world, others[:, j], tmask,
+                                                sub, cs)
 
         # 7. per-type logic
         for t in types:

@@ -61,12 +61,21 @@ class EntityType:
     random_collision: Optional[Callable] = None
     user_input: Optional[Callable] = None
     out_of_bounds: str = OOB_CLAMP
+    # user out-of-bounds callback (the reference's OutOfBoundsLogic fn
+    # registered per type, logic_components.rs:15-18, invoked from
+    # entity_change_helpers.rs:325-351 after the marker/delete pass).
+    # Signature: (world, mask, cs) -> cs, where ``mask`` is bool[CAP] over
+    # this type's entities that left the world bounds this frame — runs
+    # AFTER the policy (so OOB_MARK + callback mirrors the reference's
+    # mark-then-custom-handling flow; the callback may despawn, teleport,
+    # or otherwise amend the frame's ChangeSet).
+    out_of_bounds_logic: Optional[Callable] = None
 
     def __hash__(self):
         return hash((self.name, self.index, self.out_of_bounds,
                      id(self.logic), id(self.random_logic),
                      id(self.collision), id(self.random_collision),
-                     id(self.user_input)))
+                     id(self.user_input), id(self.out_of_bounds_logic)))
 
 
 # Key indices for InputState.keys — the MovementKeys analogue

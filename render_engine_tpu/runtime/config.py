@@ -43,6 +43,14 @@ class EngineConfig:
     logic_radius: Optional[float] = None  # None -> camera draw distance
     spawn_budget: int = 0
     collision_budget: int = 8
+    # simultaneous contacts delivered per entity per frame (per-pair
+    # callback parity with logic_flow.rs:537-655; overflow counted in
+    # drop stats as collision_pair_dropped)
+    collision_pairs: int = 4
+    # entities with AABBs larger than a grid cell handled exactly via the
+    # global candidate list (coarser-tree-level parity,
+    # bounding_box_tree_v2.rs:21-109); overflow -> collision_large_dropped
+    collision_large_budget: int = 8
 
     # scene setup: build_scene(engine) -> None, spawns initial entities and
     # registers models (the register_model_instances callback path,

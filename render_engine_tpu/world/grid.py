@@ -91,7 +91,7 @@ def build_grid(world: World) -> GridIndex:
 
 def neighbor_cell_keys(key: jnp.ndarray, config: WorldConfig) -> jnp.ndarray:
     """The 27 cells around each key, (...,) -> (..., 27) (clamped at world
-    edges so border cells self-duplicate; duplicates only waste budget)."""
+    edges, so border cells self-duplicate — see ``first_occurrence_mask``)."""
     g = config.grid_cells_per_axis
     coords = unpack_key(key, config)  # (..., 3)
     offs = jnp.stack(
@@ -100,6 +100,19 @@ def neighbor_cell_keys(key: jnp.ndarray, config: WorldConfig) -> jnp.ndarray:
     ).reshape(27, 3)
     n = jnp.clip(coords[..., None, :] + offs, 0, g - 1)  # (..., 27, 3)
     return n[..., 0] + g * (n[..., 1] + g * n[..., 2])
+
+
+def first_occurrence_mask(nk: jnp.ndarray) -> jnp.ndarray:
+    """(..., 27) keys -> bool (..., 27): True only at each key's FIRST
+    occurrence in the window. Edge clamping makes border cells repeat (a
+    corner cell appears 8x); without this mask every candidate in such a
+    cell would be reported once per duplicate — fatal for per-PAIR collision
+    delivery, which must see each neighbor exactly once."""
+    n = nk.shape[-1]
+    eq = nk[..., :, None] == nk[..., None, :]  # [..., j, j']
+    idx = jnp.arange(n, dtype=jnp.int32)
+    earlier = idx[None, :] < idx[:, None]  # [j, j'] : j' before j
+    return ~jnp.any(eq & earlier, axis=-1)
 
 
 def neighbor_candidates(
@@ -131,7 +144,7 @@ def neighbor_candidates(
     b = per_cell_budget
     j = jnp.arange(b, dtype=jnp.int32)  # (b,)
     slot = starts[..., None] + j  # (Q, 27, b)
-    valid = slot < ends[..., None]
+    valid = (slot < ends[..., None]) & first_occurrence_mask(nk)[..., None]
     slot = jnp.clip(slot, 0, grid.capacity - 1)
     cand = grid.perm[slot]  # (Q, 27, b)
     q = query_keys.shape[0]
@@ -165,12 +178,15 @@ def neighbor_candidate_rows(
     b = per_cell_budget
     j = jnp.arange(b, dtype=jnp.int32)
     slot = starts[..., None] + j  # (Q, 27, b)
-    valid = slot < ends[..., None]
+    cell_live = first_occurrence_mask(nk)  # drop clamped duplicate cells
+    valid = (slot < ends[..., None]) & cell_live[..., None]
     slot = jnp.clip(slot, 0, grid.capacity - 1)
     q = query_keys.shape[0]
     rows = sorted_rows[slot.reshape(q, 27 * b)]  # (Q, 27*b, C)
-    # per-cell budget overflow count (drop diagnostics)
-    cell_dropped = jnp.sum(jnp.maximum(ends - starts - b, 0))
+    # per-cell budget overflow count (drop diagnostics; duplicate cells
+    # excluded so one overflowing corner cell counts once)
+    cell_dropped = jnp.sum(
+        jnp.maximum(ends - starts - b, 0) * cell_live.astype(jnp.int32))
     return rows, valid.reshape(q, 27 * b), cell_dropped
 
 

@@ -13,7 +13,8 @@ from render_engine_tpu.ecs import world as W
 from render_engine_tpu.logic import collision as COL
 from render_engine_tpu.logic import kinematics as K
 from render_engine_tpu.logic.step import make_step
-from render_engine_tpu.logic.types import EntityType, InputState, OOB_DELETE
+from render_engine_tpu.logic.types import (EntityType, InputState, OOB_DELETE,
+                                           OOB_MARK)
 from render_engine_tpu.math.camera import CameraBuilder
 from render_engine_tpu.world import grid as G
 
@@ -118,10 +119,54 @@ class TestOutOfBounds:
             EntityType("clampy", 0),
             EntityType("delety", 1, out_of_bounds=OOB_DELETE),
         )
-        w2, kill = K.handle_out_of_bounds(w, {}, types)
+        w2, kill, oob = K.handle_out_of_bounds(w, {}, types)
         np.testing.assert_allclose(w2["position"][0], [64.0, 1, 1])
         assert bool(kill[1])
         assert not bool(kill[0]) and not bool(kill[2])
+        assert bool(oob[0]) and bool(oob[1]) and not bool(oob[2])
+
+    def test_user_oob_callback_mark_then_custom(self):
+        """The reference's OutOfBoundsLogic flow (logic_components.rs:15-18
+        via entity_change_helpers.rs:325-351): the policy marks the entity,
+        then the user's per-type callback handles it — here a wrap-around
+        teleport to the far side of the world, with the other type's
+        entities untouched."""
+        def wrap(world, mask, cs):
+            lo = jnp.asarray(world.config.world_min, jnp.float32)
+            hi = lo + jnp.float32(world.config.world_length)
+            span = hi - lo
+            wrapped = lo + jnp.mod(world["position"] - lo, span)
+            return C.with_update(cs, "position", wrapped, mask)
+
+        w = base_world(world_len=64.0)
+        w, _ = W.spawn_host(
+            w, 3,
+            position=np.array(
+                [[70.0, 1, 1], [70.0, 2, 2], [5.0, 5, 5]], np.float32),
+            velocity=np.array(
+                [[1.0, 0, 0], [1.0, 0, 0], [0.0, 0, 0]], np.float32),
+            type_id=np.array([0, 1, 0], np.int32),
+            model_id=np.zeros(3, np.int32),
+        )
+        w = K.refresh_transforms(w, *UNIT_MODEL_AABB, jnp.asarray(w.alive))
+        types = (
+            EntityType("wrappy", 0, out_of_bounds=OOB_MARK,
+                       out_of_bounds_logic=wrap),
+            EntityType("clampy", 1),
+        )
+        step = jax.jit(make_step(types, logic_radius=1e6))
+        cam = far_camera().with_position(jnp.array([64.0, 1.0, 1.0]))
+        w2, _ = step(w, cam, InputState.idle(), 0.1, *UNIT_MODEL_AABB)
+        # type 0 at x=70.1 after integration: marked, then wrapped to 6.1
+        assert bool(w2.flag_set(R.FLAG_OUT_OF_BOUNDS)[0])
+        np.testing.assert_allclose(np.asarray(w2["position"][0]),
+                                   [70.1 - 64.0, 1, 1], atol=1e-5)
+        # type 1 has no callback: default clamp policy, no marker
+        np.testing.assert_allclose(np.asarray(w2["position"][1]),
+                                   [64.0, 2, 2], atol=1e-5)
+        assert not bool(w2.flag_set(R.FLAG_OUT_OF_BOUNDS)[1])
+        # in-bounds entity of the callback type is untouched
+        np.testing.assert_allclose(np.asarray(w2["position"][2]), [5, 5, 5])
 
 
 class TestCollisions:
@@ -157,6 +202,94 @@ class TestCollisions:
         res = COL.find_collisions(w, g, far_cam_pos, jnp.asarray(w.alive))
         _, has = res.first_hit_of_type(w, -1)
         assert not np.asarray(has).any()
+
+    def test_hits_topk_multiple_neighbors(self):
+        """Per-pair delivery: an entity overlapping TWO neighbors reports
+        both in separate slots (logic_flow.rs:537-655 fires per pair)."""
+        w = base_world()
+        pos = np.array(
+            [[10.0, 10, 10], [10.3, 10, 10], [9.7, 10, 10]], np.float32)
+        w, _ = W.spawn_host(
+            w, 3, position=pos,
+            type_id=np.array([0, 1, 2], np.int32),
+            flags=np.full(3, int(R.FLAG_COLLIDABLE), np.uint32),
+        )
+        w = w.replace(aabb_min=w["position"] - 0.5,
+                      aabb_max=w["position"] + 0.5)
+        g = G.build_grid(w)
+        res = COL.find_collisions(w, g, jnp.array([10.0, 10.0, 10.0]),
+                                  jnp.asarray(w.alive))
+        others, mask, dropped = res.hits_topk(w, 4)
+        m0 = np.asarray(mask[0])
+        o0 = np.asarray(others[0])
+        assert m0[0] and m0[1] and not m0[2:].any()
+        assert {int(o0[0]), int(o0[1])} == {1, 2}
+        assert int(dropped) == 0
+        # all three entities mutually overlap: 6 directed pairs total.
+        # k=1 keeps one contact each and counts the 3 dropped pairs.
+        _, mask1, dropped1 = res.hits_topk(w, 1)
+        assert np.asarray(mask1).sum() == 3  # one slot each
+        assert int(dropped1) == 3
+
+    def test_large_entity_collides_from_any_side(self):
+        """An entity spanning 5 grid cells still collides with small
+        entities two cells away on every axis — in BOTH directions (small
+        query finds it via the global candidate columns; the large mover
+        brute-forces every entity). Reference handles any size via coarser
+        tree levels (bounding_box_tree_v2.rs:21-109, 563-678)."""
+        w = base_world()  # section_length 16
+        center = np.array([128.0, 128, 128], np.float32)
+        offsets = np.array([[39.5, 0, 0], [-39.5, 0, 0], [0, 39.5, 0],
+                            [0, -39.5, 0], [0, 0, 39.5], [0, 0, -39.5]],
+                           np.float32)
+        pos = np.concatenate([center[None], center[None] + offsets])
+        w, _ = W.spawn_host(
+            w, 7, position=pos,
+            type_id=np.array([9] + [1] * 6, np.int32),
+            flags=np.full(7, int(R.FLAG_COLLIDABLE), np.uint32),
+        )
+        half = np.full((w.capacity, 1), 0.5, np.float32)
+        half[0] = 40.0  # spans [88, 168]: 5 cells of 16
+        w = w.replace(aabb_min=w["position"] - half,
+                      aabb_max=w["position"] + half)
+        g = G.build_grid(w)
+        res = COL.find_collisions(w, g, jnp.asarray(center),
+                                  jnp.asarray(w.alive))
+        # every small entity finds the large one (2 cells away -> the
+        # 27-cell window alone would miss it)
+        other, has = res.first_hit_of_type(w, 9)
+        for i in range(1, 7):
+            assert bool(has[i]) and int(other[i]) == 0, f"side {i}"
+        # the large mover reports all 6 contacts through its slots
+        others, mask, dropped = res.hits_topk(w, 6)
+        assert np.asarray(mask[0]).sum() == 6
+        assert set(np.asarray(others[0]).tolist()) == {1, 2, 3, 4, 5, 6}
+        assert int(dropped) == 0
+        assert int(res.large_dropped) == 0
+        # a starved large budget is counted, not silent
+        res1 = COL.find_collisions(w, g, jnp.asarray(center),
+                                   jnp.asarray(w.alive), large_budget=0)
+        assert res1.lquery.shape[0] == 0
+        res2 = COL.find_collisions(
+            w, g, jnp.asarray(center),
+            jnp.asarray(w.alive & (w["type_id"] != 1)), large_budget=0)
+        # with the machinery off and only the big entity large, nothing
+        # breaks shape-wise (behavioural gap is the documented trade)
+        assert res2.hit.shape[1] == res1.hit.shape[1]
+
+    def test_large_budget_overflow_counted(self):
+        w = base_world()
+        pos = np.array([[100.0, 100, 100], [200.0, 200, 200]], np.float32)
+        w, _ = W.spawn_host(
+            w, 2, position=pos, type_id=np.zeros(2, np.int32),
+            flags=np.full(2, int(R.FLAG_COLLIDABLE), np.uint32),
+        )
+        w = w.replace(aabb_min=w["position"] - 30.0,
+                      aabb_max=w["position"] + 30.0)
+        g = G.build_grid(w)
+        res = COL.find_collisions(w, g, jnp.array([100.0, 100, 100]),
+                                  jnp.asarray(w.alive), large_budget=1)
+        assert int(res.large_dropped) == 1
 
     def test_query_budget_compaction(self):
         """Queries beyond the budget drop (highest indices first);
@@ -279,6 +412,50 @@ class TestFullStep:
         ))
         w2, _ = step(w, cam, InputState.idle(), 0.1, *UNIT_MODEL_AABB)
         np.testing.assert_allclose(w2["velocity"][0], [0, 0, 50.0])
+
+    def test_per_pair_collision_callbacks(self):
+        """One ship overlapping a wormhole AND a mine in the SAME frame
+        gets both contacts delivered (per-pair semantics,
+        logic_flow.rs:537-655): the wormhole sets velocity, the mine sets
+        ang_vel — both must land, regardless of slot order. Two identical
+        runs stay bit-identical."""
+        def ship_hit(world, other_idx, mask, cs):
+            otype = world["type_id"][other_idx]
+            worm = mask & (otype == 1)
+            mine = mask & (otype == 2)
+            vel = jnp.broadcast_to(jnp.array([0.0, 0.0, 50.0]),
+                                   (world.capacity, 3))
+            spin = jnp.broadcast_to(jnp.array([0.0, 9.0, 0.0]),
+                                    (world.capacity, 3))
+            cs = C.with_update(cs, "velocity", vel, worm)
+            return C.with_update(cs, "ang_vel", spin, mine)
+
+        w = base_world()
+        w, _ = W.spawn_host(
+            w, 3,
+            position=np.array([[10.0, 10, 10], [10.2, 10, 10],
+                               [9.8, 10, 10]], np.float32),
+            velocity=np.array([[0.5, 0, 0], [0, 0, 0], [0, 0, 0]],
+                              np.float32),
+            type_id=np.array([0, 1, 2], np.int32),
+            model_id=np.zeros(3, np.int32),
+            flags=np.full(3, int(R.FLAG_COLLIDABLE), np.uint32),
+        )
+        w = K.refresh_transforms(w, *UNIT_MODEL_AABB, jnp.asarray(w.alive))
+        cam = far_camera().with_position(jnp.array([10.0, 10.0, 20.0]))
+        step = jax.jit(make_step(
+            (EntityType("ship", 0, collision=ship_hit),
+             EntityType("wormhole", 1), EntityType("mine", 2)),
+            logic_radius=1e6,
+        ))
+        w2, _ = step(w, cam, InputState.idle(), 0.1, *UNIT_MODEL_AABB)
+        np.testing.assert_allclose(w2["velocity"][0], [0, 0, 50.0])
+        np.testing.assert_allclose(np.asarray(w2["ang_vel"][0])[1], 9.0)
+        # bit-determinism across runs of the same step
+        w3, _ = step(w, cam, InputState.idle(), 0.1, *UNIT_MODEL_AABB)
+        for name in ("position", "velocity", "ang_vel"):
+            np.testing.assert_array_equal(np.asarray(w2[name]),
+                                          np.asarray(w3[name]))
 
     def test_spawn_inside_step(self):
         def emitter(world, dt, mask, cs):
