@@ -41,7 +41,7 @@ DEFAULT_LOV_FRACTIONS = (0.10, 0.15, 0.20, 0.25, 0.30)
         "tri_offset", "tri_count", "vtx_offset",
         "aabb_min", "aabb_max",
         "mat_albedo", "mat_emissive", "mat_alpha", "mat_specular",
-        "mat_texture",
+        "mat_textures",
         "lov_table", "lov_fractions",
     ],
     meta_fields=["names"],
@@ -65,7 +65,12 @@ class ModelBank:
     # term — the gAlbedoSpec alpha-channel semantics
     # (first_pass_frag.glsl:84, second_pass_frag.glsl:127-133)
     mat_specular: jnp.ndarray  # (K,)
-    mat_texture: jnp.ndarray  # (K,) int32 texture id, -1 = solid color
+    # per-material texture ROW — the reference packs 5 texture (array,
+    # layer) pairs per vertex (model_definitions.rs:71-148); here the row
+    # lives per MATERIAL: [diffuse, specular, 3 reserved], -1 = unset.
+    # Column 0 (diffuse) drives albedo sampling; column 1 multiplies the
+    # material's scalar specular strength (gAlbedoSpec.a semantics).
+    mat_textures: jnp.ndarray  # (K, 5) int32 atlas layer ids
     lov_table: jnp.ndarray  # (M, NUM_LOV_BANDS + 1) int32 bank entries
     lov_fractions: jnp.ndarray  # (NUM_LOV_BANDS,) of draw distance
     names: tuple  # (M,) model names, static
@@ -81,6 +86,28 @@ class ModelBank:
              self.tri_material.astype(jnp.float32)[:, None]],
             axis=1,
         )
+
+    @property
+    def mat_texture(self) -> jnp.ndarray:
+        """(K,) diffuse texture id view (-1 = solid color) — column 0 of
+        ``mat_textures``; the pre-multi-texture consumers read this."""
+        return self.mat_textures[:, 0]
+
+    @property
+    def mat_texture_spec(self) -> jnp.ndarray:
+        """(K,) specular-map texture id view (-1 = none)."""
+        return self.mat_textures[:, 1]
+
+    def has_specular_maps(self) -> bool:
+        """Trace-time gate: True if any material carries a specular map, so
+        frame builders can skip the spec-map sampling channels entirely for
+        scenes without one. The bank is closed over by the jitted frame
+        programs (never a jit argument), so ``mat_textures`` is concrete
+        even while tracing — but it must be read WITHOUT jnp ops (a jnp
+        slice of a constant inside a trace yields a tracer)."""
+        import numpy as _np
+
+        return bool((_np.asarray(self.mat_textures)[:, 1] >= 0).any())
 
     @property
     def num_models(self) -> int:
@@ -127,11 +154,17 @@ class ModelBankBuilder:
 
     # ----------------------------------------------------------- materials
     def add_material(self, albedo=(1.0, 1.0, 1.0), emissive=0.0, alpha=1.0,
-                     texture=-1, specular=1.0) -> int:
+                     texture=-1, specular=1.0, texture_specular=-1) -> int:
+        """``texture``: diffuse atlas layer (-1 = solid ``albedo``);
+        ``texture_specular``: specular-map layer whose red channel
+        multiplies ``specular`` per pixel (-1 = none) — two of the
+        reference's five per-vertex texture pairs
+        (model_definitions.rs:71-148), stored per material."""
         self._mats.append(
             dict(albedo=np.asarray(albedo, np.float32),
                  emissive=float(emissive), alpha=float(alpha),
-                 texture=int(texture), specular=float(specular))
+                 texture=int(texture), specular=float(specular),
+                 texture_specular=int(texture_specular))
         )
         return len(self._mats) - 1
 
@@ -172,14 +205,19 @@ class ModelBankBuilder:
         base = os.path.dirname(os.path.abspath(path))
         ids = []
         for m in mats:
-            tex = -1
-            if atlas_builder is not None and m.get("map_kd"):
-                from render_engine_tpu.render.textures import load_image
-
-                img = load_image(os.path.join(base, m["map_kd"]))
-                tex = atlas_builder.add_image(img)
+            tex = spec_tex = -1
+            if atlas_builder is not None:
+                # missing files land on the loud error texture inside
+                # add_image_file (helper_constructs.rs:2-12 parity)
+                if m.get("map_kd"):
+                    tex = atlas_builder.add_image_file(
+                        os.path.join(base, m["map_kd"]))
+                if m.get("map_ks"):
+                    spec_tex = atlas_builder.add_image_file(
+                        os.path.join(base, m["map_ks"]))
             ids.append(self.add_material(
-                albedo=m["kd"], specular=m.get("ks", 1.0), texture=tex))
+                albedo=m["kd"], specular=m.get("ks", 1.0), texture=tex,
+                texture_specular=spec_tex))
         remap = np.asarray(ids, np.int32)[tri_mat]
         return self.add_model(name, (v, n, uv, f), tri_material=remap)
 
@@ -222,8 +260,9 @@ class ModelBankBuilder:
             mat_alpha=jnp.asarray([d["alpha"] for d in self._mats], jnp.float32),
             mat_specular=jnp.asarray([d.get("specular", 1.0) for d in self._mats],
                                      jnp.float32),
-            mat_texture=jnp.asarray([d["texture"] for d in self._mats],
-                                    jnp.int32),
+            mat_textures=jnp.asarray(
+                [[d["texture"], d.get("texture_specular", -1), -1, -1, -1]
+                 for d in self._mats], jnp.int32),
             lov_table=jnp.asarray(lov),
             lov_fractions=jnp.asarray(self._lov_fractions, jnp.float32),
             names=tuple(x[0] for x in self._models),

@@ -17,7 +17,10 @@ import numpy as np
 
 
 def load_mtl(path: str) -> dict:
-    """Parse an MTL file -> {name: {"kd": (3,), "map_kd": str|None}}."""
+    """Parse an MTL file -> {name: {"kd": (3,), "map_kd": str|None,
+    "ks": float, "map_ks": str|None}} (the tobj material fields the
+    reference consumes, model_storage.rs:190-193, plus the specular map
+    slot of its per-vertex texture pairs, model_definitions.rs:71-148)."""
     mats = {}
     cur = None
     with open(path) as fh:
@@ -28,7 +31,7 @@ def load_mtl(path: str) -> dict:
             if parts[0] == "newmtl":
                 cur = parts[1]
                 mats[cur] = {"kd": np.array([1.0, 1.0, 1.0], np.float32),
-                             "map_kd": None, "ks": 1.0}
+                             "map_kd": None, "ks": 1.0, "map_ks": None}
             elif cur is not None and parts[0] == "Kd":
                 mats[cur]["kd"] = np.array(parts[1:4], np.float32)
             elif cur is not None and parts[0] == "Ks":
@@ -37,6 +40,8 @@ def load_mtl(path: str) -> dict:
                     np.array(parts[1:4], np.float32)))
             elif cur is not None and parts[0] == "map_Kd":
                 mats[cur]["map_kd"] = parts[-1]
+            elif cur is not None and parts[0] == "map_Ks":
+                mats[cur]["map_ks"] = parts[-1]
     return mats
 
 
@@ -54,7 +59,7 @@ def load_obj(path: str):
     tris, tri_mat = [], []
     materials = [{"name": "__default__",
                   "kd": np.array([1.0, 1.0, 1.0], np.float32),
-                  "map_kd": None, "ks": 1.0}]
+                  "map_kd": None, "ks": 1.0, "map_ks": None}]
     mat_index = {"__default__": 0}
     cur_mat = 0
     mtl: dict = {}
@@ -106,6 +111,7 @@ def load_obj(path: str):
                             info.get("kd", [1.0, 1.0, 1.0]), np.float32),
                         "map_kd": info.get("map_kd"),
                         "ks": float(info.get("ks", 1.0)),
+                        "map_ks": info.get("map_ks"),
                     })
                     mat_index[name] = len(materials) - 1
                 cur_mat = mat_index[name]

@@ -57,8 +57,6 @@ def render_frame_sharded(
     to every rank — the texture resolve runs per rank on its own tile
     band (UV interpolation is local-coordinate, so row shifting is safe).
     """
-    from jax.experimental.shard_map import shard_map
-
     n = mesh.shape[axis_name]
     h, w = settings.height, settings.width
     th = settings.raster.tile_h
@@ -127,10 +125,10 @@ def render_frame_sharded(
         return img[None]  # leading rank axis for the sharded output
 
     rep = P()
-    img = shard_map(
+    img = jax.shard_map(
         rank_body, mesh=mesh,
         in_specs=(rep, rep, P(axis_name), *extra_specs),
         out_specs=P(axis_name),
-        check_rep=False,
+        check_vma=False,
     )(batch, lights, background.reshape(n, band, w, 3), *extras)
     return img.reshape(hp, w, 3)[:h]

@@ -135,8 +135,19 @@ def render_frame(
                                    ~batch.transparent)
         t_depth, t_winner = rasterizer(batch, h, w, settings.raster,
                                        batch.transparent)
-        gbuf = resolve_gbuffer(batch, bank, depth, winner, atlas=atlas)
-        t_gbuf = resolve_gbuffer(batch, bank, t_depth, t_winner, atlas=atlas)
+        spec_img = t_spec_img = None
+        if atlas is not None and bank.has_specular_maps():
+            # per-pixel specular maps (trace-time gate: scenes without one
+            # skip the extra sampling entirely)
+            gbuf, spec_img = resolve_gbuffer(batch, bank, depth, winner,
+                                             atlas=atlas, with_specular=True)
+            t_gbuf, t_spec_img = resolve_gbuffer(
+                batch, bank, t_depth, t_winner, atlas=atlas,
+                with_specular=True)
+        else:
+            gbuf = resolve_gbuffer(batch, bank, depth, winner, atlas=atlas)
+            t_gbuf = resolve_gbuffer(batch, bank, t_depth, t_winner,
+                                     atlas=atlas)
         if ent_attrs is not None:
             # golden-path system semantics: per-pixel tint/emissive/alpha
             # from the winner triangle's entity's system row
@@ -195,6 +206,7 @@ def render_frame(
         gbuf, lights, bank, camera.position,
         background=background, shadow_factor=shadow_factor,
         emissive_image=None if extras is None else extras["emissive"],
+        specular_image=spec_img,
     )
 
     # --- transparency: single-layer forward pass over the lit image -----
@@ -205,6 +217,7 @@ def render_frame(
         camera_position=camera.position, background=color,
         shadow_factor=None,
         emissive_image=None if t_extras is None else t_extras["emissive"],
+        specular_image=t_spec_img,
     )
     if t_extras is not None:
         alpha = t_extras["alpha"][..., None]
@@ -248,14 +261,20 @@ def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv,
         jnp.abs(wp[..., 3:4]) > 1e-12, wp[..., 3:4], 1.0)
 
 
-def _texture_override(res, atlas, tiles_x, th, twd, tids=None):
+def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
+                      with_spec=False):
     """Per-pixel textured albedo from the resolve channels: barycentric UV
     interpolation (elementwise) + ONE bilinear row gather from the atlas.
     Full resolution: a lane-strided ::2 subsample of the channel array was
     measured at 30 ms (TPU lane-dim strides force relayouts) — far slower
     than simply gathering every pixel (~7 ms).
     ``tids``: optional (NT_sel,) tile ids when ``res`` is a compacted tile
-    subset. Returns (4, NT[_sel], th, tw): [rgb | flag]."""
+    subset. Returns (4, NT[_sel], th, tw): [rgb | flag]; with
+    ``with_spec`` (5, ...): [rgb | flag | spec DELTA]. The spec channel is
+    stored as (map_sample - 1) where the material carries a specular map,
+    else 0 — the kernel applies spec_k * (1 + delta), so zero-filled
+    unselected tiles and spec-less materials read as neutral while a black
+    spec texel still kills the highlight."""
     from render_engine_tpu.render.textures import sample_atlas_rows
 
     a, nt = res.shape[0], res.shape[1]
@@ -285,13 +304,22 @@ def _texture_override(res, atlas, tiles_x, th, twd, tids=None):
     u = p0 * ch[19] + p1 * ch[21] + p2 * ch[23]
     v = p0 * ch[20] + p1 * ch[22] + p2 * ch[24]
     layer = ch[35]
+    uv = jnp.stack([u, v], axis=-1)
     rgb = sample_atlas_rows(
-        atlas, layer, jnp.stack([u, v], axis=-1),
-        jnp.stack([ch[36], ch[37]], axis=-1),
+        atlas, layer, uv, jnp.stack([ch[36], ch[37]], axis=-1),
     )  # (rows, cols, 3)
     flag = (layer >= 0.0).astype(jnp.float32)
-    out = jnp.concatenate([rgb, flag[..., None]], axis=-1)
-    return jnp.moveaxis(out, -1, 0).reshape(4, nt, th, twd)
+    parts = [rgb, flag[..., None]]
+    if with_spec:
+        slayer = ch[38]
+        smul = sample_atlas_rows(
+            atlas, slayer, uv, jnp.stack([ch[39], ch[40]], axis=-1),
+        )[..., 0]
+        delta = jnp.where(slayer >= 0.0, smul - 1.0, 0.0)
+        parts.append(delta[..., None])
+    out = jnp.concatenate(parts, axis=-1)
+    c = out.shape[-1]
+    return jnp.moveaxis(out, -1, 0).reshape(c, nt, th, twd)
 
 
 def _tile_frustum_inputs(d, wn, tiles_x, th, twd, width, h_total, y_off):
@@ -456,23 +484,31 @@ def tiled_fused_core(
     if atlas is not None:
         ntt = s.shape[0]
         ttb = max(1, int(round(ntt * settings.texture_tile_budget)))
+        # spec maps ride the same override block as one extra DELTA channel
+        # (trace-time gate: scenes without one keep the 4-channel block)
+        with_spec = bank.has_specular_maps()
+        n_ovr = 5 if with_spec else 4
         # tiles with any textured CANDIDATE (conservative superset of
         # textured winners — avoids resolving every tile just to test)
-        tex_cand = jnp.any((cand >= 0) & (rows[..., 35] >= 0.0), axis=1)
+        tex_tri = rows[..., 35] >= 0.0
+        if with_spec:
+            tex_tri = tex_tri | (rows[..., 38] >= 0.0)
+        tex_cand = jnp.any((cand >= 0) & tex_tri, axis=1)
 
         def textured(slot):
             if ttb >= ntt:
                 res = RP.resolve_attributes_pallas(slot, rows, cfg,
                                                    interpret=interpret)
-                return _texture_override(res, atlas, tiles_x, th, twd)
+                return _texture_override(res, atlas, tiles_x, th, twd,
+                                         with_spec=with_spec)
             order = jnp.argsort(jnp.where(tex_cand, 0, 1).astype(jnp.int32),
                                 stable=True).astype(jnp.int32)
             sel = order[:ttb]
             res_sel = RP.resolve_attributes_pallas(
                 slot[sel], rows[sel], cfg, interpret=interpret)
             ovr_sel = _texture_override(res_sel, atlas, tiles_x, th,
-                                        twd, tids=sel)
-            return jnp.zeros((4, ntt, th, twd),
+                                        twd, tids=sel, with_spec=with_spec)
+            return jnp.zeros((n_ovr, ntt, th, twd),
                              jnp.float32).at[:, sel].set(ovr_sel)
 
         ovr_o = textured(s)
@@ -480,7 +516,7 @@ def tiled_fused_core(
             ovr_t = textured(ts)
         else:
             ovr_t = jnp.zeros_like(ovr_o)
-        albedo_override = jnp.concatenate([ovr_o, ovr_t])  # (8, NT, th, tw)
+        albedo_override = jnp.concatenate([ovr_o, ovr_t])  # (2*n_ovr, ...)
 
     inv_pv = jnp.linalg.inv(camera.proj_view())
     nt_ = d.shape[0]
@@ -600,9 +636,17 @@ def _render_frame_pallas_tiled(
         from render_engine_tpu.render.textures import sample_atlas
 
         def texture(g, ex):
-            layer = bank.mat_texture[
-                jnp.clip(g.material, 0, bank.mat_texture.shape[0] - 1)]
+            mat_safe = jnp.clip(g.material, 0,
+                                bank.mat_textures.shape[0] - 1)
+            layer = bank.mat_texture[mat_safe]
             tex = sample_atlas(atlas, layer, ex["uv"])
+            if bank.has_specular_maps():
+                # spec-map red channel multiplies the per-pixel strength
+                # (trace-time gate — no cost without spec maps)
+                slayer = bank.mat_texture_spec[mat_safe]
+                smul = sample_atlas(atlas, slayer, ex["uv"])[..., 0]
+                ex["specular"] = ex["specular"] * jnp.where(
+                    slayer >= 0, smul, 1.0)
             return dataclasses.replace(
                 g, albedo=jnp.where((layer >= 0)[..., None], tex, g.albedo))
 

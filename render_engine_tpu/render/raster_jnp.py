@@ -319,12 +319,15 @@ def resolve_gbuffer(
     depth: jnp.ndarray,
     winner: jnp.ndarray,
     atlas=None,
-) -> GBuffer:
+    with_specular: bool = False,
+):
     """Per-pixel attribute interpolation for the winning triangles.
 
     The first-pass fragment shader's job (first_pass_frag.glsl): write
     world position / normal / albedo, with the material id replacing the
-    sentinel position tags.
+    sentinel position tags. With ``with_specular`` (and an atlas), also
+    returns the per-pixel specular-strength image (material scalar x
+    specular-map red channel) as ``(gbuf, spec_img)``.
     """
     h, w = depth.shape
     tri = jnp.clip(winner, 0, batch.budget - 1)
@@ -358,6 +361,7 @@ def resolve_gbuffer(
     mat = batch.material[tri]
     mat_safe = jnp.clip(mat, 0, bank.mat_albedo.shape[0] - 1)
     albedo = bank.mat_albedo[mat_safe]
+    spec_img = None
     if atlas is not None:
         # textured materials sample the atlas; solid colors skip
         # (first_pass_frag.glsl texture-vs-solid-vs-error selection)
@@ -367,9 +371,17 @@ def resolve_gbuffer(
         layer = bank.mat_texture[mat_safe]
         tex = sample_atlas(atlas, layer, uv)
         albedo = jnp.where((layer >= 0)[..., None], tex, albedo)
+        if with_specular:
+            # per-pixel specular strength: the material scalar times the
+            # specular map's red channel (the second of the reference's
+            # packed texture pairs, model_definitions.rs:71-148)
+            slayer = bank.mat_texture_spec[mat_safe]
+            smul = sample_atlas(atlas, slayer, uv)[..., 0]
+            spec_img = bank.mat_specular[mat_safe] * jnp.where(
+                slayer >= 0, smul, 1.0)
 
     cm = covered[..., None]
-    return GBuffer(
+    gbuf = GBuffer(
         depth=depth,
         position=jnp.where(cm, pos, 0.0),
         normal=jnp.where(cm, nrm, 0.0),
@@ -377,6 +389,9 @@ def resolve_gbuffer(
         material=jnp.where(covered, mat, MATERIAL_BACKGROUND),
         tri_id=winner,
     )
+    if with_specular:
+        return gbuf, spec_img
+    return gbuf
 
 
 def render_gbuffer(

@@ -222,13 +222,17 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
     alpha = bank.mat_alpha[mat_safe]
     specular = bank.mat_specular[mat_safe]
     layer = bank.mat_texture[mat_safe].astype(jnp.float32)
+    slayer = bank.mat_texture_spec[mat_safe].astype(jnp.float32)
     if atlas is not None:
         lay_safe = jnp.clip(bank.mat_texture[mat_safe], 0,
                             atlas.uv_scale.shape[0] - 1)
         uvs = atlas.uv_scale[lay_safe]  # (T, 2)
+        slay_safe = jnp.clip(bank.mat_texture_spec[mat_safe], 0,
+                             atlas.uv_scale.shape[0] - 1)
+        suvs = atlas.uv_scale[slay_safe]  # (T, 2)
     else:
-        uvs = jnp.ones((t, 2), jnp.float32)
-        layer = jnp.full(t, -1.0, jnp.float32)
+        uvs = suvs = jnp.ones((t, 2), jnp.float32)
+        layer = slayer = jnp.full(t, -1.0, jnp.float32)
     if ent_attrs is not None:
         sa = ent_attrs[jnp.clip(batch.entity, 0, ent_attrs.shape[0] - 1)]
         unlit, boost, ascale = sa[:, 0] > 0.5, sa[:, 1], sa[:, 5]
@@ -254,7 +258,9 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
             specular[:, None],  # 34
             layer[:, None],  # 35
             uvs,  # 36:38
-            jnp.zeros((t, N_ATTR - 38), jnp.float32),
+            slayer[:, None],  # 38
+            suvs,  # 39:41
+            jnp.zeros((t, N_ATTR - 41), jnp.float32),
         ],
         axis=1,
     )
@@ -391,7 +397,10 @@ def rasterize_two_pass_pallas(
 #   34     specular strength (gAlbedoSpec alpha semantics)
 #   35     texture layer (f32, -1 = untextured)
 #   36:38  atlas uv scale for the layer
-N_ATTR = 40  # padded to a multiple of 8 sublanes
+#   38     specular-map layer (f32, -1 = none) — second texture pair
+#          (model_definitions.rs:71-148)
+#   39:41  atlas uv scale for the specular-map layer
+N_ATTR = 48  # padded to a multiple of 8 sublanes
 
 
 def _resolve_kernel(n_attr, tile_h, tile_w,

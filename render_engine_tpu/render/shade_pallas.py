@@ -149,6 +149,8 @@ def _interp(ch, px, py, inv_pv, width, height):
 
 def _shade_kernel(
     tiles_x, tile_h, tile_w, n_lights, width, height, n_slots, has_texture,
+    ovr_chans,  # override channels per pass: 4 = [rgb|flag], 5 adds the
+    #             specular-map DELTA (spec_k multiplies by 1 + delta)
     inv_ref,  # scalar-prefetch SMEM (max(n_slots,1), NT) int32: per-slot
     #           tile -> compact factor row (-1 = not selected -> lit).
     #           Also drives the sf_refs block index maps.
@@ -164,7 +166,7 @@ def _shade_kernel(
     #           tile grid starts partway down the global image
     *rest,  # n_slots x (1, th, tw) compact PCF factor tiles (block-indexed
     #         by inv_ref via scalar prefetch), then:
-    #         ovr_ref (8, 1, th, tw) texture albedo overrides
+    #         ovr_ref (2*ovr_chans, 1, th, tw) texture overrides
     #         out_ref (8, 1, th, tw): lit rgb, t_lit rgb, alpha, flags
 ):
     sf_refs = rest[:n_slots]
@@ -222,6 +224,10 @@ def _shade_kernel(
             ar = jnp.where(tf, ovr_ref[ovr_base + 0, 0], ar)
             ag = jnp.where(tf, ovr_ref[ovr_base + 1, 0], ag)
             ab = jnp.where(tf, ovr_ref[ovr_base + 2, 0], ab)
+            if ovr_chans >= 5:
+                # specular-map delta: neutral (0) for unselected tiles and
+                # spec-less materials, (sample - 1) otherwise
+                spec_k = spec_k * (1.0 + ovr_ref[ovr_base + 4, 0])
         wx, wy, wz = unproject(depth)
         vx = cam_ref[0, 0] - wx
         vy = cam_ref[0, 1] - wy
@@ -317,7 +323,7 @@ def _shade_kernel(
     )
     r_t, g_t, b_t, alpha = jax.lax.cond(
         jnp.any(cov_t),
-        lambda: shade_layer(st_ref, d_t, cov_t, False, 4),
+        lambda: shade_layer(st_ref, d_t, cov_t, False, ovr_chans),
         lambda: (zero, zero, zero, zero),
     )
 
@@ -383,10 +389,11 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
     has_texture = albedo_override is not None
     ovr = (albedo_override if has_texture
            else jnp.zeros((8, 1, th, tw), jnp.float32))
+    ovr_chans = ovr.shape[0] // 2  # 4, or 5 with the spec-map delta
 
     kernel = functools.partial(_shade_kernel, tiles_x, th, tw,
                                light_budget, float(width), float(height),
-                               n_slots, has_texture)
+                               n_slots, has_texture, ovr_chans)
 
     def vmem_tile(index_map):
         return pl.BlockSpec((1, th, tw), index_map, memory_space=pltpu.VMEM)
@@ -418,7 +425,7 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
             smem((1, 2)),
             *[sf_spec(s) for s in range(n_slots)],
             pl.BlockSpec(
-                (8, 1, th, tw),
+                (2 * ovr_chans, 1, th, tw),
                 (lambda i, inv: (0, i, 0, 0)) if has_texture
                 else (lambda i, inv: (0, 0, 0, 0)),
                 memory_space=pltpu.VMEM),

@@ -114,8 +114,8 @@ _FACE_UPS = jnp.array(
 # light cameras
 # ---------------------------------------------------------------------------
 def light_proj_view(world: World, entity: jnp.ndarray,
-                    ortho_extent: float = 200.0,
-                    near: float = 1.0, far: float = 600.0,
+                    ortho_extent: float | None = None,
+                    near: float = 1.0, far: float | None = None,
                     face: jnp.ndarray | int = 0) -> jnp.ndarray:
     """proj_view for a light entity, selected by its sortable bucket.
 
@@ -123,11 +123,34 @@ def light_proj_view(world: World, entity: jnp.ndarray,
     position; spot: perspective along light_direction with the light's fov;
     point: one 90-degree cube ``face`` (+X -X +Y -Y +Z -Z), rendered one
     face per frame (shadow_flow.rs:140-358 semantics, with the reference's
-    6-face schedule applied to point lights)."""
+    6-face schedule applied to point lights).
+
+    The camera volume is FITTED to the light (the reference derives its
+    shadow camera from draw distances + the light's neighborhood,
+    shadow_flow.rs:140-260): with ``ortho_extent``/``far`` left None, a
+    light with ``light_radius`` r > 0 gets ortho half-extent r and far 2r
+    (directional: receivers lie within r of the light, casters up to r
+    further along the beam), and perspective far r (spot/point influence
+    ends at the radius cutoff). Lights without a radius fall back to the
+    legacy 200/600 box. Casters still outside the fitted volume are counted
+    in ``shadow_caster_outside_volume`` (Engine.render_drop_stats)."""
     e = jnp.clip(entity, 0, world.capacity - 1)
     pos = world["position"][e]
     is_dir = world["sortable"][e] == R.SORTABLE_DIRECTIONAL
     is_point = world["sortable"][e] == R.SORTABLE_POINT
+
+    radius = world["light_radius"][e]
+    has_r = radius > 0.0
+    if ortho_extent is None:
+        ortho_extent = jnp.where(has_r, radius, jnp.float32(200.0))
+    if far is None:
+        ortho_far = jnp.where(has_r, 2.0 * radius, jnp.float32(600.0))
+        persp_far = jnp.where(has_r, radius, jnp.float32(600.0))
+    else:
+        ortho_far = persp_far = jnp.float32(far)
+    # spot cones narrower than the radius keep full depth; guard far > near
+    ortho_far = jnp.maximum(ortho_far, jnp.float32(near) + 1.0)
+    persp_far = jnp.maximum(persp_far, jnp.float32(near) + 1.0)
 
     direction = world["light_direction"][e]
     dlen = jnp.linalg.norm(direction)
@@ -142,12 +165,67 @@ def light_proj_view(world: World, entity: jnp.ndarray,
     view = T.look_at(pos, pos + direction, up)
 
     fov = jnp.clip(world["light_fov"][e], 0.2, 3.0)
+    # spot cameras widen to cover the light's OUTER cutoff cone (+5% margin
+    # for AABB extents at the cone edge): everything that cone lights can
+    # be shadowed, so the camera must see it all (shadow_flow.rs:211-260
+    # derives the spot camera from the light's own geometry). A cutoff of
+    # 0 (unset column) keeps the user's light_fov.
+    cos_outer = world["light_cutoff"][e][1]
+    cone_fov = 2.0 * jnp.arccos(jnp.clip(cos_outer, -0.999, 0.999)) * 1.05
+    fov = jnp.where((cos_outer > 1e-3) & ~is_dir & ~is_point,
+                    jnp.clip(jnp.maximum(fov, cone_fov), 0.2, 3.0), fov)
     fov = jnp.where(is_point, jnp.float32(jnp.pi / 2), fov)  # cube face 90deg
-    persp = T.perspective(fov, 1.0, near, far)
+    persp = T.perspective(fov, 1.0, near, persp_far)
     ortho = T.orthographic(-ortho_extent, ortho_extent, -ortho_extent,
-                           ortho_extent, near, far)
+                           ortho_extent, near, ortho_far)
     proj = jnp.where(is_dir, ortho, persp)
     return proj @ view
+
+
+def casters_outside_volume(world: World, light_entity: jnp.ndarray,
+                           proj_view: jnp.ndarray) -> jnp.ndarray:
+    """int32 count of shadow-relevant casters the light camera cannot see —
+    the 'every truncation is counted' contract applied to the shadow volume
+    (the reference avoids the truncation by construction, fitting the camera
+    to the neighborhood, shadow_flow.rs:140-260; here the fitted camera
+    should drive this to zero and any regression shows up as a counter).
+
+    Relevant casters per light kind: within ``light_radius`` of the light
+    (fallback 200 for radius-less lights), with a model, excluding the light
+    entity itself; spot lights additionally restrict to the outer cutoff
+    cone (a blocker must lie on an apex-to-receiver segment, which never
+    leaves the cone). Point lights count zero by construction — their six
+    cube faces tile the full sphere."""
+    from render_engine_tpu.world import culling
+
+    cap = world.capacity
+    e = jnp.clip(light_entity, 0, cap - 1)
+    pos = world["position"][e]
+    radius = world["light_radius"][e]
+    radius = jnp.where(radius > 0.0, radius, jnp.float32(200.0))
+    sortable = world["sortable"][e]
+    mn, mx = world["aabb_min"], world["aabb_max"]
+    caster = (world.alive & (world["model_id"] >= 0)
+              & (jnp.arange(cap) != e))
+    relevant = caster & culling.within_distance(pos, mn, mx, radius)
+
+    is_spot = sortable == R.SORTABLE_SPOT
+    is_point = sortable == R.SORTABLE_POINT
+    direction = world["light_direction"][e]
+    direction = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-6)
+    cos_outer = world["light_cutoff"][e][1]
+    center = 0.5 * (mn + mx)
+    to_c = center - pos[None]
+    dist = jnp.maximum(jnp.linalg.norm(to_c, axis=-1), 1e-6)
+    in_cone = jnp.sum(to_c * direction[None], axis=-1) / dist >= cos_outer
+    relevant = relevant & jnp.where(is_spot & (cos_outer > 1e-3),
+                                    in_cone, True)
+    relevant = relevant & ~is_point
+
+    from render_engine_tpu.math import transforms as T_
+
+    in_vol = culling.aabb_in_frustum(T_.frustum_planes(proj_view), mn, mx)
+    return jnp.sum((relevant & ~in_vol).astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------

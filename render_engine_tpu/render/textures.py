@@ -50,6 +50,32 @@ class TextureAtlasBuilder:
         self.size = layer_size
         self._imgs: list[np.ndarray] = []
         self._scales: list[tuple] = []
+        self._error_layer: int | None = None
+
+    def error_texture(self) -> int:
+        """The loud magenta/black checkerboard layer for missing or
+        unloadable texture files — the reference's named error textures
+        (render_system/helper_constructs.rs:2-12). One shared layer,
+        created on first use."""
+        if self._error_layer is None:
+            self._error_layer = self.add_checkerboard(
+                a=(1.0, 0.0, 1.0), b=(0.0, 0.0, 0.0), cells=8)
+        return self._error_layer
+
+    def add_image_file(self, path: str) -> int:
+        """Load ``path`` into a layer; a missing or unreadable file returns
+        the error texture (loudly, via warnings) instead of crashing the
+        build — the reference falls back to its error textures the same way
+        (helper_constructs.rs:2-12)."""
+        try:
+            return self.add_image(load_image(path))
+        except (OSError, ValueError) as exc:
+            import warnings
+
+            warnings.warn(
+                f"texture {path!r} failed to load ({exc}); using the "
+                "error texture", stacklevel=2)
+            return self.error_texture()
 
     def add_image(self, img: np.ndarray) -> int:
         """Pad an (h, w, 3) float or uint8 image into a layer; returns the

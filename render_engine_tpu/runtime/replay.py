@@ -26,14 +26,49 @@ import jax.numpy as jnp
 
 from render_engine_tpu.logic.types import (
     InputState,
+    KEY_A,
+    KEY_D,
     KEY_ESC,
     KEY_INSERT,
     KEY_RIGHT,
+    KEY_S,
+    KEY_SHIFT,
+    KEY_SPACE,
     KEY_UP,
+    KEY_W,
 )
 from render_engine_tpu.runtime.engine import Engine
 from render_engine_tpu.runtime.history import HistoryLog
 from render_engine_tpu.utils.hashing import world_hash
+
+
+FLY_ACCEL = 60.0  # detached-camera flight acceleration, units/s^2
+
+
+def _flight_accel(camera, keys) -> jnp.ndarray:
+    """WASD + Space/Shift acceleration in the camera's frame — the
+    DCustomMovement free flight (render_thread.rs:357-372 feeding
+    camera_object.rs:174-180 via the input macros, input_macros.rs:1-53).
+    ``keys`` is the host-side bool vector; the few jnp ops here run once
+    per replay frame, off the hot path."""
+    fwd = camera.direction()
+    world_up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    right = jnp.cross(fwd, world_up)
+    right = right / jnp.maximum(jnp.linalg.norm(right), 1e-6)
+    a = jnp.zeros(3, jnp.float32)
+    if bool(keys[KEY_W]):
+        a = a + fwd
+    if bool(keys[KEY_S]):
+        a = a - fwd
+    if bool(keys[KEY_D]):
+        a = a + right
+    if bool(keys[KEY_A]):
+        a = a - right
+    if bool(keys[KEY_SPACE]):
+        a = a + world_up
+    if bool(keys[KEY_SHIFT]):
+        a = a - world_up
+    return a * jnp.float32(FLY_ACCEL)
 
 
 class PlaybackMode(enum.Enum):
@@ -100,10 +135,14 @@ class Player:
             inputs, dt = self.history.frame(self.cursor)
             self.cursor += 1
             if self.mode == PlaybackMode.DEBUG_CUSTOM_MOVEMENT and controls:
-                # fly the detached camera; recorded camera still drives logic
+                # fly the detached camera (mouse look + WASD inertial
+                # flight); the recorded camera still drives logic, so the
+                # replayed world state is untouched
                 cam = self.detached_camera
                 dy, dp = controls.mouse_delta[0], controls.mouse_delta[1]
-                self.detached_camera = cam.rotated(dy, dp)
+                cam = cam.rotated(dy, dp)
+                self.detached_camera = cam.float_position(
+                    _flight_accel(cam, controls.keys), dt)
             img = self.engine.frame(inputs, dt, render=render)
             if (self.mode == PlaybackMode.DEBUG_CUSTOM_MOVEMENT and render
                     and self.detached_camera is not None):

@@ -93,6 +93,88 @@ class TestShadowState:
         assert (np.asarray(shadow2.slot_entity) == -1).all()
 
 
+    def test_directional_camera_fits_light_radius(self):
+        """A caster 300 units off the beam axis of a radius-400 directional
+        light (outside the legacy 200-unit ortho box) still casts: the
+        camera volume is fitted to light_radius (shadow_flow.rs:140-260
+        derives the camera from the light's neighborhood), and the
+        outside-volume counter is zero. With the legacy constants forced,
+        the same caster is invisible to the camera AND counted."""
+        bank = make_bank()
+        cfg = W.WorldConfig(capacity=16, world_length=2048.0,
+                            section_length=256.0)
+        w = W.create_world(cfg)
+        lpos = np.array([1024.0, 600.0, 1024.0], np.float32)
+        # caster ~304 from the light: 300 lateral, 50 down the beam
+        cpos = lpos + np.array([300.0, -50.0, 0.0], np.float32)
+        w, _ = W.spawn_host(
+            w, 2,
+            position=np.stack([lpos, cpos]),
+            model_id=np.array([-1, 0], np.int32),
+            # the 800-unit ortho box maps to 128 px: scale the 2-unit cube
+            # up so its footprint covers pixel centers
+            scale=np.array([[1.0, 1, 1], [20.0, 20, 20]], np.float32),
+            sortable=np.array([R.SORTABLE_DIRECTIONAL, R.SORTABLE_DEFAULT],
+                              np.int32),
+            light_direction=np.array([[0.0, -1.0, 0.0], [0, 0, 0]],
+                                     np.float32),
+            light_radius=np.array([400.0, 0.0], np.float32),
+        )
+        w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                 jnp.asarray(w.alive))
+        pv = SH.light_proj_view(w, jnp.int32(0))
+        assert int(SH.casters_outside_volume(w, jnp.int32(0), pv)) == 0
+        cam = (CameraBuilder().with_position(float(lpos[0]), 500.0, 1100.0)
+               .with_draw_distance(1000.0).build())
+        shadow = SH.create_shadow_state(resolution=128, budget=1)
+        shadow = SH.render_shadow_map(shadow, w, cam, bank, max_tris=64,
+                                      raster_cfg=RasterConfig(
+                                          tile_budget=16, global_budget=8))
+        assert int(shadow.slot_entity[0]) == 0
+        assert (np.asarray(shadow.maps[0]) < 1.0).any()  # the caster wrote
+        # legacy constants: the caster escapes the box and is counted
+        pv_old = SH.light_proj_view(w, jnp.int32(0), ortho_extent=200.0,
+                                    far=600.0)
+        assert int(SH.casters_outside_volume(w, jnp.int32(0), pv_old)) == 1
+
+    def test_spot_camera_widens_to_outer_cutoff(self):
+        """The demo's stars have a 1.0 rad outer cutoff but light_fov 1.2
+        (0.6 half-angle): the camera must widen to the cone or lit pixels
+        near the cone edge can never be shadowed."""
+        bank = make_bank()
+        cfg = W.WorldConfig(capacity=16, world_length=512.0,
+                            section_length=64.0)
+        w = W.create_world(cfg)
+        lpos = np.array([256.0, 200.0, 256.0], np.float32)
+        # caster inside the outer cone (0.8 rad off-axis) but outside a
+        # 0.6-half-angle camera, 100 units out
+        off = np.array([np.sin(0.8), -np.cos(0.8), 0.0]) * 100.0
+        w, _ = W.spawn_host(
+            w, 2,
+            position=np.stack([lpos, lpos + off.astype(np.float32)]),
+            model_id=np.array([-1, 0], np.int32),
+            sortable=np.array([R.SORTABLE_SPOT, R.SORTABLE_DEFAULT],
+                              np.int32),
+            light_direction=np.array([[0.0, -1.0, 0.0], [0, 0, 0]],
+                                     np.float32),
+            light_fov=np.array([1.2, 0.0], np.float32),
+            light_cutoff=np.tile(
+                np.array([[np.cos(0.6), np.cos(1.0)]], np.float32), (2, 1)),
+            light_radius=np.array([400.0, 0.0], np.float32),
+        )
+        w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                 jnp.asarray(w.alive))
+        pv = SH.light_proj_view(w, jnp.int32(0))
+        assert int(SH.casters_outside_volume(w, jnp.int32(0), pv)) == 0
+        # the unexpanded camera (cutoff cleared) misses the caster
+        w_nocut = w.replace(light_cutoff=jnp.zeros_like(w["light_cutoff"]))
+        pv_narrow = SH.light_proj_view(w_nocut, jnp.int32(0))
+        from render_engine_tpu.math import transforms as T
+        from render_engine_tpu.world import culling
+        inside = culling.aabb_in_frustum(
+            T.frustum_planes(pv_narrow), w["aabb_min"], w["aabb_max"])
+        assert not bool(inside[1])
+
     def test_update_interval_skips_frames(self):
         """interval=2: maps render on even ticks only; skipped frames just
         bump the tick (the headline demo's stretched round-robin)."""
@@ -316,3 +398,148 @@ class TestFusedTexturingAndSpecular:
         mat = int(np.asarray(bank.tri_material)[int(bank.tri_offset[mid])])
         assert abs(float(bank.mat_specular[mat]) - 0.6) < 1e-6
         assert int(bank.mat_texture[mat]) == 0
+
+    @staticmethod
+    def _write_obj(dirname, mtl_body):
+        """A unit quad OBJ with the given MTL body."""
+        import os
+
+        with open(os.path.join(dirname, "m.mtl"), "w") as fh:
+            fh.write(mtl_body)
+        obj = os.path.join(dirname, "quad.obj")
+        with open(obj, "w") as fh:
+            fh.write("mtllib m.mtl\n"
+                     "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\n"
+                     "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+                     "vn 0 0 1\n"
+                     "usemtl skin\n"
+                     "f 1/1/1 2/2/1 3/3/1\nf 1/1/1 3/3/1 4/4/1\n")
+        return obj
+
+    def test_mtl_both_maps_roundtrip(self, tmp_path):
+        """map_Kd AND map_Ks load into separate atlas layers and land in
+        the material's texture ROW (the reference packs five texture pairs
+        per vertex, model_definitions.rs:71-148; here diffuse+specular per
+        material)."""
+        import os
+
+        s = 16
+        diff = np.full((s, s, 3), 200, np.uint8)
+        spec = np.zeros((s, s, 3), np.uint8)
+        spec[:, : s // 2] = 255  # left half shiny
+        for name, img in (("diff.ppm", diff), ("spec.ppm", spec)):
+            with open(os.path.join(str(tmp_path), name), "wb") as fh:
+                fh.write(b"P6\n%d %d\n255\n" % (s, s) + img.tobytes())
+        obj = self._write_obj(
+            str(tmp_path),
+            "newmtl skin\nKd 1 1 1\nKs 0.5 0.5 0.5\n"
+            "map_Kd diff.ppm\nmap_Ks spec.ppm\n")
+        ab = TextureAtlasBuilder(layer_size=16)
+        bb = ModelBankBuilder()
+        bb.add_obj("quad", obj, atlas_builder=ab)
+        bank = bb.finalize()
+        atlas = ab.finalize()
+        assert atlas.layers.shape[0] == 2
+        mat = int(np.asarray(bank.tri_material)[0])
+        row = np.asarray(bank.mat_textures[mat])
+        assert row[0] == 0 and row[1] == 1 and (row[2:] == -1).all()
+        assert bank.has_specular_maps()
+        assert abs(float(bank.mat_specular[mat]) - 0.5) < 1e-6
+
+    def test_missing_texture_uses_error_material(self, tmp_path):
+        """A missing map_Kd file falls back LOUDLY to the magenta error
+        texture instead of crashing (the reference's named error textures,
+        helper_constructs.rs:2-12)."""
+        import warnings
+
+        from render_engine_tpu.render.textures import sample_atlas
+
+        obj = self._write_obj(
+            str(tmp_path),
+            "newmtl skin\nKd 1 1 1\nmap_Kd does_not_exist.png\n")
+        ab = TextureAtlasBuilder(layer_size=16)
+        bb = ModelBankBuilder()
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            bb.add_obj("quad", obj, atlas_builder=ab)
+        assert any("error texture" in str(w.message) for w in caught)
+        bank = bb.finalize()
+        atlas = ab.finalize()
+        mat = int(np.asarray(bank.tri_material)[0])
+        tid = int(bank.mat_texture[mat])
+        assert tid == ab.error_texture()
+        # the error layer renders loud magenta (checker of magenta/black)
+        got = np.asarray(sample_atlas(
+            atlas, jnp.full(1, tid, jnp.int32),
+            jnp.array([[1.0 / 32.0, 1.0 - 1.0 / 32.0]])))
+        np.testing.assert_allclose(got[0], [1.0, 0.0, 1.0], atol=1e-3)
+
+    def test_specular_map_modulates_highlight_all_paths(self):
+        """The spec map's red channel scales the per-pixel specular term in
+        the jnp golden path, the tall pallas path, and the fused kernel —
+        all three agree, and a black spec map kills the highlight a white
+        one produces."""
+        import dataclasses as dc
+
+        from render_engine_tpu.render.frame import RenderSettings, render_frame
+        from render_engine_tpu.math.camera import CameraBuilder
+
+        def build(spec_white):
+            ab = TextureAtlasBuilder(layer_size=16)
+            val = 1.0 if spec_white else 0.0
+            stid = ab.add_image(np.full((16, 16, 3), val, np.float32))
+            atlas = ab.finalize()
+            bb = ModelBankBuilder()
+            m = bb.add_material(albedo=(0.3, 0.3, 0.3), specular=5.0,
+                                texture_specular=stid)
+            bb.add_model("ball", primitives.uv_sphere(1.2, 6, 8), material=m)
+            bank = bb.finalize()
+            cfg = W.WorldConfig(capacity=8, world_length=64.0,
+                                section_length=8.0)
+            w = W.create_world(cfg)
+            w, _ = W.spawn_host(
+                w, 2,
+                position=np.array([[32.0, 32.0, 28.0], [32.0, 33.0, 30.5]],
+                                  np.float32),
+                model_id=np.array([0, -1], np.int32),
+                sortable=np.array([0, R.SORTABLE_POINT], np.int32),
+                light_diffuse=np.array([[0, 0, 0], [1.0, 1.0, 1.0]],
+                                       np.float32),
+                light_specular=np.array([[0, 0, 0], [1.0, 1.0, 1.0]],
+                                        np.float32),
+                light_atten=np.array([[0, 0], [0.05, 0.01]], np.float32),
+            )
+            w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                     jnp.asarray(w.alive))
+            cam = (CameraBuilder().with_position(32.0, 32.0, 33.0)
+                   .with_yaw_pitch_degrees(-90.0, 0.0).with_fov_degrees(70.0)
+                   .with_aspect(4.0).with_near_far(0.1, 50.0)
+                   .with_draw_distance(50.0).build())
+            return w, bank, cam, atlas
+
+        def settings(backend, fused):
+            return RenderSettings(
+                width=128, height=32, max_tris=256, backend=backend,
+                raster=RasterConfig(tile_budget=48, max_tiles_per_tri=8,
+                                    global_budget=16, chunk=4),
+                max_point_lights=4, fused_shading=fused,
+                texture_tile_budget=1.0)
+
+        w_w, bank_w, cam, atlas_w = build(True)
+        w_b, bank_b, _, atlas_b = build(False)
+        outs_w, outs_b = [], []
+        for backend, fused in (("jnp", False), ("pallas", False),
+                               ("pallas", True)):
+            s = settings(backend, fused)
+            outs_w.append(np.asarray(
+                render_frame(w_w, cam, bank_w, s, atlas=atlas_w)))
+            outs_b.append(np.asarray(
+                render_frame(w_b, cam, bank_b, s, atlas=atlas_b)))
+        # white spec map keeps the strong highlight; black kills it
+        for iw, ib in zip(outs_w, outs_b):
+            assert iw.max() > ib.max() + 0.1
+        # the three paths agree on both scenes
+        for outs in (outs_w, outs_b):
+            for o in outs[1:]:
+                diff = np.abs(o - outs[0]).max(axis=-1)
+                assert (diff > 0.03).mean() < 0.01
