@@ -108,6 +108,8 @@ class Engine:
             logic_radius=self.config.logic_radius,
             spawn_budget=self.config.spawn_budget,
             collision_budget=self.config.collision_budget,
+            collision_pairs=self.config.collision_pairs,
+            collision_large_budget=self.config.collision_large_budget,
             with_stats=True,
         )
         bank = self.bank
@@ -292,6 +294,47 @@ class Engine:
             return world, camera, shadow_state, img, last_drops
 
         self._frames_scan = jax.jit(frames_scan, donate_argnums=(0, 2))
+
+        # host-side snapshot of the freshly-finalized state: reset() returns
+        # to frame zero WITHOUT re-tracing the jitted programs (host copies
+        # because _step/_frame_fused/_frames_scan donate their device
+        # buffers, which would invalidate stashed device references)
+        import numpy as np
+
+        import jax.tree_util as jtu
+
+        self._initial_state = jtu.tree_map(
+            np.asarray, (self.world, self.camera, self.shadow_state))
+
+    def reset(self):
+        """Return to the post-finalize_scene initial state (frame zero,
+        fresh history baseline) while keeping every compiled program.
+
+        A full engine build re-traces step+render — minutes on CPU — so
+        session-scoped test engines reset() between cases instead. Config
+        mutated mid-run (set_window / set_draw_distances) is NOT restored;
+        tests that change it take a dedicated engine."""
+        import numpy as np
+
+        import jax.tree_util as jtu
+
+        from render_engine_tpu.logic.types import NUM_KEYS
+
+        w0, c0, s0 = self._initial_state
+        self.world = jtu.tree_map(jnp.asarray, w0)
+        self.camera = jtu.tree_map(jnp.asarray, c0)
+        self.shadow_state = jtu.tree_map(jnp.asarray, s0)
+        self.history = HistoryLog()
+        if self.config.record_history:
+            self.history.set_baseline(
+                self.world, self.camera,
+                meta={"engine": "render_engine_tpu",
+                      "capacity": self.config.capacity},
+            )
+        self.frame_index = 0
+        self._prev_keys = np.zeros(NUM_KEYS, bool)
+        self._frame_times = []
+        self._last_drops = None
 
     # -- mid-run config changes (recorded; replay applies them at the same
     # frame — FrameChange::DrawDistancesChange / WindowDimensionsChange,
@@ -533,7 +576,7 @@ class Engine:
                     # (same choose_light schedule) and count the excess
                     from render_engine_tpu.render import shadows as SHD
 
-                    _, _, slight, sface, _ = SHD.choose_light(
+                    _, _, slight, sface, sdo = SHD.choose_light(
                         shadow_state, world, camera.position)
                     spv = SHD.light_proj_view(world, slight, face=sface)
                     sbatch = build_triangle_batch(
@@ -544,6 +587,12 @@ class Engine:
                     out["shadow_triangle_dropped"] = jnp.maximum(
                         sbatch.total_requested
                         - self.config.shadow_max_tris, 0)
+                    # casters the (light-fitted) shadow camera cannot see —
+                    # nonzero means silent missing shadows (gated on an
+                    # actually-scheduled light; slight is junk otherwise)
+                    out["shadow_caster_outside_volume"] = jnp.where(
+                        sdo, SHD.casters_outside_volume(world, slight, spv),
+                        0)
                     # binning overflow of the shadow raster itself (same
                     # config the pass runs with — shadow_raster_cfg)
                     scfg = SHD.shadow_raster_cfg(self.config.shadow_max_tris)

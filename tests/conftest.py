@@ -21,3 +21,33 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+_ENGINE_CACHE = {}
+
+
+@pytest.fixture(scope="session")
+def engine_factory():
+    """Session-scoped demo-engine cache. Building the space engine re-traces
+    the full step+render pipeline (tens of seconds per build on CPU; the
+    round-2 suite spent most of its 15 minutes rebuilding identical
+    engines). Engines are cached by (slot, kwargs) and ``Engine.reset()``
+    to frame zero on reuse. Pass a distinct ``slot`` when a test needs two
+    live engines at once (e.g. record + replay), or when it mutates
+    non-resettable config (set_window)."""
+    from render_engine_tpu.demo.space_scene import build_space_engine
+
+    def get(slot=0, **kw):
+        key = (slot, tuple(sorted(kw.items())))
+        eng = _ENGINE_CACHE.get(key)
+        if eng is None:
+            _ENGINE_CACHE[key] = eng = build_space_engine(**kw)
+            eng._test_cfg0 = (eng.config.record_history,
+                              eng.config.history_dir)
+        else:
+            eng.config.record_history, eng.config.history_dir = eng._test_cfg0
+            eng.reset()
+        return eng
+
+    return get

@@ -3,24 +3,26 @@ determinism across engine instances."""
 
 import numpy as np
 
-from render_engine_tpu.demo.space_scene import build_space_engine, space_config
+from render_engine_tpu.demo.space_scene import space_config
 from render_engine_tpu.logic.types import InputState, KEY_W
 from render_engine_tpu.math.camera import CameraBuilder
 from render_engine_tpu.runtime.engine import Engine
 
-KW = dict(width=128, height=32, capacity=128, num_asteroids=12,
-          max_tris=4096)
+# same kwargs as test_replay.ENGINE_KW so the session-scoped engine cache
+# shares one build across both modules
+KW = dict(width=128, height=32, capacity=128, num_asteroids=10,
+          max_tris=2048)
 
 
 class TestDemoScene:
-    def test_scene_population(self):
-        eng = build_space_engine(**KW)
+    def test_scene_population(self, engine_factory):
+        eng = engine_factory(**KW)
         alive = int(np.asarray(eng.world.alive).sum())
-        # 2 stars + 12 asteroids + wormhole + producer + station + user
-        assert alive == 18
+        # 2 stars + 10 asteroids + wormhole + producer + station + user
+        assert alive == 16
 
-    def test_frame_renders_finite_image(self):
-        eng = build_space_engine(**KW)
+    def test_frame_renders_finite_image(self, engine_factory):
+        eng = engine_factory(**KW)
         eng.config.record_history = False
         img = eng.frame(InputState.idle(0).with_keys(KEY_W), 1 / 30)
         a = np.asarray(img)
@@ -28,17 +30,17 @@ class TestDemoScene:
         assert np.isfinite(a).all()
         assert a.max() > 0.01  # skybox stars at least
 
-    def test_image_deterministic_across_engines(self):
-        a = build_space_engine(**KW)
-        b = build_space_engine(**KW)
+    def test_image_deterministic_across_engines(self, engine_factory):
+        a = engine_factory(**KW)
+        b = engine_factory(slot=1, **KW)
         for e in (a, b):
             e.config.record_history = False
         ia = a.frame(InputState.idle(0), 1 / 30)
         ib = b.frame(InputState.idle(0), 1 / 30)
         np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
 
-    def test_mine_producer_spawns_over_time(self):
-        eng = build_space_engine(**KW)
+    def test_mine_producer_spawns_over_time(self, engine_factory):
+        eng = engine_factory(**KW)
         eng.config.record_history = False
         before = int(np.asarray(eng.world.alive).sum())
         # producer fires every MINE_SPAWN_PERIOD=4s; 5 frames of 1s
@@ -70,13 +72,13 @@ class TestEngineShadows:
         eng.frame(InputState.idle(1), 1 / 30)
         assert int(eng.shadow_state.cursor) == c0 + 1
 
-    def test_run_frames_rendered_matches_per_frame(self):
+    def test_run_frames_rendered_matches_per_frame(self, engine_factory):
         """The scan-batched rendered loop (one dispatch for N frames)
         follows the same trajectory as N per-frame fused dispatches. The
         programs compile separately so XLA may round differently; compare
         with tolerance, not bit-equality (recorded runs never scan)."""
-        a = build_space_engine(**KW)
-        b = build_space_engine(**KW)
+        a = engine_factory(**KW)
+        b = engine_factory(slot=1, **KW)
         for e in (a, b):
             e.config.record_history = False
         n = 4
@@ -96,10 +98,10 @@ class TestEngineShadows:
         # compilations; the images must agree except at such knife edges
         assert (np.abs(da - db) > 1e-2).mean() < 0.01
 
-    def test_run_frames_rendered_updates_drop_counters(self):
+    def test_run_frames_rendered_updates_drop_counters(self, engine_factory):
         """The scan path must not leave _last_drops stale: drop_stats after
         run_frames_rendered reflects the scanned frames' step counters."""
-        eng = build_space_engine(**KW)
+        eng = engine_factory(**KW)
         eng.config.record_history = False
         ins = [InputState.idle(i) for i in range(3)]
         eng.run_frames_rendered(ins, [1 / 30] * 3)
@@ -108,3 +110,5 @@ class TestEngineShadows:
         for k in ("spawn_dropped", "collision_query_dropped", "oob_killed"):
             assert k in d
         assert all(v >= 0 for v in d.values())
+        # light-fitted shadow cameras see every relevant caster in the demo
+        assert d.get("shadow_caster_outside_volume", 0) == 0

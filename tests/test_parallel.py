@@ -15,6 +15,10 @@ from render_engine_tpu.parallel.mesh import (
 needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
                              reason="needs 8 virtual devices")
 
+# one engine config for every test here -> a single session-cached build
+PAR_KW = dict(width=128, height=64, capacity=64, num_asteroids=8,
+              max_tris=1024)
+
 
 @needs_8
 class TestMesh:
@@ -32,15 +36,13 @@ class TestMesh:
         pos_sh = sh.comps["position"]
         assert pos_sh.spec == P("world")
 
-    def test_sharded_step_runs(self):
+    def test_sharded_step_runs(self, engine_factory):
         """The full demo step executes over an 8-device mesh and XLA inserts
         whatever collectives the grid sort / collision gathers need."""
-        from render_engine_tpu.demo.space_scene import build_space_engine
         from render_engine_tpu.logic.step import make_step
         from render_engine_tpu.logic.types import InputState
 
-        eng = build_space_engine(width=128, height=32, capacity=128,
-                                 num_asteroids=16, max_tris=2048)
+        eng = engine_factory(**PAR_KW)
         mesh = make_mesh(8)
         world = shard_world(eng.world, mesh)
         rep = NamedSharding(mesh, P())
@@ -56,15 +58,13 @@ class TestMesh:
         assert int(jnp.sum(w2.alive)) == int(jnp.sum(eng.world.alive))
         assert np.isfinite(np.asarray(w2.comps["position"])).all()
 
-    def test_sharded_matches_single_device(self):
+    def test_sharded_matches_single_device(self, engine_factory):
         """Sharded step == single-device step (same math, collectives only
         move data)."""
-        from render_engine_tpu.demo.space_scene import build_space_engine
         from render_engine_tpu.logic.step import make_step
         from render_engine_tpu.logic.types import InputState
 
-        eng = build_space_engine(width=128, height=32, capacity=64,
-                                 num_asteroids=8, max_tris=1024)
+        eng = engine_factory(**PAR_KW)
         bank = eng.bank
         step = make_step(tuple(eng.config.entity_types),
                          spawn_budget=eng.config.spawn_budget)
@@ -87,17 +87,15 @@ class TestMesh:
 
 @needs_8
 class TestShardedRender:
-    def test_sharded_render_matches_single_chip_path(self):
+    def test_sharded_render_matches_single_chip_path(self, engine_factory):
         """render_frame_sharded (shard_map over tile rows) reproduces the
         single-chip tiled Pallas frame — same kernels, same image."""
         import dataclasses
 
-        from render_engine_tpu.demo.space_scene import build_space_engine
         from render_engine_tpu.parallel.render import render_frame_sharded
         from render_engine_tpu.render.frame import render_frame
 
-        eng = build_space_engine(width=128, height=64, capacity=64,
-                                 num_asteroids=8, max_tris=1024)
+        eng = engine_factory(**PAR_KW)
         s = dataclasses.replace(eng.config.render, backend="pallas",
                                 fused_shading=True)
         single = np.asarray(render_frame(
@@ -119,18 +117,16 @@ class TestShardedRender:
         diff = np.abs(img - single).max(axis=-1)
         assert diff.max() < 0.03, f"max diff {diff.max():.4f}"
 
-    def test_sharded_render_with_atlas_matches(self):
+    def test_sharded_render_with_atlas_matches(self, engine_factory):
         """The sharded render threads the texture atlas: per-rank UV
         interpolation + atlas row gathers reproduce the single-chip
         textured image (the demo scene includes a textured OBJ station)."""
         import dataclasses
 
-        from render_engine_tpu.demo.space_scene import build_space_engine
         from render_engine_tpu.parallel.render import render_frame_sharded
         from render_engine_tpu.render.frame import render_frame
 
-        eng = build_space_engine(width=128, height=64, capacity=64,
-                                 num_asteroids=8, max_tris=1024)
+        eng = engine_factory(**PAR_KW)
         assert eng.atlas is not None, "demo scene should carry an atlas"
         s = dataclasses.replace(eng.config.render, backend="pallas",
                                 fused_shading=True, texture_tile_budget=1.0)

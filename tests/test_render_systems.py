@@ -183,12 +183,11 @@ class TestCompiledSystems:
                 RenderSystemBuilder("b").with_models(cube).build(),
             ), bank)
 
-    def test_engine_demo_uses_systems(self):
-        from render_engine_tpu.demo.space_scene import build_space_engine
+    def test_engine_demo_uses_systems(self, engine_factory):
         from render_engine_tpu.logic.types import InputState
 
-        eng = build_space_engine(width=128, height=32, capacity=64,
-                                 num_asteroids=6, max_tris=2048)
+        eng = engine_factory(width=128, height=32, capacity=64,
+                             num_asteroids=6, max_tris=2048)
         eng.config.record_history = False
         assert eng.compiled_systems is not None
         assert eng.compiled_systems.names == ("default", "light_sources")

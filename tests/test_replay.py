@@ -26,10 +26,10 @@ ENGINE_KW = dict(width=128, height=32, capacity=128, num_asteroids=10,
 
 
 @pytest.fixture(scope="module")
-def recorded(tmp_path_factory):
+def recorded(tmp_path_factory, engine_factory):
     """One live run of 5 frames, flushed to disk."""
     d = str(tmp_path_factory.mktemp("hist"))
-    eng = build_space_engine(**ENGINE_KW)
+    eng = engine_factory(**ENGINE_KW)
     eng.config.history_dir = d
     hashes = []
     for i in range(5):
@@ -51,19 +51,19 @@ class TestHistoryDisk:
 
 
 class TestDeterministicReplay:
-    def test_bitwise_replay(self, recorded):
+    def test_bitwise_replay(self, recorded, engine_factory):
         d, live_hashes = recorded
         log = HistoryLog.load(d)
-        eng2 = build_space_engine(**ENGINE_KW)
+        eng2 = engine_factory(slot=1, **ENGINE_KW)
         eng2.config.record_history = False
         player = Player(eng2, log)
         replay_hashes = player.replay_all(render=False)
         assert replay_hashes == live_hashes
 
-    def test_replay_reaches_end_state(self, recorded):
+    def test_replay_reaches_end_state(self, recorded, engine_factory):
         d, live_hashes = recorded
         log = HistoryLog.load(d)
-        eng2 = build_space_engine(**ENGINE_KW)
+        eng2 = engine_factory(slot=1, **ENGINE_KW)
         player = Player(eng2, log)
         player.replay_all(render=False)
         assert player.mode == PlaybackMode.DEBUG
@@ -72,10 +72,10 @@ class TestDeterministicReplay:
 
 
 class TestPlaybackModes:
-    def test_detach_and_reattach_camera(self, recorded):
+    def test_detach_and_reattach_camera(self, recorded, engine_factory):
         d, _ = recorded
         log = HistoryLog.load(d)
-        eng = build_space_engine(**ENGINE_KW)
+        eng = engine_factory(slot=1, **ENGINE_KW)
         player = Player(eng, log)
         player.step(InputState.idle(0).with_keys(KEY_ESC), render=False)
         assert player.mode == PlaybackMode.DEBUG_CUSTOM_MOVEMENT
@@ -84,12 +84,41 @@ class TestPlaybackModes:
         assert player.mode == PlaybackMode.DEBUG
         assert player.detached_camera is None
 
-    def test_continue_past_end(self, recorded):
+    def test_detached_camera_free_flight(self, recorded, engine_factory):
+        """WASD flies the detached camera (DCustomMovement,
+        render_thread.rs:357-372 + input_macros.rs:1-53) with
+        float_position inertia, while the replayed WORLD stays bit-exact:
+        the per-frame hashes match the recorded run frame for frame."""
+        d, live_hashes = recorded
+        log = HistoryLog.load(d)
+        eng = engine_factory(slot=1, **ENGINE_KW)
+        eng.config.record_history = False
+        player = Player(eng, log)
+        player.step(InputState.idle(0).with_keys(KEY_ESC), render=False)
+        hashes = [world_hash(eng.world)]
+        p0 = np.asarray(player.detached_camera.position).copy()
+        fwd0 = np.asarray(player.detached_camera.direction()).copy()
+        while player.cursor < log.num_frames:
+            player.step(InputState.idle(0).with_keys(KEY_W), render=False)
+            hashes.append(world_hash(eng.world))
+        p1 = np.asarray(player.detached_camera.position)
+        moved = p1 - p0
+        assert np.linalg.norm(moved) > 0.01  # the camera flew
+        # along the camera forward axis
+        assert np.dot(moved / np.linalg.norm(moved), fwd0) > 0.99
+        # inertia persists: one key-less frame still coasts... but the
+        # recording is exhausted, so check velocity directly
+        assert np.linalg.norm(
+            np.asarray(player.detached_camera.velocity)) > 0.0
+        # world state identical to the recorded run, frame for frame
+        assert hashes == live_hashes
+
+    def test_continue_past_end(self, recorded, engine_factory):
         """Up steps one live frame past the recording; Right resumes RUN
         (render_thread.rs:344-355, 445-474)."""
         d, _ = recorded
         log = HistoryLog.load(d)
-        eng = build_space_engine(**ENGINE_KW)
+        eng = engine_factory(slot=1, **ENGINE_KW)
         player = Player(eng, log)
         player.replay_all(render=False)
         player.step(render=False)  # hits the end marker
@@ -103,8 +132,8 @@ class TestPlaybackModes:
 
 
 class TestSupervisor:
-    def test_flush_on_crash(self, tmp_path):
-        eng = build_space_engine(**ENGINE_KW)
+    def test_flush_on_crash(self, tmp_path, engine_factory):
+        eng = engine_factory(**ENGINE_KW)
         eng.config.history_dir = str(tmp_path)
         with pytest.raises(RuntimeError):
             with Supervisor(eng) as sup:
@@ -116,12 +145,12 @@ class TestSupervisor:
         assert log.num_frames == 2
         assert sup.failed and "simulated crash" in sup.failure_info
 
-    def test_nan_fault_detection(self):
+    def test_nan_fault_detection(self, engine_factory):
         """Fault injection (SURVEY.md section 5): poison a component, assert
         the supervisor catches it."""
         import jax.numpy as jnp
 
-        eng = build_space_engine(**ENGINE_KW)
+        eng = engine_factory(**ENGINE_KW)
         eng.config.record_history = False
         sup = Supervisor(eng, nan_check_every=1)
         sup.tick(InputState.idle(0), render=False)
@@ -130,8 +159,8 @@ class TestSupervisor:
         with pytest.raises(FloatingPointError):
             sup.check_state_health()
 
-    def test_heartbeat(self):
-        eng = build_space_engine(**ENGINE_KW)
+    def test_heartbeat(self, engine_factory):
+        eng = engine_factory(**ENGINE_KW)
         eng.config.record_history = False
         sup = Supervisor(eng)
         sup.tick(InputState.idle(0), render=False)
@@ -140,14 +169,15 @@ class TestSupervisor:
 
 
 class TestConfigChangeReplay:
-    def test_mid_recording_draw_distance_and_seed_roundtrip(self, tmp_path):
+    def test_mid_recording_draw_distance_and_seed_roundtrip(self, tmp_path,
+                                                            engine_factory):
         """A mid-recording draw-distance change + a 2^32-1 rng seed replay
         bit-identically (VERDICT items: DrawDistancesChange analogue +
         uint32 seed serialization)."""
         import dataclasses as dc
 
         d = str(tmp_path)
-        eng = build_space_engine(**ENGINE_KW)
+        eng = engine_factory(**ENGINE_KW)
         eng.config.history_dir = d
         hashes = []
         for i in range(6):
@@ -163,7 +193,7 @@ class TestConfigChangeReplay:
         assert float(eng.camera.draw_distance) == 200.0
         eng.flush_history()
 
-        eng2 = build_space_engine(**ENGINE_KW)
+        eng2 = engine_factory(slot=1, **ENGINE_KW)
         from render_engine_tpu.runtime.history import HistoryLog
 
         player = Player(eng2, HistoryLog.load(d))
@@ -171,12 +201,14 @@ class TestConfigChangeReplay:
         assert got == hashes
         assert float(eng2.camera.draw_distance) == 200.0
 
-    def test_mid_recording_window_change(self, tmp_path):
+    def test_mid_recording_window_change(self, tmp_path, engine_factory):
         """WindowDimensionsChange analogue: resolution changes re-jit only
         the render; the replayed trajectory is unchanged and the replayed
         engine renders at the recorded new size."""
         d = str(tmp_path)
-        eng = build_space_engine(**ENGINE_KW)
+        # set_window mutates config.render (not restored by reset) ->
+        # dedicated cache slots
+        eng = engine_factory(slot="win0", **ENGINE_KW)
         eng.config.history_dir = d
         eng.frame(InputState.idle(0), 1 / 30, render=False)
         eng.set_window(64, 16)
@@ -185,7 +217,7 @@ class TestConfigChangeReplay:
         h_live = world_hash(eng.world)
         eng.flush_history()
 
-        eng2 = build_space_engine(**ENGINE_KW)
+        eng2 = engine_factory(slot="win1", **ENGINE_KW)
         from render_engine_tpu.runtime.history import HistoryLog
 
         player = Player(eng2, HistoryLog.load(d))
@@ -196,7 +228,7 @@ class TestConfigChangeReplay:
 
 
 class TestChurnStress:
-    def test_capacity_churn_replays_bitwise(self):
+    def test_capacity_churn_replays_bitwise(self, engine_factory):
         """Integration stress: a near-capacity world where in-step spawning
         hits the ceiling (spawn backpressure) must still replay
         bit-identically, and the pressure must be visible in drop stats.
@@ -207,7 +239,7 @@ class TestChurnStress:
         slots within the run (MINE_SPAWN_PERIOD = 4 s)."""
         kw = dict(width=64, height=16, capacity=28, num_asteroids=20,
                   max_tris=2048, spawn_budget=2)
-        eng = build_space_engine(**kw)
+        eng = engine_factory(**kw)
         hashes = []
         spawn_drops = 0
         for i in range(40):
@@ -225,7 +257,7 @@ class TestChurnStress:
         assert spawn_drops > 0  # backpressure observed, not silent
 
         # bit-identical replay of the whole churn
-        eng2 = build_space_engine(**kw)
+        eng2 = engine_factory(slot=1, **kw)
         player = Player(eng2, eng.history)
         for i in range(eng.history.num_frames):
             player.step(render=False)

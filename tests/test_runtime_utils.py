@@ -3,11 +3,11 @@
 import jax.numpy as jnp
 import numpy as np
 
-from render_engine_tpu.demo.space_scene import build_space_engine
 from render_engine_tpu.logic.types import InputState, KEY_W, NUM_KEYS
 from render_engine_tpu.runtime.profiling import StageTimer
 
-ENGINE_KW = dict(width=128, height=32, capacity=64, num_asteroids=8,
+# matches test_parallel.PAR_KW -> shares the session-cached engine build
+ENGINE_KW = dict(width=128, height=64, capacity=64, num_asteroids=8,
                  max_tris=1024)
 
 
@@ -33,8 +33,8 @@ class TestInputHistory:
             rt = InputState.deserialize(s.serialize())
             assert int(rt.rng_seed) == seed, (seed, int(rt.rng_seed))
 
-    def test_engine_threads_prev_keys(self):
-        eng = build_space_engine(**ENGINE_KW)
+    def test_engine_threads_prev_keys(self, engine_factory):
+        eng = engine_factory(**ENGINE_KW)
         eng.config.record_history = False
         eng.frame(InputState.idle(0).with_keys(KEY_W), render=False)
         assert bool(eng._prev_keys[KEY_W])
@@ -43,8 +43,8 @@ class TestInputHistory:
 
 
 class TestRunFrames:
-    def test_scan_batch_advances(self):
-        eng = build_space_engine(**ENGINE_KW)
+    def test_scan_batch_advances(self, engine_factory):
+        eng = engine_factory(**ENGINE_KW)
         eng.config.record_history = False
         before = np.asarray(eng.world["position"]).copy()
         inputs = [InputState.idle(i).with_keys(KEY_W) for i in range(4)]
@@ -53,12 +53,12 @@ class TestRunFrames:
         assert not np.array_equal(before, after)
         assert eng.frame_index == 4
 
-    def test_scan_matches_sequential(self):
+    def test_scan_matches_sequential(self, engine_factory):
         """Same math, one dispatch (allclose, not bitwise — different
         compiled program)."""
-        a = build_space_engine(**ENGINE_KW)
+        a = engine_factory(**ENGINE_KW)
         a.config.record_history = False
-        b = build_space_engine(**ENGINE_KW)
+        b = engine_factory(slot=1, **ENGINE_KW)
         b.config.record_history = False
         inputs = [InputState.idle(i) for i in range(3)]
         for inp in inputs:
@@ -85,18 +85,18 @@ class TestStageTimer:
 
 
 class TestDropCounters:
-    def test_starved_budgets_report_nonzero(self):
+    def test_starved_budgets_report_nonzero(self, engine_factory):
         """Deliberately starved triangle budget reports drops; a healthy
         scene reports zero (the observable-truncation contract)."""
-        eng = build_space_engine(width=128, height=32, capacity=64,
-                                 num_asteroids=12, max_tris=64)
+        eng = engine_factory(width=128, height=32, capacity=64,
+                             num_asteroids=12, max_tris=64)
         eng.config.record_history = False
         eng.frame(InputState.idle(0), render=False)
         drops = eng.drop_stats()
         assert drops["triangle_budget_dropped"] > 0
 
-        eng2 = build_space_engine(width=128, height=32, capacity=64,
-                                  num_asteroids=4, max_tris=8192)
+        eng2 = engine_factory(width=128, height=32, capacity=64,
+                              num_asteroids=4, max_tris=8192)
         eng2.config.record_history = False
         eng2.frame(InputState.idle(0), render=False)
         d2 = eng2.drop_stats()
@@ -105,8 +105,8 @@ class TestDropCounters:
                            "collision_cell_dropped", "spawn_dropped",
                            "oob_killed", "tile_candidate_dropped"}
 
-    def test_fps_stats_includes_drops(self):
-        eng = build_space_engine(**ENGINE_KW)
+    def test_fps_stats_includes_drops(self, engine_factory):
+        eng = engine_factory(**ENGINE_KW)
         eng.config.record_history = False
         eng.frame(InputState.idle(0), render=False)
         stats = eng.fps_stats()
