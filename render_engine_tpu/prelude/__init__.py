@@ -12,3 +12,8 @@ routed by material alpha / entity flag).
 from render_engine_tpu.prelude.default_render_system import (  # noqa: F401
     default_render_systems,
 )
+from render_engine_tpu.render.render_system import (  # noqa: F401
+    DrawParam,
+    RenderSystemBuilder,
+    ShadeParam,
+)

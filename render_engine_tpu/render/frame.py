@@ -52,6 +52,13 @@ class RenderSettings:
     # denser than the budget — the engine's usual budgeted conservatism.
     shadow_tile_budget: float = 1.0
     texture_tile_budget: float = 1.0
+    # per-tile light culling on the fused path (the reference's
+    # light-volume second pass, second_pass_vertex.glsl:1-20, as tile
+    # lists): each tile's light loop covers only lights whose influence
+    # sphere intersects its view pyramid, bit-identical to the full loop
+    # until a tile exceeds this many lights (then counted in
+    # light_tile_overflow). 0 = off (loop every light per tile).
+    light_tile_budget: int = 0
 
     def __hash__(self):
         return hash((self.width, self.height, self.max_tris,
@@ -59,7 +66,8 @@ class RenderSettings:
                      self.max_dir_lights, self.max_point_lights,
                      self.max_spot_lights, self.clear_color, self.backend,
                      self.fused_shading, self.texture_transparent,
-                     self.shadow_tile_budget, self.texture_tile_budget))
+                     self.shadow_tile_budget, self.texture_tile_budget,
+                     self.light_tile_budget))
 
 
 def pick_rasterizer(backend: str = "auto"):
@@ -81,6 +89,15 @@ def pick_rasterizer(backend: str = "auto"):
     )
 
 
+def _gate_skybox(background, skybox_on, settings):
+    """Apply a per-frame DrawParam skybox toggle (None = configured
+    default): off replaces the sampled background with the clear color."""
+    if skybox_on is None:
+        return background
+    return jnp.where(jnp.asarray(skybox_on, bool), background,
+                     jnp.asarray(settings.clear_color, jnp.float32))
+
+
 def render_frame(
     world: World,
     camera,
@@ -92,6 +109,7 @@ def render_frame(
     shadow_state=None,
     shadow_factor=None,
     systems=None,
+    inputs=None,
 ) -> jnp.ndarray:
     """Deferred-render one frame. Returns float32 (H, W, 3) linear color.
 
@@ -99,13 +117,25 @@ def render_frame(
     matching lights; ``shadow_factor`` overrides it with a custom callback.
     ``systems``: optional render_system.CompiledSystems — user render
     systems folded into the single fused pass as per-triangle data (model
-    routing, LoV gating, unlit/emissive boost, tint/alpha uniforms).
+    routing, LoV gating, unlit/emissive boost, tint/alpha uniforms), plus
+    per-frame DrawParam callbacks when any system registers one.
+    ``inputs``: the frame's InputState, exposed to draw callbacks
+    (DrawParam.get_input_history); optional.
     """
     h, w = settings.height, settings.width
     rasterizer = pick_rasterizer(settings.backend)
 
+    # per-frame user draw callbacks (DrawParam): instance gating, traced
+    # uniform rows, skybox toggle (rendering.rs:57-396 semantics as data)
+    draw_ctx = None
+    if systems is not None and systems.has_draw_callbacks():
+        from render_engine_tpu.render.render_system import run_draw_callbacks
+
+        draw_ctx = run_draw_callbacks(systems, world, camera, inputs, bank)
+
     batch = build_triangle_batch(
-        world, bank, camera, max_tris=settings.max_tris, systems=systems
+        world, bank, camera, max_tris=settings.max_tris, systems=systems,
+        instance_mask=None if draw_ctx is None else draw_ctx.allowed,
     )
     batch = to_screen(batch, w, h)
 
@@ -113,7 +143,9 @@ def render_frame(
     if systems is not None:
         from render_engine_tpu.render.render_system import entity_shade_attrs
 
-        ent_attrs = entity_shade_attrs(world, systems)
+        ent_attrs = entity_shade_attrs(
+            world, systems,
+            sys_table=None if draw_ctx is None else draw_ctx.sys_table)
 
     # --- raster: opaque + transparent layers ----------------------------
     from render_engine_tpu.render.raster_pallas import (
@@ -129,6 +161,7 @@ def render_frame(
             world, camera, bank, settings,
             cubemap=cubemap, atlas=atlas, shadow_state=shadow_state,
             shadow_factor=shadow_factor, batch=batch, ent_attrs=ent_attrs,
+            systems=systems, draw_ctx=draw_ctx,
         )
     else:
         depth, winner = rasterizer(batch, h, w, settings.raster,
@@ -201,6 +234,9 @@ def render_frame(
     # --- background: starfield splats, cubemap rows, or clear color -----
     background = SB.background_for(camera, cubemap, h, w,
                                    settings.clear_color)
+    background = _gate_skybox(
+        background, None if draw_ctx is None else draw_ctx.skybox_on,
+        settings)
 
     color = L.shade(
         gbuf, lights, bank, camera.position,
@@ -208,6 +244,13 @@ def render_frame(
         emissive_image=None if extras is None else extras["emissive"],
         specular_image=spec_img,
     )
+    if systems is not None and systems.has_shade_callbacks():
+        from render_engine_tpu.render.render_system import (
+            apply_custom_shading,
+        )
+
+        color = apply_custom_shading(color, gbuf, winner, batch, world,
+                                     camera, lights, systems, draw_ctx)
 
     # --- transparency: single-layer forward pass over the lit image -----
     # (no shadow sampling: the reference draws transparency forward after
@@ -531,12 +574,26 @@ def tiled_fused_core(
             shadow_state, d, wn, tiles_x, th, twd, width, h_total,
             inv_pv, y_off, settings.shadow_tile_budget)
         sent = shadow_state.slot_entity
+    tile_lights = None
+    if settings.light_tile_budget > 0:
+        from render_engine_tpu.render.shade_pallas import (
+            pack_lights,
+            select_tile_lights,
+        )
+
+        lbud = (settings.max_dir_lights + settings.max_point_lights
+                + settings.max_spot_lights)
+        ltab_sel, n_live = pack_lights(lights, lbud)
+        tlist, tcount, _light_drop = select_tile_lights(
+            ltab_sel, n_live, camera.position, inv_pv, tiles_x, tiles_y,
+            th, twd, width, h_total, y_off, settings.light_tile_budget)
+        tile_lights = (tlist, tcount)
     shaded = fused_shade(
         rows, s, ts, d, td, lights, camera.position, inv_pv,
         tiles_x, width, h_total, slot_factor_tiles=sft,
         slot_factor_inv=sfi, slot_entity=sent,
         pixel_origin=(0.0, y_off), interpret=interpret,
-        albedo_override=albedo_override,
+        albedo_override=albedo_override, tile_lights=tile_lights,
     )  # (8, NT, th, tw)
 
     def untile8(x):  # (C, NT, th, tw) -> (h_local, w, C)
@@ -561,6 +618,7 @@ def tiled_fused_core(
 def _render_frame_pallas_tiled(
     world, camera, bank, settings: RenderSettings, *,
     cubemap, atlas, shadow_state, shadow_factor, batch, ent_attrs=None,
+    systems=None, draw_ctx=None,
 ) -> jnp.ndarray:
     """Pallas frame in tiled layout: all shading math runs on the
     contiguous (NT*th, tw) view of the tile buffers (zero transposes); only
@@ -573,6 +631,13 @@ def _render_frame_pallas_tiled(
     th, twd = cfg.tile_h, cfg.tile_w
     tiles_x, tiles_y = -(-w // twd), -(-h // th)
     nt = tiles_x * tiles_y
+    skybox_on = None if draw_ctx is None else draw_ctx.skybox_on
+
+    if (settings.fused_shading and systems is not None
+            and systems.has_shade_callbacks()):
+        raise ValueError(
+            "custom fragment shading (with_fragment_shading) needs the XLA "
+            "shading paths: set RenderSettings.fused_shading=False")
 
     # --- fused interp+lighting kernel path ------------------------------
     if settings.fused_shading and shadow_factor is None:
@@ -584,6 +649,7 @@ def _render_frame_pallas_tiled(
         )
         background = SB.background_for(camera, cubemap, h, w,
                                        settings.clear_color)
+        background = _gate_skybox(background, skybox_on, settings)
         return tiled_fused_core(
             batch, lights, bank, settings, camera,
             width=w, h_total=h, h_local=h, y_off=0.0,
@@ -673,6 +739,13 @@ def _render_frame_pallas_tiled(
                     background=zeros_bg, shadow_factor=shadow_factor,
                     emissive_image=extras["emissive"],
                     specular_image=extras["specular"])
+    if systems is not None and systems.has_shade_callbacks():
+        from render_engine_tpu.render.render_system import (
+            apply_custom_shading,
+        )
+
+        color = apply_custom_shading(color, gbuf, tall(wn), batch, world,
+                                     camera, lights, systems, draw_ctx)
     # transparency: forward pass without shadow sampling (reference parity)
     t_lit = L.shade(t_gbuf, lights, bank, camera.position,
                     background=zeros_bg, shadow_factor=None,
@@ -709,6 +782,7 @@ def _render_frame_pallas_tiled(
     # background (image space): starfield / cubemap rows / clear color
     background = SB.background_for(camera, cubemap, h, w,
                                    settings.clear_color)
+    background = _gate_skybox(background, skybox_on, settings)
     base = jnp.where(covered_i, color_i, background)
     out = jnp.where(t_front_i, alpha_i * t_lit_i + (1.0 - alpha_i) * base,
                     base)

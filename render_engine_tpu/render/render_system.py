@@ -55,6 +55,21 @@ class RenderSystem:
     emissive_boost: float = 1.0  # the stars' 6x-brightness knob
     casts_lov: bool = True  # apply level-of-view swapping
     uniforms: tuple = ()  # ((name, value), ...) build-time constants
+    # per-frame user draw callback (the reference's render-system draw
+    # functions receiving a DrawParam, exports/rendering.rs:57-396 +
+    # system_information.rs draw fn registration): fn(DrawParam) -> None,
+    # called at TRACE time inside the render program each frame. When set,
+    # ONLY entities this callback draws (DrawParam.draw_models) render for
+    # this system, and its uniform writes override the build-time values
+    # with traced per-frame data. None = static routing (all bound models).
+    draw: object = None
+    # user fragment shading fn(ShadeParam) -> (..., 3) rgb — the analogue
+    # of the reference's user-written GLSL fragment bodies
+    # (system_information.rs:486-559 shader declarations): replaces the
+    # default deferred Blinn-Phong for this system's pixels. Traced Python
+    # over the G-buffer contract instead of GLSL strings. None = default
+    # shading. Requires fused_shading=False (the XLA shading paths).
+    shade: object = None
 
 
 class RenderSystemBuilder:
@@ -70,6 +85,8 @@ class RenderSystemBuilder:
         self._emissive_boost = 1.0
         self._lov = True
         self._uniforms: list[tuple] = []
+        self._draw = None
+        self._shade = None
 
     def with_models(self, *model_ids: int) -> "RenderSystemBuilder":
         self._models.extend(int(m) for m in model_ids)
@@ -99,6 +116,33 @@ class RenderSystemBuilder:
         self._uniforms.append((name, value))
         return self
 
+    def with_fragment_shading(self, fn) -> "RenderSystemBuilder":
+        """Custom fragment shading ``fn(ShadeParam) -> rgb`` — the user
+        shader-body half of the reference's shader DSL
+        (system_information.rs:486-559), as traced Python over the G-buffer
+        contract. The fn sees per-pixel position/normal/albedo/depth/
+        material, the camera, the frame's light table, this system's
+        uniform values (including per-frame DrawParam writes), and the
+        default-shaded color to build on. Opaque layer only; requires the
+        XLA shading paths (fused_shading=False)."""
+        if not callable(fn):
+            raise TypeError("fragment shading function must be callable")
+        self._shade = fn
+        return self
+
+    def with_draw_function(self, fn) -> "RenderSystemBuilder":
+        """Per-frame draw callback ``fn(DrawParam) -> None`` — the
+        reference's with_draw_function registration (builder.rs draw-fn
+        states feeding render_system.rs:410-595). The callback runs at
+        trace time inside the render program every frame: it decides which
+        of the system's models/instances draw (``DrawParam.draw_models``,
+        possibly gated on traced conditions), writes per-frame uniform
+        values, and may toggle the skybox."""
+        if not callable(fn):
+            raise TypeError("draw function must be callable")
+        self._draw = fn
+        return self
+
     def build(self) -> RenderSystem:
         if not self._models:
             raise ValueError(
@@ -112,6 +156,8 @@ class RenderSystemBuilder:
             emissive_boost=self._emissive_boost,
             casts_lov=self._lov,
             uniforms=tuple(self._uniforms),
+            draw=self._draw,
+            shade=self._shade,
         )
 
 
@@ -129,7 +175,7 @@ RECOGNIZED_UNIFORMS = {
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["model_system", "sys_table", "sys_lov"],
-    meta_fields=["names"],
+    meta_fields=["names", "src"],
 )
 @dataclasses.dataclass(frozen=True)
 class CompiledSystems:
@@ -152,6 +198,15 @@ class CompiledSystems:
     sys_table: jnp.ndarray
     sys_lov: jnp.ndarray
     names: tuple
+    # the source RenderSystem records (static; carries the per-frame draw
+    # callbacks). () for systems compiled before callbacks existed.
+    src: tuple = ()
+
+    def has_draw_callbacks(self) -> bool:
+        return any(s.draw is not None for s in self.src)
+
+    def has_shade_callbacks(self) -> bool:
+        return any(s.shade is not None for s in self.src)
 
 
 def compile_systems(systems, bank: ModelBank) -> CompiledSystems:
@@ -169,9 +224,12 @@ def compile_systems(systems, bank: ModelBank) -> CompiledSystems:
         alpha_scale = 1.0
         for name, value in sys_.uniforms:
             if name not in RECOGNIZED_UNIFORMS:
+                if sys_.shade is not None:
+                    continue  # consumed by the system's ShadeParam.uniforms
                 raise ValueError(
                     f"render system {sys_.name!r}: unknown uniform {name!r} "
-                    f"(recognized: {sorted(RECOGNIZED_UNIFORMS)})"
+                    f"(recognized: {sorted(RECOGNIZED_UNIFORMS)}; arbitrary "
+                    "names need a with_fragment_shading consumer)"
                 )
             if name == "albedo_tint":
                 tint = tuple(float(v) for v in value)
@@ -199,18 +257,231 @@ def compile_systems(systems, bank: ModelBank) -> CompiledSystems:
         sys_table=jnp.asarray(table),
         sys_lov=jnp.asarray(lov),
         names=tuple(s.name for s in systems),
+        src=systems,
     )
 
 
-def entity_shade_attrs(world: World, systems: CompiledSystems) -> jnp.ndarray:
+def entity_shade_attrs(world: World, systems: CompiledSystems,
+                       sys_table: jnp.ndarray | None = None) -> jnp.ndarray:
     """(CAP, 6) per-entity [unlit, boost, tint rgb, alpha_scale] rows from
-    each entity's model's system (identity row for unrouted models)."""
+    each entity's model's system (identity row for unrouted models).
+    ``sys_table`` overrides the compiled static table with per-frame traced
+    rows (DrawParam uniform writes)."""
+    table = systems.sys_table if sys_table is None else sys_table
     mid = world["model_id"]
     ms = systems.model_system[jnp.clip(mid, 0, systems.model_system.shape[0] - 1)]
-    s = jnp.clip(ms, 0, systems.sys_table.shape[0] - 1)
-    rows = systems.sys_table[s]
+    s = jnp.clip(ms, 0, table.shape[0] - 1)
+    rows = table[s]
     identity = jnp.asarray([0.0, 1.0, 1.0, 1.0, 1.0, 1.0], jnp.float32)
     return jnp.where(((ms >= 0) & (mid >= 0))[:, None], rows, identity)
+
+
+class DrawParam:
+    """Per-frame draw-callback context — the TPU-native DrawParam
+    (exports/rendering.rs:57-396). The reference hands user draw functions
+    a handle that issues instanced GL draws filtered by sortable bucket,
+    writes uniforms, toggles the skybox, and exposes the ECS / camera /
+    input history read-only. Here draws become INSTANCE MASKS and uniform
+    writes become traced per-frame shading rows, both folded into the one
+    fused pass — the callback runs at trace time, so conditions must be
+    traced values (``when=...``), not Python ``if`` on world data."""
+
+    def __init__(self, system: RenderSystem, world: World, camera, inputs,
+                 bank: ModelBank):
+        self.world = world
+        self.camera = camera
+        self.input = inputs  # InputState, or None on input-less paths
+        self._system = system
+        self._bound = frozenset(int(m) for m in system.model_ids)
+        self._bank = bank
+        self._mask = jnp.zeros(world.capacity, bool)
+        self._uniform_writes: list[tuple] = []
+        self.skybox: object = None  # None = leave as configured
+
+    # -- reads (get_logical_ecs / get_camera / get_input_history) ---------
+    def get_ecs(self) -> World:
+        return self.world
+
+    def get_camera(self):
+        return self.camera
+
+    def get_input_history(self):
+        return self.input
+
+    # -- draws (draw_model_with_sortable_index, rendering.rs:270-386) -----
+    def draw_models(self, *model_ids, sortable=None, when=None):
+        """Draw this frame's instances of ``model_ids`` (must be bound to
+        this system). ``sortable``: optional int or iterable of sortable
+        bucket values — only instances in those buckets draw (the
+        reference's component_indexes filter). ``when``: optional traced
+        (or static) bool scalar gating the whole call."""
+        if not model_ids:
+            raise ValueError(
+                f"render system {self._system.name!r}: draw_models needs at "
+                "least one model id")
+        mid = self.world["model_id"]
+        m = jnp.zeros(self.world.capacity, bool)
+        for model in model_ids:
+            model = int(model)
+            if model not in self._bound:
+                raise ValueError(
+                    f"render system {self._system.name!r}: cannot draw "
+                    f"model {model} — not bound to this system "
+                    f"(bound: {sorted(self._bound)})")
+            m = m | (mid == model)
+        if sortable is not None:
+            if isinstance(sortable, (int, float)):
+                sortable = (int(sortable),)
+            sm = jnp.zeros(self.world.capacity, bool)
+            for bucket in sortable:
+                sm = sm | (self.world["sortable"] == int(bucket))
+            m = m & sm
+        if when is not None:
+            m = m & jnp.asarray(when, bool)
+        self._mask = self._mask | m
+
+    def draw_skybox(self, on=True):
+        """Toggle the skybox for this frame (toggle_rendering_skybox,
+        rendering.rs:57-64); ``on`` may be a traced bool."""
+        self.skybox = on
+
+    # -- uniforms (write_uniform_value, rendering.rs:67-182) --------------
+    def write_uniform(self, name: str, value):
+        """Write a per-frame uniform value (may be traced). Unknown names
+        fail at trace time — the analogue of GLSL rejecting an undeclared
+        uniform — unless this system has a fragment-shading fn, whose
+        ShadeParam.uniforms consumes arbitrary names."""
+        if name not in RECOGNIZED_UNIFORMS and self._system.shade is None:
+            raise ValueError(
+                f"render system {self._system.name!r}: unknown uniform "
+                f"{name!r} (recognized: {sorted(RECOGNIZED_UNIFORMS)}; "
+                "arbitrary names need a with_fragment_shading consumer)")
+        self._uniform_writes.append((name, value))
+
+
+@dataclasses.dataclass(frozen=True)
+class DrawContext:
+    """Per-frame dynamic state produced by the systems' draw callbacks.
+    ``allowed``: bool[CAP] instance gate (None = static routing only);
+    ``sys_table``: traced (S, 6) shading rows (None = compiled constants);
+    ``skybox_on``: bool scalar (None = leave the configured background);
+    ``uniform_writes``: per-system {name: value} of this frame's
+    DrawParam.write_uniform calls, for ShadeParam.uniforms."""
+
+    allowed: object = None
+    sys_table: object = None
+    skybox_on: object = None
+    uniform_writes: tuple = ()
+
+
+def run_draw_callbacks(systems: CompiledSystems, world: World, camera,
+                       inputs, bank: ModelBank) -> DrawContext:
+    """Invoke every system's draw callback for this frame (trace time) and
+    fold the results into a DrawContext consumed by render_frame.
+
+    Entities of systems WITHOUT a callback stay statically routed; entities
+    of systems WITH one draw only if the callback drew them this frame
+    (the reference only renders what the user's draw fn submits,
+    render_system.rs:410-595)."""
+    if not systems.has_draw_callbacks():
+        return DrawContext()
+    mid = world["model_id"]
+    ent_sys = systems.model_system[
+        jnp.clip(mid, 0, systems.model_system.shape[0] - 1)]
+    allowed = jnp.ones(world.capacity, bool)
+    sys_table = systems.sys_table
+    skybox_on = None
+    uniform_writes = [{} for _ in systems.src]
+    for s, sys_ in enumerate(systems.src):
+        if sys_.draw is None:
+            continue
+        dp = DrawParam(sys_, world, camera, inputs, bank)
+        sys_.draw(dp)
+        mine = ent_sys == s
+        allowed = jnp.where(mine, dp._mask, allowed)
+        if dp.skybox is not None:
+            skybox_on = dp.skybox
+        uniform_writes[s] = dict(dp._uniform_writes)
+        if dp._uniform_writes:
+            row = sys_table[s]
+            unlit, boost = row[0], row[1]
+            tint = row[2:5]
+            alpha_scale = row[5]
+            for name, value in dp._uniform_writes:
+                if name == "albedo_tint":
+                    tint = jnp.asarray(value, jnp.float32).reshape(3)
+                elif name == "alpha_scale":
+                    alpha_scale = jnp.asarray(value, jnp.float32)
+                elif name == "emissive_boost":
+                    boost = row[1] * jnp.asarray(value, jnp.float32)
+            new_row = jnp.concatenate([
+                jnp.stack([unlit, boost]), tint,
+                alpha_scale.reshape(1)])
+            sys_table = sys_table.at[s].set(new_row)
+    return DrawContext(allowed=allowed, sys_table=sys_table,
+                       skybox_on=skybox_on,
+                       uniform_writes=tuple(uniform_writes))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShadeParam:
+    """Per-pixel inputs handed to a system's fragment-shading fn — the
+    G-buffer contract the reference's generated fragment shaders consume
+    (first_pass_frag.glsl in/out blocks + the uniform blocks of
+    system_information.rs:486-559), plus the default-shaded color so user
+    shaders can post-process instead of recomputing lighting.
+
+    All image-shaped fields share the same leading shape (the path's pixel
+    layout: (H, W) or the tiled tall layout); the fn must be shape-
+    polymorphic over it (elementwise jnp code is)."""
+
+    position: jnp.ndarray  # (..., 3) world-space position
+    normal: jnp.ndarray  # (..., 3) world-space normal
+    albedo: jnp.ndarray  # (..., 3) material/texture albedo
+    depth: jnp.ndarray  # (...,) NDC depth
+    material: jnp.ndarray  # (...,) int32 material id
+    covered: jnp.ndarray  # (...,) bool: a triangle won this pixel
+    base_color: jnp.ndarray  # (..., 3) default deferred shading result
+    camera: object  # the frame camera
+    lights: object  # lighting.LightArrays (the frame's light upload)
+    uniforms: dict  # this system's uniform values (static + per-frame)
+
+
+def apply_custom_shading(color, gbuf, winner, batch, world: World, camera,
+                         lights, systems: CompiledSystems,
+                         draw_ctx) -> jnp.ndarray:
+    """Run each shade-fn system's fragment shading over its own pixels.
+
+    Pixel ownership: winner triangle -> entity -> model -> system (the same
+    routing the raster used). Pixels of systems without a shade fn keep the
+    default deferred result."""
+    if systems is None or not systems.has_shade_callbacks():
+        return color
+    tri = jnp.clip(winner, 0, batch.budget - 1)
+    ent = batch.entity[tri]
+    mid = world["model_id"][jnp.clip(ent, 0, world.capacity - 1)]
+    px_sys = systems.model_system[
+        jnp.clip(mid, 0, systems.model_system.shape[0] - 1)]
+    covered = winner >= 0
+    for s, sys_ in enumerate(systems.src):
+        if sys_.shade is None:
+            continue
+        uniforms = {name: value for name, value in sys_.uniforms}
+        if draw_ctx is not None and draw_ctx.uniform_writes:
+            uniforms.update(draw_ctx.uniform_writes[s])
+        sp = ShadeParam(
+            position=gbuf.position, normal=gbuf.normal, albedo=gbuf.albedo,
+            depth=gbuf.depth, material=gbuf.material, covered=covered,
+            base_color=color, camera=camera, lights=lights,
+            uniforms=uniforms,
+        )
+        out = jnp.asarray(sys_.shade(sp), jnp.float32)
+        if out.shape != color.shape:
+            raise ValueError(
+                f"render system {sys_.name!r}: fragment shading returned "
+                f"shape {out.shape}, expected {color.shape}")
+        color = jnp.where(((px_sys == s) & covered)[..., None], out, color)
+    return color
 
 
 def _system_instance_mask(world: World, system: RenderSystem) -> jnp.ndarray:

@@ -124,6 +124,90 @@ def pack_lights(lights: LightArrays, budget: int, slot_entity=None):
     return table, n_live
 
 
+def select_tile_lights(ltab, n_live, camera_position, inv_pv, tiles_x,
+                       tiles_y, tile_h, tile_w, width, h_total,
+                       y_off, budget: int):
+    """Per-tile light lists — the TPU-native light-volume pass.
+
+    The reference bounds each point light's screen effect with a sphere
+    proxy in the second pass (render_engine_assets/shaders/
+    second_pass_vertex.glsl:1-20); here each TILE culls the packed light
+    table against its view pyramid (4 side planes + behind-camera plane,
+    sphere-conservative, xy only — no depth dependence, so the engine's
+    stats program reproduces the exact counts). The kernel's light loop
+    then runs over tlist[t, :tcount[t]] instead of all n_live lights.
+
+    Culled lights contribute EXACTLY 0 in the full loop (their radius
+    cutoff zeroes the attenuation), and tlist preserves ascending table
+    order, so tile-listed shading is bit-identical to the full loop
+    whenever nothing overflows the budget.
+
+    Always included: directional lights and any light with radius <= 0
+    (unbounded; spot rows currently pack radius 0). Returns
+    (tlist int32 (NT, budget), tcount int32 (NT,), dropped int32 scalar).
+    """
+    nt = tiles_x * tiles_y
+    ll = ltab.shape[0]
+    cam = jnp.asarray(camera_position, jnp.float32)
+
+    # tile-corner world rays: unproject the (tiles_y+1, tiles_x+1) grid of
+    # tile boundary pixels at a fixed NDC depth; rays = world - camera
+    cx = (jnp.arange(tiles_x + 1, dtype=jnp.float32) * tile_w)
+    cy = (jnp.arange(tiles_y + 1, dtype=jnp.float32) * tile_h
+          + jnp.float32(y_off))
+    ndc_x = cx / jnp.float32(width) * 2.0 - 1.0
+    ndc_y = 1.0 - cy / jnp.float32(h_total) * 2.0
+    gx = jnp.broadcast_to(ndc_x[None, :], (tiles_y + 1, tiles_x + 1))
+    gy = jnp.broadcast_to(ndc_y[:, None], (tiles_y + 1, tiles_x + 1))
+    ndc = jnp.stack([gx, gy, jnp.full_like(gx, 0.5), jnp.ones_like(gx)],
+                    axis=-1)
+    wp = jnp.einsum("ij,yxj->yxi", inv_pv, ndc)
+    rays = wp[..., :3] / jnp.where(jnp.abs(wp[..., 3:4]) > 1e-12,
+                                   wp[..., 3:4], 1.0) - cam  # (Ty+1,Tx+1,3)
+
+    tl = rays[:-1, :-1]  # (Ty, Tx, 3)
+    tr = rays[:-1, 1:]
+    bl = rays[1:, :-1]
+    br = rays[1:, 1:]
+    planes = jnp.stack(
+        [jnp.cross(tl, bl),   # left
+         jnp.cross(br, tr),   # right
+         jnp.cross(tr, tl),   # top
+         jnp.cross(bl, br)],  # bottom
+        axis=2)  # (Ty, Tx, 4, 3)
+    center = tl + tr + bl + br  # (Ty, Tx, 3) un-normalized center ray
+    # orient every normal inward (positive toward the tile's own rays)
+    sign = jnp.sign(jnp.sum(planes * center[:, :, None, :], axis=-1))
+    sign = jnp.where(sign == 0.0, 1.0, sign)
+    planes = planes * sign[..., None]
+    planes = planes / jnp.maximum(
+        jnp.linalg.norm(planes, axis=-1, keepdims=True), 1e-12)
+    clen = jnp.maximum(jnp.linalg.norm(center, axis=-1, keepdims=True),
+                       1e-12)
+    fwd = (center / clen)[:, :, None, :]  # behind-camera plane normal
+    planes = jnp.concatenate([planes, fwd], axis=2)  # (Ty, Tx, 5, 3)
+    planes = planes.reshape(nt, 5, 3)
+
+    kind = ltab[:, 0]
+    lpos = ltab[:, 1:4] - cam[None, :]  # (L, 3) light offsets from camera
+    radius = ltab[:, 20]
+    live = jnp.arange(ll) < n_live
+    always = live & ((kind < 0.5) | (radius <= 0.0))
+    d = jnp.einsum("tpi,li->tpl", planes, lpos)  # (NT, 5, L)
+    in_pyramid = jnp.all(d >= -radius[None, None, :], axis=1)  # (NT, L)
+    mask = always[None, :] | (live[None, :] & in_pyramid)
+    mask = mask & live[None, :]
+
+    idx = jnp.arange(ll, dtype=jnp.int32)
+    key = jnp.where(mask, idx[None, :], ll)
+    tlist = jnp.sort(key, axis=1)[:, :budget]
+    tlist = jnp.where(tlist < ll, tlist, 0).astype(jnp.int32)
+    counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+    tcount = jnp.minimum(counts, budget)
+    dropped = jnp.sum(jnp.maximum(counts - budget, 0))
+    return tlist, tcount, dropped.astype(jnp.int32)
+
+
 def _interp(ch, px, py, inv_pv, width, height):
     """Per-pixel winner attributes from the channel block (A, th, tw)."""
     x0, y0, x1, y1, x2, y2 = ch[0], ch[1], ch[2], ch[3], ch[4], ch[5]
@@ -151,6 +235,8 @@ def _shade_kernel(
     tiles_x, tile_h, tile_w, n_lights, width, height, n_slots, has_texture,
     ovr_chans,  # override channels per pass: 4 = [rgb|flag], 5 adds the
     #             specular-map DELTA (spec_k multiplies by 1 + delta)
+    use_tile_lights,  # static: light loop runs over this tile's culled
+    #                   list (tl_ref/tc_ref) instead of all n_live lights
     inv_ref,  # scalar-prefetch SMEM (max(n_slots,1), NT) int32: per-slot
     #           tile -> compact factor row (-1 = not selected -> lit).
     #           Also drives the sf_refs block index maps.
@@ -159,6 +245,9 @@ def _shade_kernel(
     do_ref, dt_ref,  # (1, th, tw) depths
     ltab_ref,  # SMEM (n_lights, N_LCOL)
     lcount_ref,  # SMEM (1, 1)
+    tl_ref,  # SMEM (1, 1, LB) int32 this tile's light list (tile-culled)
+    tc_ref,  # SMEM (1, 1, 1) int32 its live count (unused unless
+    #          use_tile_lights)
     cam_ref,  # SMEM (1, 3) camera position
     ipv_ref,  # SMEM (4, 4) inverse proj-view
     org_ref,  # SMEM (1, 2) global pixel origin (x, y) of this buffer —
@@ -241,9 +330,10 @@ def _shade_kernel(
 
         def light_body(i, acc):
             cr, cg, cb = acc
-            kind = ltab_ref[i, 0]
-            lpx, lpy, lpz = ltab_ref[i, 1], ltab_ref[i, 2], ltab_ref[i, 3]
-            ldx, ldy, ldz = ltab_ref[i, 4], ltab_ref[i, 5], ltab_ref[i, 6]
+            li = tl_ref[0, 0, i] if use_tile_lights else i
+            kind = ltab_ref[li, 0]
+            lpx, lpy, lpz = ltab_ref[li, 1], ltab_ref[li, 2], ltab_ref[li, 3]
+            ldx, ldy, ldz = ltab_ref[li, 4], ltab_ref[li, 5], ltab_ref[li, 6]
             # point/spot: direction from surface to light; dir: -direction
             tx, ty, tz = lpx - wx, lpy - wy, lpz - wz
             d2 = tx * tx + ty * ty + tz * tz
@@ -255,14 +345,14 @@ def _shade_kernel(
             lz = jnp.where(is_dir, -ldz, tz * invd)
             atten = jnp.where(
                 is_dir, 1.0,
-                1.0 / (1.0 + ltab_ref[i, 16] * d + ltab_ref[i, 17] * d2),
+                1.0 / (1.0 + ltab_ref[li, 16] * d + ltab_ref[li, 17] * d2),
             )
             # point-light influence radius (<=0 = unbounded)
-            radius = ltab_ref[i, 20]
+            radius = ltab_ref[li, 20]
             atten = jnp.where((radius > 0.0) & (d > radius), 0.0, atten)
             # spot smooth cutoff
             cos_t = -(lx * ldx + ly * ldy + lz * ldz)
-            inner, outer = ltab_ref[i, 18], ltab_ref[i, 19]
+            inner, outer = ltab_ref[li, 18], ltab_ref[li, 19]
             eps = jnp.maximum(inner - outer, 1e-6)
             spot_i = jnp.clip((cos_t - outer) / eps, 0.0, 1.0)
             intensity = jnp.where(kind > 1.5, spot_i, 1.0)
@@ -280,20 +370,20 @@ def _shade_kernel(
                 # slots this light owns (cube faces etc.); tiles outside
                 # the slot's compact selection (inv < 0) are lit
                 for sl in range(n_slots):
-                    own = ltab_ref[i, 21 + sl]
+                    own = ltab_ref[li, 21 + sl]
                     mapped = (inv_ref[sl, t] >= 0).astype(jnp.float32)
                     s = s * jnp.where(own * mapped > 0.5,
                                       sf_refs[sl][0], 1.0)
-            cr = cr + s * (ltab_ref[i, 13] * ar + ltab_ref[i, 7] * ndl * ar
-                           + ltab_ref[i, 10] * spec)
-            cg = cg + s * (ltab_ref[i, 14] * ag + ltab_ref[i, 8] * ndl * ag
-                           + ltab_ref[i, 11] * spec)
-            cb = cb + s * (ltab_ref[i, 15] * ab + ltab_ref[i, 9] * ndl * ab
-                           + ltab_ref[i, 12] * spec)
+            cr = cr + s * (ltab_ref[li, 13] * ar + ltab_ref[li, 7] * ndl * ar
+                           + ltab_ref[li, 10] * spec)
+            cg = cg + s * (ltab_ref[li, 14] * ag + ltab_ref[li, 8] * ndl * ag
+                           + ltab_ref[li, 11] * spec)
+            cb = cb + s * (ltab_ref[li, 15] * ab + ltab_ref[li, 9] * ndl * ab
+                           + ltab_ref[li, 12] * spec)
             return cr, cg, cb
 
-        cr, cg, cb = jax.lax.fori_loop(0, lcount_ref[0, 0], light_body,
-                                       (cr, cg, cb))
+        n_iter = tc_ref[0, 0, 0] if use_tile_lights else lcount_ref[0, 0]
+        cr, cg, cb = jax.lax.fori_loop(0, n_iter, light_body, (cr, cg, cb))
         cr = jnp.maximum(cr, DIFFUSE_FLOOR * ar)
         cg = jnp.maximum(cg, DIFFUSE_FLOOR * ag)
         cb = jnp.maximum(cb, DIFFUSE_FLOOR * ab)
@@ -345,7 +435,8 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
                 interpret: bool | None = None,
                 slot_factor_tiles=None, slot_factor_inv=None,
                 slot_entity=None,
-                pixel_origin=(0.0, 0.0), albedo_override=None):
+                pixel_origin=(0.0, 0.0), albedo_override=None,
+                tile_lights=None):
     """Run the fused resolve+interp+lighting kernel over tiled buffers.
 
     rows: (NT, K, A) gathered candidate attribute rows; s_o/s_t:
@@ -363,6 +454,9 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
     factor input, so the dense (S, NT, th, tw) image never exists.
     ``slot_entity``: the matching (S,) owner entities. Shadows multiply
     the opaque layer's per-light contribution in-kernel.
+    ``tile_lights``: optional (tlist (NT, LB) int32, tcount (NT,) int32)
+    from select_tile_lights — the light loop then covers only each tile's
+    culled list (bit-identical when nothing overflowed the budget).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -391,9 +485,28 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
            else jnp.zeros((8, 1, th, tw), jnp.float32))
     ovr_chans = ovr.shape[0] // 2  # 4, or 5 with the spec-map delta
 
+    use_tile_lights = tile_lights is not None
+    if use_tile_lights:
+        tlist, tcount = tile_lights
+        lb = tlist.shape[1]
+        tl_arg = tlist.reshape(nt, 1, lb)
+        tc_arg = tcount.reshape(nt, 1, 1).astype(jnp.int32)
+        tl_spec = pl.BlockSpec((1, 1, lb), lambda i, inv: (i, 0, 0),
+                               memory_space=pltpu.SMEM)
+        tc_spec = pl.BlockSpec((1, 1, 1), lambda i, inv: (i, 0, 0),
+                               memory_space=pltpu.SMEM)
+    else:
+        tl_arg = jnp.zeros((1, 1, 1), jnp.int32)
+        tc_arg = jnp.zeros((1, 1, 1), jnp.int32)
+        tl_spec = pl.BlockSpec((1, 1, 1), lambda i, inv: (0, 0, 0),
+                               memory_space=pltpu.SMEM)
+        tc_spec = pl.BlockSpec((1, 1, 1), lambda i, inv: (0, 0, 0),
+                               memory_space=pltpu.SMEM)
+
     kernel = functools.partial(_shade_kernel, tiles_x, th, tw,
                                light_budget, float(width), float(height),
-                               n_slots, has_texture, ovr_chans)
+                               n_slots, has_texture, ovr_chans,
+                               use_tile_lights)
 
     def vmem_tile(index_map):
         return pl.BlockSpec((1, th, tw), index_map, memory_space=pltpu.VMEM)
@@ -420,6 +533,8 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
             vmem_tile(lambda i, inv: (i, 0, 0)),
             smem((light_budget, N_LCOL)),
             smem((1, 1)),
+            tl_spec,
+            tc_spec,
             smem((1, 3)),
             smem((4, 4)),
             smem((1, 2)),
@@ -440,5 +555,5 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((8, nt, th, tw), jnp.float32)],
         interpret=interpret,
-    )(sfi, rows, s_o, s_t, d_o, d_t, ltab, lcount, cam, inv_pv, org,
-      *sf_args, ovr)[0]
+    )(sfi, rows, s_o, s_t, d_o, d_t, ltab, lcount, tl_arg, tc_arg, cam,
+      inv_pv, org, *sf_args, ovr)[0]

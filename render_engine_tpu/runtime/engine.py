@@ -182,10 +182,10 @@ class Engine:
         atlas = self.atlas
         systems = self.compiled_systems
 
-        def render_pure(world, camera, shadow_state=None):
+        def render_pure(world, camera, shadow_state=None, inputs=None):
             return render_frame(world, camera, bank, settings, cubemap=cubemap,
                                 atlas=atlas, shadow_state=shadow_state,
-                                systems=systems)
+                                systems=systems, inputs=inputs)
 
         self._render = jax.jit(render_pure)
 
@@ -196,7 +196,7 @@ class Engine:
             shadow_ivl = self.config.shadow_update_interval
             shadow_lov = self.config.shadow_lov_bias
 
-            def render_shadowed(world, camera, shadow_state):
+            def render_shadowed(world, camera, shadow_state, inputs=None):
                 # the frame's single shadow-map update (<=1 new map,
                 # shadow_flow.rs:111-133) rides in the SAME program as the
                 # render: one dispatch, and XLA schedules the shadow raster
@@ -209,7 +209,7 @@ class Engine:
                 img = render_frame(world, camera, bank, settings,
                                    cubemap=cubemap, atlas=atlas,
                                    shadow_state=shadow_state,
-                                   systems=systems)
+                                   systems=systems, inputs=inputs)
                 return img, shadow_state
 
             self._render_shadowed = jax.jit(render_shadowed,
@@ -239,7 +239,7 @@ class Engine:
                 img = render_frame(world, camera, bank, settings,
                                    cubemap=cubemap, atlas=atlas,
                                    shadow_state=shadow_state,
-                                   systems=systems)
+                                   systems=systems, inputs=inputs)
                 return world, camera, drops, shadow_state, img
 
             self._frame_fused = jax.jit(frame_fused, donate_argnums=(0, 2))
@@ -250,7 +250,7 @@ class Engine:
                     world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
                 img = render_frame(world, camera, bank, settings,
                                    cubemap=cubemap, atlas=atlas,
-                                   systems=systems)
+                                   systems=systems, inputs=inputs)
                 return world, camera, drops, img
 
             self._frame_fused = jax.jit(frame_fused_ns, donate_argnums=(0,))
@@ -279,7 +279,7 @@ class Engine:
                         lov_bias=self.config.shadow_lov_bias)
                 img = render_frame(w, c, bank, settings, cubemap=cubemap,
                                    atlas=atlas, shadow_state=sh,
-                                   systems=systems)
+                                   systems=systems, inputs=inp)
                 return (w, c, sh, img), drops
 
             init_img = jnp.zeros((settings.height, settings.width, 3),
@@ -407,9 +407,10 @@ class Engine:
             if render:
                 if self.shadow_state is not None:
                     img, self.shadow_state = self._render_shadowed(
-                        self.world, self.camera, self.shadow_state)
+                        self.world, self.camera, self.shadow_state, inputs)
                 else:
-                    img = self._render(self.world, self.camera)
+                    img = self._render(self.world, self.camera,
+                                       inputs=inputs)
         self.frame_index += 1
         self._frame_times.append(time.perf_counter() - t0)
         return img
@@ -570,6 +571,31 @@ class Engine:
                         axis=1)
                     out["texture_tile_overflow"] = jnp.maximum(
                         jnp.sum(tex_cand.astype(jnp.int32)) - ttb, 0)
+                if settings.light_tile_budget > 0 and tiled_path:
+                    # per-tile light-list overflow: the selection is
+                    # depth-independent, so this reproduces the render
+                    # pass's exact counts
+                    from render_engine_tpu.render import lighting as LG
+                    from render_engine_tpu.render.shade_pallas import (
+                        pack_lights,
+                        select_tile_lights,
+                    )
+
+                    lights = LG.extract_lights(
+                        world, max_dir=settings.max_dir_lights,
+                        max_point=settings.max_point_lights,
+                        max_spot=settings.max_spot_lights)
+                    lbud = (settings.max_dir_lights
+                            + settings.max_point_lights
+                            + settings.max_spot_lights)
+                    ltab_sel, n_live = pack_lights(lights, lbud)
+                    inv_pv_l = jnp.linalg.inv(camera.proj_view())
+                    _, _, light_drop = select_tile_lights(
+                        ltab_sel, n_live, camera.position, inv_pv_l,
+                        tiles_x, tiles_y, cfg.tile_h, cfg.tile_w,
+                        settings.width, settings.height, 0.0,
+                        settings.light_tile_budget)
+                    out["light_tile_overflow"] = light_drop
                 if shadow_state is not None:
                     # shadow-pass triangle budget overflow: rebuild the
                     # depth-only batch the NEXT update would rasterize

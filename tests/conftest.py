@@ -22,6 +22,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite's wall time is dominated by XLA
+# CPU compiles of DISTINCT programs (full-engine frame pipelines at several
+# shapes, 8-device sharded renders, scan bodies) that the session-scoped
+# engine cache cannot share. Warm runs on the same box skip them all.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 _ENGINE_CACHE = {}

@@ -109,6 +109,92 @@ class TestTiledFramePath:
             "shading (dropped light?)")
         np.testing.assert_allclose(np.median(diff), 0.0, atol=1e-5)
 
+    def test_tile_light_lists_bit_identical(self):
+        """Per-tile light culling (light_tile_budget) is BIT-identical to
+        the full per-tile light loop when no tile overflows: culled lights
+        contribute exactly 0 (radius cutoff) and the list preserves table
+        order. Scene: several radius-bounded point lights spread across
+        the view + one directional (always in every list)."""
+        w, bank, cam = scene()
+        n = 4
+        pos = np.array([[40.0, 64.0, 40.0], [90.0, 64.0, 40.0],
+                        [64.0, 80.0, 50.0], [64.0, 50.0, 58.0]], np.float32)
+        w, _ = W.spawn_host(
+            w, n,
+            position=pos,
+            model_id=np.full(n, -1, np.int32),
+            sortable=np.array([R.SORTABLE_POINT] * 3 + [R.SORTABLE_DIRECTIONAL],
+                              np.int32),
+            light_diffuse=np.tile(np.array([[0.9, 0.7, 0.5]], np.float32),
+                                  (n, 1)),
+            light_atten=np.tile(np.array([[0.05, 0.01]], np.float32),
+                                (n, 1)),
+            light_radius=np.array([12.0, 12.0, 9.0, 0.0], np.float32),
+            light_direction=np.array(
+                [[0, 0, 0], [0, 0, 0], [0, 0, 0], [0.3, -1.0, 0.2]],
+                np.float32),
+        )
+        s = dataclasses.replace(settings("pallas"), fused_shading=True,
+                                max_point_lights=8)
+        s_tl = dataclasses.replace(s, light_tile_budget=8)
+        a = np.asarray(render_frame(w, cam, bank, s))
+        b = np.asarray(render_frame(w, cam, bank, s_tl))
+        np.testing.assert_array_equal(a, b)
+
+    def test_select_tile_lights_culls_and_counts(self):
+        """The selection keeps a far-off bounded light out of most tiles,
+        always includes dir/unbounded lights, and counts overflow exactly
+        when the budget starves."""
+        from render_engine_tpu.render import lighting as LG
+        from render_engine_tpu.render.shade_pallas import (
+            pack_lights,
+            select_tile_lights,
+        )
+
+        w, bank, cam = scene()
+        n = 3
+        w, _ = W.spawn_host(
+            w, n,
+            # one light mid-view, one far outside the frustum, one dir
+            position=np.array([[64.0, 64.0, 58.0], [64.0, 500.0, 64.0],
+                               [0.0, 0.0, 0.0]], np.float32),
+            model_id=np.full(n, -1, np.int32),
+            sortable=np.array(
+                [R.SORTABLE_POINT, R.SORTABLE_POINT,
+                 R.SORTABLE_DIRECTIONAL], np.int32),
+            light_diffuse=np.ones((n, 3), np.float32),
+            light_atten=np.tile(np.array([[0.05, 0.01]], np.float32),
+                                (n, 1)),
+            light_radius=np.array([10.0, 10.0, 0.0], np.float32),
+            light_direction=np.array(
+                [[0, 0, 0], [0, 0, 0], [0.0, -1.0, 0.0]], np.float32),
+        )
+        s = settings("pallas")
+        lights = LG.extract_lights(w, max_dir=4, max_point=8, max_spot=4)
+        ltab, n_live = pack_lights(lights, 16)
+        cfg = s.raster
+        tiles_x = -(-WIDTH // cfg.tile_w)
+        tiles_y = -(-H // cfg.tile_h)
+        inv_pv = jnp.linalg.inv(cam.proj_view())
+        tlist, tcount, dropped = select_tile_lights(
+            ltab, n_live, cam.position, inv_pv, tiles_x, tiles_y,
+            cfg.tile_h, cfg.tile_w, WIDTH, H, 0.0, budget=8)
+        tc = np.asarray(tcount)
+        # pre-existing scene point light (unbounded radius 0) + the dir
+        # light + the unbounded... : every tile holds at least those
+        # always-included lights
+        assert (tc >= 2).all()
+        # the 500-units-away bounded light reaches no tile: no tile lists
+        # all 4 lights
+        assert int(dropped) == 0
+        assert tc.max() <= 3
+        # starved budget: counts clamp and the overflow is reported
+        _, tcount1, dropped1 = select_tile_lights(
+            ltab, n_live, cam.position, inv_pv, tiles_x, tiles_y,
+            cfg.tile_h, cfg.tile_w, WIDTH, H, 0.0, budget=1)
+        assert np.asarray(tcount1).max() == 1
+        assert int(dropped1) > 0
+
     def test_tiled_path_self_deterministic(self):
         w, bank, cam = scene()
         a = np.asarray(render_frame(w, cam, bank, settings("pallas")))

@@ -183,6 +183,292 @@ class TestCompiledSystems:
                 RenderSystemBuilder("b").with_models(cube).build(),
             ), bank)
 
+    def test_draw_callback_gates_instances(self):
+        """A system with a draw callback renders ONLY what the callback
+        draws that frame (the reference renders only what the user's draw
+        fn submits, render_system.rs:410-595): drawing just the cube makes
+        the star vanish even though it is bound to the system."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+
+        def draw_cube_only(dp):
+            dp.draw_models(cube)
+
+        systems = compile_systems(
+            (RenderSystemBuilder("all").with_models(cube, star)
+             .with_draw_function(draw_cube_only).build(),), bank)
+        img = np.asarray(render_frame(w, cam, bank, SETTINGS,
+                                      systems=systems))
+        assert (img[:, :WIDTH // 2, 0] > 0.0).any()  # cube drew
+        assert img[:, WIDTH // 2:, :].sum() == 0.0  # star not submitted
+
+    def test_draw_callback_traced_when_gate(self):
+        """``when=`` takes traced conditions: the same compiled program
+        draws or skips based on camera state, no retrace."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+
+        def draw_conditional(dp):
+            # camera x > 100 is False for the scene camera (x = 64)
+            dp.draw_models(cube, when=dp.get_camera().position[0] > 100.0)
+            dp.draw_models(star, when=dp.get_camera().position[0] > 0.0)
+
+        systems = compile_systems(
+            (RenderSystemBuilder("all").with_models(cube, star)
+             .with_draw_function(draw_conditional).build(),), bank)
+        img = np.asarray(render_frame(w, cam, bank, SETTINGS,
+                                      systems=systems))
+        assert img[:, :WIDTH // 2, :].sum() == 0.0  # cube gated off
+        assert (img[:, WIDTH // 2:, :] > 0.0).any()  # star gated on
+
+    def test_draw_callback_sortable_filter(self):
+        """draw_models(sortable=...) renders only instances in the given
+        sortable buckets (the component_indexes filter of
+        draw_model_with_sortable_index, rendering.rs:270-386)."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+        w = w.replace(sortable=jnp.asarray([3, 7] + [0] * (w.capacity - 2),
+                                           jnp.int32))
+
+        def draw_bucket3(dp):
+            dp.draw_models(cube, star, sortable=3)
+
+        systems = compile_systems(
+            (RenderSystemBuilder("all").with_models(cube, star)
+             .with_draw_function(draw_bucket3).build(),), bank)
+        img = np.asarray(render_frame(w, cam, bank, SETTINGS,
+                                      systems=systems))
+        assert (img[:, :WIDTH // 2, 0] > 0.0).any()  # bucket 3 (cube)
+        assert img[:, WIDTH // 2:, :].sum() == 0.0  # bucket 7 filtered
+
+    def test_per_frame_uniform_write_matches_static(self):
+        """A traced write_uniform('albedo_tint') equals the same tint
+        compiled statically."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+
+        def tint_blue(dp):
+            dp.draw_models(cube, star)
+            # traced value: the tint comes from device data
+            one = jnp.minimum(dp.get_ecs()["position"][0, 0] / 62.0, 1.0)
+            dp.write_uniform("albedo_tint", jnp.stack(
+                [one * 0.0, one * 0.0, one]))
+
+        dyn = compile_systems(
+            (RenderSystemBuilder("all").with_models(cube, star)
+             .with_draw_function(tint_blue).build(),), bank)
+        static = compile_systems(
+            (RenderSystemBuilder("all").with_models(cube, star)
+             .write_uniform("albedo_tint", (0.0, 0.0, 1.0)).build(),), bank)
+        a = np.asarray(render_frame(w, cam, bank, SETTINGS, systems=dyn))
+        b = np.asarray(render_frame(w, cam, bank, SETTINGS, systems=static))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_draw_skybox_toggle(self):
+        """DrawParam.draw_skybox(False) blanks the skybox to the clear
+        color for that frame (toggle_rendering_skybox, rendering.rs:57-64),
+        on both the XLA and the tiled Pallas path."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+        white_sky = jnp.ones((6, 4, 4, 3), jnp.float32)
+
+        def build(skybox_on):
+            def draw(dp):
+                dp.draw_models(cube, star)
+                dp.draw_skybox(skybox_on)
+            return compile_systems(
+                (RenderSystemBuilder("all").with_models(cube, star)
+                 .with_draw_function(draw).build(),), bank)
+
+        for settings in (SETTINGS, self._pallas_settings()):
+            on = np.asarray(render_frame(w, cam, bank, settings,
+                                         cubemap=white_sky,
+                                         systems=build(True)))
+            off = np.asarray(render_frame(w, cam, bank, settings,
+                                          cubemap=white_sky,
+                                          systems=build(False)))
+            assert on[0, 0].sum() > 2.9  # white sky corner
+            assert off[0, 0].sum() == 0.0  # clear color
+
+    def test_draw_callback_input_gating(self):
+        """Draw callbacks read the frame's input history through the
+        engine (get_input_history, rendering.rs:234-237): a key held makes
+        the system draw, released makes it vanish — same compiled program."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+        from render_engine_tpu.logic.types import InputState, KEY_W
+
+        w, bank, cam, cube, star = scene()
+
+        def draw_on_w(dp):
+            inp = dp.get_input_history()
+            dp.draw_models(cube, star, when=inp.keys[KEY_W])
+
+        systems = compile_systems(
+            (RenderSystemBuilder("all").with_models(cube, star)
+             .with_draw_function(draw_on_w).build(),), bank)
+        held = np.asarray(render_frame(
+            w, cam, bank, SETTINGS, systems=systems,
+            inputs=InputState.idle(0).with_keys(KEY_W)))
+        released = np.asarray(render_frame(
+            w, cam, bank, SETTINGS, systems=systems,
+            inputs=InputState.idle(1)))
+        assert (held > 0.0).any()
+        assert released.sum() == 0.0
+
+    def test_draw_unbound_model_rejected(self):
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+
+        def draw_wrong(dp):
+            dp.draw_models(star)
+
+        systems = compile_systems(
+            (RenderSystemBuilder("c").with_models(cube)
+             .with_draw_function(draw_wrong).build(),), bank)
+        with pytest.raises(ValueError, match="not bound"):
+            render_frame(w, cam, bank, SETTINGS, systems=systems)
+
+    def test_draw_unknown_uniform_rejected(self):
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+
+        def draw_bad(dp):
+            dp.draw_models(cube)
+            dp.write_uniform("nonsense", 1.0)
+
+        systems = compile_systems(
+            (RenderSystemBuilder("c").with_models(cube)
+             .with_draw_function(draw_bad).build(),), bank)
+        with pytest.raises(ValueError, match="unknown uniform"):
+            render_frame(w, cam, bank, SETTINGS, systems=systems)
+
+    def test_custom_fragment_shading_applies(self):
+        """A with_fragment_shading fn replaces the default deferred shading
+        for ITS system's pixels only (the user shader-body half of the
+        reference's DSL, system_information.rs:486-559): the cube system
+        renders normal-visualization colors while the star system keeps the
+        default result."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+
+        def show_normals(sp):
+            return 0.5 * (sp.normal + 1.0)
+
+        systems = compile_systems((
+            RenderSystemBuilder("n").with_models(cube)
+            .with_fragment_shading(show_normals).build(),
+            RenderSystemBuilder("s").with_models(star).build(),
+        ), bank)
+        base = compile_systems((
+            RenderSystemBuilder("n").with_models(cube).build(),
+            RenderSystemBuilder("s").with_models(star).build(),
+        ), bank)
+        img = np.asarray(render_frame(w, cam, bank, SETTINGS,
+                                      systems=systems))
+        ref = np.asarray(render_frame(w, cam, bank, SETTINGS, systems=base))
+        # cube faces the camera: normal ~(0,0,1) -> rgb ~(0.5, 0.5, 1.0)
+        cube_px = img[H // 2, 50]
+        np.testing.assert_allclose(cube_px, [0.5, 0.5, 1.0], atol=1e-3)
+        # star pixels identical to the default-shaded reference
+        np.testing.assert_array_equal(img[:, WIDTH // 2:],
+                                      ref[:, WIDTH // 2:])
+
+    def test_custom_shading_reads_uniforms(self):
+        """Arbitrary uniform names flow to ShadeParam.uniforms — both
+        build-time constants and per-frame DrawParam writes (traced)."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+
+        def flat_color(sp):
+            c = jnp.asarray(sp.uniforms["flat_rgb"], jnp.float32)
+            return jnp.broadcast_to(c, sp.base_color.shape)
+
+        static = compile_systems((
+            RenderSystemBuilder("f").with_models(cube, star)
+            .write_uniform("flat_rgb", (0.0, 1.0, 0.0))
+            .with_fragment_shading(flat_color).build(),), bank)
+        img = np.asarray(render_frame(w, cam, bank, SETTINGS,
+                                      systems=static))
+        covered = img.sum(axis=-1) > 0
+        assert covered.any()
+        np.testing.assert_allclose(img[covered],
+                                   [[0.0, 1.0, 0.0]] * covered.sum(),
+                                   atol=1e-6)
+
+        def draw(dp):
+            dp.draw_models(cube, star)
+            # traced per-frame value
+            dp.write_uniform("flat_rgb", jnp.stack(
+                [dp.get_camera().position[0] * 0.0,
+                 jnp.float32(0.0), jnp.float32(1.0)]))
+
+        dyn = compile_systems((
+            RenderSystemBuilder("f").with_models(cube, star)
+            .write_uniform("flat_rgb", (0.0, 1.0, 0.0))  # overridden
+            .with_draw_function(draw)
+            .with_fragment_shading(flat_color).build(),), bank)
+        img2 = np.asarray(render_frame(w, cam, bank, SETTINGS, systems=dyn))
+        np.testing.assert_allclose(img2[covered],
+                                   [[0.0, 0.0, 1.0]] * covered.sum(),
+                                   atol=1e-6)
+
+    def test_custom_shading_tiled_matches_jnp(self):
+        """The tiled Pallas (non-fused) path applies custom shading in its
+        tall layout; results match the jnp golden path."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+
+        def warm(sp):
+            return jnp.clip(sp.base_color * jnp.asarray([1.5, 1.0, 0.5]),
+                            0.0, 1.0)
+
+        systems = compile_systems((
+            RenderSystemBuilder("w").with_models(cube, star)
+            .with_fragment_shading(warm).build(),), bank)
+        a = np.asarray(render_frame(w, cam, bank, SETTINGS,
+                                    systems=systems))
+        b = np.asarray(render_frame(w, cam, bank, self._pallas_settings(),
+                                    systems=systems))
+        np.testing.assert_allclose(a, b, atol=2e-3)
+
+    def test_custom_shading_fused_rejected(self):
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+        systems = compile_systems((
+            RenderSystemBuilder("x").with_models(cube)
+            .with_fragment_shading(lambda sp: sp.base_color).build(),), bank)
+        fused = RenderSettings(
+            width=WIDTH, height=H, max_tris=64, backend="pallas",
+            fused_shading=True,
+            raster=RasterConfig(tile_budget=16, max_tiles_per_tri=8,
+                                global_budget=8, chunk=4),
+        )
+        with pytest.raises(ValueError, match="fused_shading"):
+            render_frame(w, cam, bank, fused, systems=systems)
+
     def test_engine_demo_uses_systems(self, engine_factory):
         from render_engine_tpu.logic.types import InputState
 
