@@ -132,11 +132,18 @@ def bench_lights():
         sortable=np.full(nl, R.SORTABLE_POINT, np.int32),
         light_diffuse=rng.uniform(0.2, 1.0, (nl, 3)).astype(np.float32),
         light_atten=np.full((nl, 2), [0.05, 0.01], np.float32),
+        # influence radii (LightInformation.radius): the per-tile light
+        # culling bounds each light's screen effect by this sphere — the
+        # light-volume scaling answer (second_pass_vertex.glsl proxies)
+        light_radius=rng.uniform(40.0, 90.0, nl).astype(np.float32),
     )
     # rebuild jitted fns with a bigger light budget (keep fused shading,
-    # raster config, and the demo's render systems)
+    # raster config, and the demo's render systems); tiles cull the light
+    # loop to their own lists (overflow shows in drops as
+    # light_tile_overflow — keep it 0)
     eng.config.render = dataclasses.replace(
         eng.config.render, max_point_lights=nl, max_spot_lights=8,
+        light_tile_budget=int(os.environ.get("BENCH_LIGHT_TILE_BUDGET", 48)),
     )
     eng.finalize_scene()
     assert eng.compiled_systems is not None
