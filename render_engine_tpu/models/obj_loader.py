@@ -45,6 +45,97 @@ def load_mtl(path: str) -> dict:
     return mats
 
 
+def _load_obj_native(path: str):
+    """Parse via the C++ core (native/obj_loader.cpp) — tobj-speed parsing
+    for large assets; None when the native library is unavailable or the
+    file trips a parse guard (caller falls back to the Python parser).
+    Material resolution replays the Python semantics over the returned
+    usemtl/mtllib records: each first-use name resolves against the latest
+    successfully-loaded mtllib at that point."""
+    import ctypes
+
+    from render_engine_tpu.native.build import obj_native
+
+    lib = obj_native()
+    if lib is None:
+        return None
+    handle = lib.obj_parse(os.fsencode(path))
+    if not handle:
+        return None
+    try:
+        c = ctypes
+        nv, nf = c.c_int64(), c.c_int64()
+        n_names, n_libs = c.c_int32(), c.c_int32()
+        names_len, libs_len = c.c_int64(), c.c_int64()
+        lib.obj_counts(handle, c.byref(nv), c.byref(nf), c.byref(n_names),
+                       c.byref(n_libs), c.byref(names_len),
+                       c.byref(libs_len))
+        v = np.empty((nv.value, 3), np.float32)
+        n = np.empty((nv.value, 3), np.float32)
+        uv = np.empty((nv.value, 2), np.float32)
+        tris = np.empty((nf.value, 3), np.int32)
+        tri_slot = np.empty(nf.value, np.int32)
+        names_buf = ctypes.create_string_buffer(max(names_len.value, 1))
+        libs_buf = ctypes.create_string_buffer(max(libs_len.value, 1))
+        name_lib = np.empty(max(n_names.value, 1), np.int32)
+        fp = c.POINTER(c.c_float)
+        ip = c.POINTER(c.c_int32)
+        lib.obj_copy(handle,
+                     v.ctypes.data_as(fp), n.ctypes.data_as(fp),
+                     uv.ctypes.data_as(fp), tris.ctypes.data_as(ip),
+                     tri_slot.ctypes.data_as(ip), names_buf,
+                     name_lib.ctypes.data_as(ip), libs_buf)
+    finally:
+        lib.obj_free(handle)
+
+    lib_tokens = (libs_buf.raw[:libs_len.value].decode().split("\0")[:-1]
+                  if libs_len.value else [])
+    names = (names_buf.raw[:names_len.value].decode().split("\0")[:-1]
+             if names_len.value else [])
+
+    # replay the Python parser's mtllib/usemtl timing: ``mtl`` holds the
+    # latest EXISTING mtllib's table at each point in the file
+    mtl_at: list = []  # effective table after lib k
+    eff: dict = {}
+    for tok in lib_tokens:
+        mpath = os.path.join(os.path.dirname(path), tok)
+        if os.path.exists(mpath):
+            eff = load_mtl(mpath)
+        mtl_at.append(eff)
+    materials = [{"name": "__default__",
+                  "kd": np.array([1.0, 1.0, 1.0], np.float32),
+                  "map_kd": None, "ks": 1.0, "map_ks": None}]
+    for i, name in enumerate(names):
+        k = int(name_lib[i])
+        info = (mtl_at[k] if 0 <= k < len(mtl_at) else {}).get(name, {})
+        materials.append({
+            "name": name,
+            "kd": np.asarray(info.get("kd", [1.0, 1.0, 1.0]), np.float32),
+            "map_kd": info.get("map_kd"),
+            "ks": float(info.get("ks", 1.0)),
+            "map_ks": info.get("map_ks"),
+        })
+    return v, n, uv, tris, tri_slot, materials
+
+
+def _fill_missing_normals(v, n, tris):
+    """Area-weighted face-normal fill for corners without a vn record —
+    shared by the native and Python parse paths."""
+    if len(tris) and (np.linalg.norm(n, axis=1) < 1e-8).any():
+        f = np.asarray(tris, np.int32)
+        e1 = v[f[:, 1]] - v[f[:, 0]]
+        e2 = v[f[:, 2]] - v[f[:, 0]]
+        fn = np.cross(e1, e2)
+        fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+        acc = np.zeros_like(n)
+        for c in range(3):
+            np.add.at(acc, f[:, c], fn)
+        missing = np.linalg.norm(n, axis=1) < 1e-8
+        lens = np.maximum(np.linalg.norm(acc, axis=1, keepdims=True), 1e-12)
+        n[missing] = (acc / lens)[missing]
+    return n
+
+
 def load_obj(path: str):
     """Load an OBJ file.
 
@@ -52,7 +143,16 @@ def load_obj(path: str):
     where ``tri_material`` is int32 (F,) indexing ``materials`` (a list of
     {"name", "kd", "map_kd"} dicts; index 0 is a default white material when
     the file declares none).
+
+    The parse core runs natively (native/obj_loader.cpp via ctypes, built
+    on first use) with this Python implementation as both the semantic
+    specification and the fallback; RE_TPU_NATIVE=0 forces the fallback.
     """
+    native = _load_obj_native(path)
+    if native is not None:
+        v, n, uv, tris, tri_slot, materials = native
+        n = _fill_missing_normals(v, n.copy(), tris)
+        return v, n, uv, tris, tri_slot, materials
     positions, normals_raw, uvs_raw = [], [], []
     corner_map: dict = {}
     out_v, out_n, out_uv = [], [], []
@@ -121,26 +221,14 @@ def load_obj(path: str):
                     tris.append([ids[0], ids[k], ids[k + 1]])
                     tri_mat.append(cur_mat)
 
-    v = np.asarray(out_v, np.float32)
-    n = np.asarray(out_n, np.float32)
-    # fill missing normals with face normals
-    if len(tris) and (np.linalg.norm(n, axis=1) < 1e-8).any():
-        f = np.asarray(tris, np.int32)
-        e1 = v[f[:, 1]] - v[f[:, 0]]
-        e2 = v[f[:, 2]] - v[f[:, 0]]
-        fn = np.cross(e1, e2)
-        fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
-        acc = np.zeros_like(n)
-        for c in range(3):
-            np.add.at(acc, f[:, c], fn)
-        missing = np.linalg.norm(n, axis=1) < 1e-8
-        lens = np.maximum(np.linalg.norm(acc, axis=1, keepdims=True), 1e-12)
-        n[missing] = (acc / lens)[missing]
+    v = np.asarray(out_v, np.float32).reshape(-1, 3)
+    n = _fill_missing_normals(
+        v, np.asarray(out_n, np.float32).reshape(-1, 3), tris)
     return (
         v,
         n.astype(np.float32),
-        np.asarray(out_uv, np.float32),
-        np.asarray(tris, np.int32),
+        np.asarray(out_uv, np.float32).reshape(-1, 2),
+        np.asarray(tris, np.int32).reshape(-1, 3),
         np.asarray(tri_mat, np.int32),
         materials,
     )

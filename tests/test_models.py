@@ -119,3 +119,90 @@ f 1 2 3
         mid = bb.add_obj("tri", path)
         bank = bb.finalize()
         assert int(bank.tri_count[mid]) == 1
+
+
+class TestNativeObjParser:
+    """The C++ parse core (native/obj_loader.cpp) against the Python
+    parser — the Python implementation is the semantic specification, so
+    every array and the material table must match exactly."""
+
+    GNARLY = """
+# comment line
+mtllib none_missing.mtl
+mtllib m.mtl
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+vt 0 0
+vt 1 0
+vt 0 1
+vn 0 0 1
+usemtl red
+f 1/1/1 2/2/1 3/3/1
+f 1/1/1 2/2 4
+usemtl blue
+f -4//-1 -3 -1
+f 1 2 3 4
+usemtl red
+f 2 3 4
+"""
+
+    MTL = """
+newmtl red
+Kd 0.9 0.1 0.2
+Ks 0.5 0.5 0.5
+map_Kd tex.png
+newmtl blue
+Kd 0.1 0.1 0.9
+map_Ks spec.png
+"""
+
+    def _both(self, tmp_path):
+        import os
+
+        from render_engine_tpu.models import obj_loader as OL
+        from render_engine_tpu.native.build import obj_native
+
+        (tmp_path / "m.mtl").write_text(self.MTL)
+        p = tmp_path / "g.obj"
+        p.write_text(self.GNARLY)
+        if obj_native() is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        native = OL._load_obj_native(str(p))
+        assert native is not None, "native parse rejected a valid file"
+        os.environ["RE_TPU_NATIVE"] = "0"
+        try:
+            py = OL.load_obj(str(p))
+        finally:
+            os.environ.pop("RE_TPU_NATIVE", None)
+        v, n, uv, tris, tri_slot, mats = native
+        n = OL._fill_missing_normals(v, n.copy(), tris)
+        return (v, n, uv, tris, tri_slot, mats), py
+
+    def test_native_matches_python_exactly(self, tmp_path):
+        nat, py = self._both(tmp_path)
+        for a, b, what in zip(nat[:5], py[:5],
+                              ("v", "n", "uv", "tris", "tri_mat")):
+            np.testing.assert_array_equal(a, b, err_msg=what)
+        assert len(nat[5]) == len(py[5])
+        for ma, mb in zip(nat[5], py[5]):
+            assert ma["name"] == mb["name"]
+            np.testing.assert_array_equal(ma["kd"], mb["kd"])
+            assert ma["map_kd"] == mb["map_kd"]
+            assert ma["ks"] == mb["ks"]
+            assert ma["map_ks"] == mb["map_ks"]
+
+    def test_native_rejects_malformed_and_falls_back(self, tmp_path):
+        from render_engine_tpu.models import obj_loader as OL
+        from render_engine_tpu.native.build import obj_native
+
+        if obj_native() is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        p = tmp_path / "bad.obj"
+        p.write_text("v 0 0 0\nf 1 2 9\n")  # out-of-range index
+        assert OL._load_obj_native(str(p)) is None
