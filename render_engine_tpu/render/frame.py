@@ -349,14 +349,16 @@ def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
     layer = ch[35]
     uv = jnp.stack([u, v], axis=-1)
     rgb = sample_atlas_rows(
-        atlas, layer, uv, jnp.stack([ch[36], ch[37]], axis=-1),
+        atlas, layer, uv,
+        jnp.stack([ch[36], ch[37], ch[38], ch[39]], axis=-1),
     )  # (rows, cols, 3)
     flag = (layer >= 0.0).astype(jnp.float32)
     parts = [rgb, flag[..., None]]
     if with_spec:
-        slayer = ch[38]
+        slayer = ch[40]
         smul = sample_atlas_rows(
-            atlas, slayer, uv, jnp.stack([ch[39], ch[40]], axis=-1),
+            atlas, slayer, uv,
+            jnp.stack([ch[41], ch[42], ch[43], ch[44]], axis=-1),
         )[..., 0]
         delta = jnp.where(slayer >= 0.0, smul - 1.0, 0.0)
         parts.append(delta[..., None])
@@ -535,7 +537,7 @@ def tiled_fused_core(
         # textured winners — avoids resolving every tile just to test)
         tex_tri = rows[..., 35] >= 0.0
         if with_spec:
-            tex_tri = tex_tri | (rows[..., 38] >= 0.0)
+            tex_tri = tex_tri | (rows[..., 40] >= 0.0)
         tex_cand = jnp.any((cand >= 0) & tex_tri, axis=1)
 
         def textured(slot):

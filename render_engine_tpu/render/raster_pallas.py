@@ -221,17 +221,19 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
     emissive = bank.mat_emissive[mat_safe]
     alpha = bank.mat_alpha[mat_safe]
     specular = bank.mat_specular[mat_safe]
-    layer = bank.mat_texture[mat_safe].astype(jnp.float32)
-    slayer = bank.mat_texture_spec[mat_safe].astype(jnp.float32)
     if atlas is not None:
-        lay_safe = jnp.clip(bank.mat_texture[mat_safe], 0,
-                            atlas.uv_scale.shape[0] - 1)
-        uvs = atlas.uv_scale[lay_safe]  # (T, 2)
-        slay_safe = jnp.clip(bank.mat_texture_spec[mat_safe], 0,
-                             atlas.uv_scale.shape[0] - 1)
-        suvs = atlas.uv_scale[slay_safe]  # (T, 2)
+        # texture ids resolve to (absolute layer, packed pixel rect) here,
+        # so the resolve/override path needs no extra indirection
+        def tex_cols(tex_ids):
+            ts = jnp.clip(tex_ids, 0, atlas.num_textures - 1)
+            lay = jnp.where(tex_ids >= 0,
+                            atlas.tex_layer[ts].astype(jnp.float32), -1.0)
+            return lay, atlas.uv_rect[ts]  # (T,), (T, 4)
+
+        layer, uvs = tex_cols(bank.mat_texture[mat_safe])
+        slayer, suvs = tex_cols(bank.mat_texture_spec[mat_safe])
     else:
-        uvs = suvs = jnp.ones((t, 2), jnp.float32)
+        uvs = suvs = jnp.ones((t, 4), jnp.float32)
         layer = slayer = jnp.full(t, -1.0, jnp.float32)
     if ent_attrs is not None:
         sa = ent_attrs[jnp.clip(batch.entity, 0, ent_attrs.shape[0] - 1)]
@@ -256,11 +258,11 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
             emissive[:, None],  # 32
             alpha[:, None],  # 33
             specular[:, None],  # 34
-            layer[:, None],  # 35
-            uvs,  # 36:38
-            slayer[:, None],  # 38
-            suvs,  # 39:41
-            jnp.zeros((t, N_ATTR - 41), jnp.float32),
+            layer[:, None],  # 35 (absolute atlas layer, -1 = untextured)
+            uvs,  # 36:40 packed rect [u_scale, v_scale, u_off, v_off] px
+            slayer[:, None],  # 40 specular-map layer
+            suvs,  # 41:45 its packed rect
+            jnp.zeros((t, N_ATTR - 45), jnp.float32),
         ],
         axis=1,
     )
@@ -395,11 +397,11 @@ def rasterize_two_pass_pallas(
 #   32     emissive
 #   33     alpha
 #   34     specular strength (gAlbedoSpec alpha semantics)
-#   35     texture layer (f32, -1 = untextured)
-#   36:38  atlas uv scale for the layer
-#   38     specular-map layer (f32, -1 = none) — second texture pair
+#   35     texture layer (f32, ABSOLUTE atlas layer, -1 = untextured)
+#   36:40  packed atlas rect [u_scale, v_scale, u_off, v_off] in px
+#   40     specular-map layer (f32, -1 = none) — second texture pair
 #          (model_definitions.rs:71-148)
-#   39:41  atlas uv scale for the specular-map layer
+#   41:45  the specular map's packed atlas rect
 N_ATTR = 48  # padded to a multiple of 8 sublanes
 
 

@@ -1,13 +1,16 @@
-"""Texture atlas: fixed-size layers with per-layer UV rescale + bilinear
-sampling.
+"""Texture atlas: shelf-packed fixed-size layers with per-texture UV
+rects + bilinear sampling.
 
 Replaces the reference's GL_TEXTURE_2D_ARRAY stack (texture_array.rs:12-263):
-images smaller than the layer size are padded into the fixed layer and a UV
-scale factor is recorded (``SuccessWithResize``, :122-186); the "choose the
-array wasting least space" logic (:224-256) collapses to one atlas whose
-layer size is chosen at build time; solid colors become 1x1-equivalent
-materials that skip sampling entirely (mat_texture < 0); the 6 named error
-colors (helper_constructs.rs:2-12) become the magenta error material 0.
+images smaller than the layer size SHARE layers via shelf packing — the
+README's "minimize waste of GPU resources" feature (the reference picks the
+least-wasteful array per image, texture_array.rs:224-256; packing sub-rects
+into shared layers wastes strictly less). Each texture id resolves to
+(layer, pixel rect); UV coordinates rescale into the rect
+(``SuccessWithResize`` semantics, :122-186). Solid colors become
+1x1-equivalent materials that skip sampling entirely (mat_texture < 0); the
+6 named error colors (helper_constructs.rs:2-12) become the magenta error
+material.
 
 Sampling happens in the G-buffer resolve (per covered pixel, one bilinear
 gather) — the first-pass fragment shader's texture path
@@ -26,13 +29,18 @@ import numpy as np
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["layers", "uv_scale", "bilin_rows"],
+    data_fields=["layers", "tex_layer", "uv_rect", "bilin_rows"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class TextureAtlas:
     layers: jnp.ndarray  # (L, S, S, 3) f32 linear color
-    uv_scale: jnp.ndarray  # (L, 2) fraction of the layer actually used
+    tex_layer: jnp.ndarray  # (T,) int32: which layer holds texture t
+    # (T, 4) f32 [u_scale_px, v_scale_px, u_off_px, v_off_px]: texture t
+    # occupies the pixel rect [off, off + scale] of its layer; sampling
+    # maps wrapped model UVs into the rect, so bilinear taps never carry
+    # weight outside it (shelf packing cannot bleed across neighbors)
+    uv_rect: jnp.ndarray
     # (L*S*S, 16): per texel the 2x2 bilinear footprint [c00 c01 c10 c11]
     # rgb (edge-clamped), padded to an aligned 64-byte row. The fused frame
     # path samples with ONE contiguous row gather per pixel + an
@@ -44,12 +52,25 @@ class TextureAtlas:
     def size(self) -> int:
         return self.layers.shape[1]
 
+    @property
+    def num_textures(self) -> int:
+        return self.tex_layer.shape[0]
+
+    def wasted_fraction(self) -> float:
+        """Fraction of allocated layer texels no texture occupies — the
+        README "minimize waste" metric, exposed for tests/diagnostics."""
+        import numpy as _np
+
+        total = self.layers.shape[0] * self.size * self.size
+        rect = _np.asarray(self.uv_rect)
+        used = ((rect[:, 0] + 1.0) * (rect[:, 1] + 1.0)).sum()
+        return float(1.0 - used / total)
+
 
 class TextureAtlasBuilder:
     def __init__(self, layer_size: int = 256):
         self.size = layer_size
         self._imgs: list[np.ndarray] = []
-        self._scales: list[tuple] = []
         self._error_layer: int | None = None
 
     def error_texture(self) -> int:
@@ -78,8 +99,9 @@ class TextureAtlasBuilder:
             return self.error_texture()
 
     def add_image(self, img: np.ndarray) -> int:
-        """Pad an (h, w, 3) float or uint8 image into a layer; returns the
-        texture id. Larger images are downscaled by integer striding."""
+        """Register an (h, w, 3) float or uint8 image; returns the texture
+        id. Larger images are downscaled by integer striding; placement
+        into shared layers happens at finalize (shelf packing)."""
         img = np.asarray(img)
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
@@ -88,12 +110,8 @@ class TextureAtlasBuilder:
         # integer downscale if needed
         sy = max(1, -(-h // s))
         sx = max(1, -(-w // s))
-        img = img[::sy, ::sx]
-        h, w = img.shape[:2]
-        layer = np.zeros((s, s, 3), np.float32)
-        layer[:h, :w] = img[..., :3]
-        self._imgs.append(layer)
-        self._scales.append((w / s, h / s))
+        img = np.ascontiguousarray(img[::sy, ::sx, :3].astype(np.float32))
+        self._imgs.append(img)
         return len(self._imgs) - 1
 
     def add_checkerboard(self, a=(1, 1, 1), b=(0, 0, 0), cells=8) -> int:
@@ -105,11 +123,49 @@ class TextureAtlasBuilder:
         return self.add_image(img)
 
     def finalize(self) -> TextureAtlas | None:
+        """Shelf-pack every registered image into shared (S, S) layers
+        (first-fit decreasing by height) and build the sampling tables.
+        The reference minimizes waste by choosing the least-wasteful
+        texture array per image (texture_array.rs:224-256); packing
+        sub-rects into shared layers wastes strictly less, and
+        ``wasted_fraction()`` reports what remains."""
         if not self._imgs:
             return None
-        stack = np.stack(self._imgs)  # (L, S, S, 3)
-        length, s = stack.shape[0], stack.shape[1]
+        s = self.size
+        t = len(self._imgs)
+        order = sorted(range(t), key=lambda i: -self._imgs[i].shape[0])
+        layers: list[np.ndarray] = []
+        shelves: list[list] = []  # per layer: [y, shelf_h, x_cursor] rows
+        tex_layer = np.zeros(t, np.int32)
+        uv_rect = np.zeros((t, 4), np.float32)
+        for i in order:
+            img = self._imgs[i]
+            h, w = img.shape[:2]
+            placed = None
+            for li, rows in enumerate(shelves):
+                for row in rows:
+                    if row[1] >= h and row[2] + w <= s:
+                        placed = (li, row[2], row[0])
+                        row[2] += w
+                        break
+                if placed:
+                    break
+                y_next = rows[-1][0] + rows[-1][1]
+                if y_next + h <= s:
+                    rows.append([y_next, h, w])
+                    placed = (li, 0, y_next)
+                    break
+            if placed is None:
+                layers.append(np.zeros((s, s, 3), np.float32))
+                shelves.append([[0, h, w]])
+                placed = (len(layers) - 1, 0, 0)
+            li, x, y = placed
+            layers[li][y:y + h, x:x + w] = img
+            tex_layer[i] = li
+            uv_rect[i] = [w - 1, h - 1, x, y]
+        stack = np.stack(layers)  # (L, S, S, 3)
         # 2x2 bilinear footprints via edge-clamped shifts (no gathers)
+        length = stack.shape[0]
         right = stack[:, :, np.minimum(np.arange(s) + 1, s - 1)]
         down = stack[:, np.minimum(np.arange(s) + 1, s - 1)]
         downright = down[:, :, np.minimum(np.arange(s) + 1, s - 1)]
@@ -120,20 +176,23 @@ class TextureAtlasBuilder:
         ).reshape(length * s * s, 16)
         return TextureAtlas(
             layers=jnp.asarray(stack),
-            uv_scale=jnp.asarray(np.asarray(self._scales, np.float32)),
+            tex_layer=jnp.asarray(tex_layer),
+            uv_rect=jnp.asarray(uv_rect),
             bilin_rows=jnp.asarray(rows),
         )
 
 
-def sample_atlas(atlas: TextureAtlas, layer: jnp.ndarray,
+def sample_atlas(atlas: TextureAtlas, texture: jnp.ndarray,
                  uv: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample. ``layer``: (...,) int32 (clipped by caller);
-    ``uv``: (..., 2) in [0,1] model space (wrapped), scaled per layer."""
+    """Bilinear sample. ``texture``: (...,) int32 texture ids (clipped);
+    ``uv``: (..., 2) in [0,1] model space (wrapped), mapped into the
+    texture's packed layer rect."""
     s = atlas.size
-    lay = jnp.clip(layer, 0, atlas.layers.shape[0] - 1)
-    scale = atlas.uv_scale[lay]  # (..., 2)
-    u = jnp.mod(uv[..., 0], 1.0) * scale[..., 0] * (s - 1)
-    v = (1.0 - jnp.mod(uv[..., 1], 1.0)) * scale[..., 1] * (s - 1)
+    t = jnp.clip(texture, 0, atlas.num_textures - 1)
+    lay = atlas.tex_layer[t]
+    rect = atlas.uv_rect[t]  # (..., 4) [u_scale, v_scale, u_off, v_off]
+    u = rect[..., 2] + jnp.mod(uv[..., 0], 1.0) * rect[..., 0]
+    v = rect[..., 3] + (1.0 - jnp.mod(uv[..., 1], 1.0)) * rect[..., 1]
     u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, s - 1)
     v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, s - 1)
     u1 = jnp.clip(u0 + 1, 0, s - 1)
@@ -157,16 +216,17 @@ def sample_atlas(atlas: TextureAtlas, layer: jnp.ndarray,
 # non-interlaced 8-bit RGB/RGBA PNG
 # ---------------------------------------------------------------------------
 def sample_atlas_rows(atlas: TextureAtlas, layer_f: jnp.ndarray,
-                      uv: jnp.ndarray, uv_scale: jnp.ndarray) -> jnp.ndarray:
+                      uv: jnp.ndarray, uv_rect: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample via the precomputed 2x2-footprint rows — matches
     ``sample_atlas`` bit-for-bit (same coordinate math, same edge clamp)
-    but costs ONE row gather per pixel. ``layer_f``: (...,) f32 layer ids
-    (<0 = untextured, clipped); ``uv_scale``: (..., 2) per-pixel scale
-    (carried per triangle through the packed attribute table)."""
+    but costs ONE row gather per pixel. ``layer_f``: (...,) f32 ABSOLUTE
+    layer ids (<0 = untextured, clipped); ``uv_rect``: (..., 4) per-pixel
+    [u_scale, v_scale, u_off, v_off] in layer pixels (carried per triangle
+    through the packed attribute table)."""
     s = atlas.size
-    lay = jnp.clip(layer_f, 0.0, atlas.uv_scale.shape[0] - 1.0)
-    u = jnp.mod(uv[..., 0], 1.0) * uv_scale[..., 0] * (s - 1)
-    v = (1.0 - jnp.mod(uv[..., 1], 1.0)) * uv_scale[..., 1] * (s - 1)
+    lay = jnp.clip(layer_f, 0.0, atlas.layers.shape[0] - 1.0)
+    u = uv_rect[..., 2] + jnp.mod(uv[..., 0], 1.0) * uv_rect[..., 0]
+    v = uv_rect[..., 3] + (1.0 - jnp.mod(uv[..., 1], 1.0)) * uv_rect[..., 1]
     u0 = jnp.clip(jnp.floor(u), 0.0, s - 1.0)
     v0 = jnp.clip(jnp.floor(v), 0.0, s - 1.0)
     flat = (lay * (s * s) + v0 * s + u0).astype(jnp.int32)

@@ -259,13 +259,44 @@ class TestTextures:
     def test_atlas_roundtrip_and_scale(self):
         bb = TextureAtlasBuilder(layer_size=16)
         img = np.zeros((8, 8, 3), np.float32)
-        img[:, :, 0] = 1.0  # red, half-size -> uv scale 0.5
+        img[:, :, 0] = 1.0  # red, half-size -> packed 8x8 rect
         tid = bb.add_image(img)
         atlas = bb.finalize()
-        np.testing.assert_allclose(np.asarray(atlas.uv_scale[tid]), [0.5, 0.5])
+        np.testing.assert_allclose(np.asarray(atlas.uv_rect[tid]),
+                                   [7.0, 7.0, 0.0, 0.0])
         got = np.asarray(sample_atlas(
             atlas, jnp.int32(tid), jnp.array([[0.5, 0.5]])))
         np.testing.assert_allclose(got[0], [1.0, 0.0, 0.0], atol=1e-5)
+
+    def test_atlas_shelf_packing_minimizes_waste(self):
+        """Several small images SHARE one layer (the reference's
+        minimize-wasted-space array selection, texture_array.rs:224-256,
+        strengthened to sub-rect packing) and each samples its own pixels
+        with no bleed across rect borders."""
+        bb = TextureAtlasBuilder(layer_size=32)
+        colors = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0),
+                  (1.0, 1.0, 0.0)]
+        tids = []
+        for c in colors:
+            img = np.broadcast_to(np.asarray(c, np.float32),
+                                  (16, 16, 3)).copy()
+            tids.append(bb.add_image(img))
+        atlas = bb.finalize()
+        # 4 x 16x16 fit exactly in one 32x32 layer
+        assert atlas.layers.shape[0] == 1
+        assert atlas.wasted_fraction() < 0.15
+        uv = jnp.array([[0.5, 0.5]])
+        for tid, c in zip(tids, colors):
+            got = np.asarray(sample_atlas(atlas, jnp.int32(tid), uv))
+            np.testing.assert_allclose(got[0], c, atol=1e-5)
+        # edges of each rect stay pure (no neighbor bleed)
+        for tid, c in zip(tids, colors):
+            for u, v in [(0.0, 0.0), (0.999, 0.0), (0.0, 0.999),
+                         (0.999, 0.999)]:
+                got = np.asarray(sample_atlas(
+                    atlas, jnp.int32(tid), jnp.array([[u, v]])))
+                np.testing.assert_allclose(got[0], c, atol=1e-5,
+                                           err_msg=f"tid {tid} uv {u},{v}")
 
     def test_checkerboard_sampling(self):
         bb = TextureAtlasBuilder(layer_size=32)
