@@ -207,10 +207,34 @@ def bench_playback():
     # continue past end: one live frame
     player.step(render=False)  # -> ONE_PAST_LAST_FRAME
     player.step(InputState.idle(0).with_keys(KEY_UP), render=False)
+
+    # RECORDED rendering at the headline scenario: recorded runs step
+    # through the standalone _step program (bit-determinism invariant) and
+    # so pay 2-3 dispatches/frame instead of the fused 1 — measure and
+    # report that rate explicitly rather than leaving it implied by the
+    # unrecorded 1080p headline (docs/playback.md)
+    rec = build_space_engine(
+        width=_s(1920, 256), height=_s(1080, 144),
+        capacity=1 << (_s(10000, 64) + 64).bit_length(),
+        num_asteroids=_s(10000, 32), max_tris=49152,
+    )
+    assert rec.config.record_history
+    nrec = _s(120, 10)
+    img = None
+    for i in range(3):  # compile
+        img = rec.frame(InputState.idle(i).with_keys(KEY_W), 1 / 60)
+    _sync(rec, img)
+    t0 = time.perf_counter()
+    for i in range(nrec):
+        img = rec.frame(InputState.idle(3 + i).with_keys(KEY_W), 1 / 60)
+    _sync(rec, img)
+    recorded_render_fps = nrec / (time.perf_counter() - t0)
+
     return {"config": "playback",
             "metric": f"{n_frames}-frame record/replay",
             "value": round(replay_fps, 1), "unit": "replay_fps",
             "record_fps": round(record_fps, 1),
+            "recorded_render_1080p_fps": round(recorded_render_fps, 2),
             "bit_deterministic": bool(deterministic)}
 
 
