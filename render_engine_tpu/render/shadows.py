@@ -301,9 +301,16 @@ def render_shadow_map(
     raster_cfg: RasterConfig | None = None,
     interval: int = 1,
     lov_bias: int = 0,
+    caster_mask=None,
 ) -> ShadowState:
     """One frame's shadow update: choose a light, depth-raster its view into
     its slot (the shadow render system, render_flow.rs:267-308,1111-1178).
+
+    ``caster_mask``: optional user control over what casts shadows — a
+    bool[CAP] mask or a trace-time callable ``fn(world) -> bool[CAP]``
+    (the shadow render system's user draw fns, load_models.rs shadow draw
+    registration: the reference lets users decide what the shadow pass
+    draws). None = every model-bearing entity casts.
 
     ``interval``: render a new map every N-th frame instead of every frame.
     The reference's budget is AT MOST one new map per frame
@@ -320,12 +327,14 @@ def render_shadow_map(
             shadow.tick % interval == 0,
             lambda: _render_shadow_map_now(
                 bumped, world, camera, bank, max_tris=max_tris,
-                raster_cfg=raster_cfg, lov_bias=lov_bias),
+                raster_cfg=raster_cfg, lov_bias=lov_bias,
+                caster_mask=caster_mask),
             lambda: bumped,
         )
     return _render_shadow_map_now(
         dataclasses.replace(shadow, tick=shadow.tick + 1), world, camera,
-        bank, max_tris=max_tris, raster_cfg=raster_cfg, lov_bias=lov_bias)
+        bank, max_tris=max_tris, raster_cfg=raster_cfg, lov_bias=lov_bias,
+        caster_mask=caster_mask)
 
 
 def shadow_raster_cfg(max_tris: int) -> RasterConfig:
@@ -345,6 +354,7 @@ def _render_shadow_map_now(
     max_tris: int,
     raster_cfg: RasterConfig | None = None,
     lov_bias: int = 0,
+    caster_mask=None,
 ) -> ShadowState:
     cfg = raster_cfg or shadow_raster_cfg(max_tris)
     res = shadow.resolution
@@ -362,9 +372,12 @@ def _render_shadow_map_now(
     # semantics (render_thread.rs:97-104): silhouettes at 1024^2 don't
     # need full-detail geometry, and the light frustum usually covers far
     # more instances than the camera's
+    if callable(caster_mask):
+        caster_mask = caster_mask(world)
     batch = build_triangle_batch(
         world, bank, camera, max_tris=max_tris,
         apply_lov=True, proj_view=pv, depth_only=True, lov_bias=lov_bias,
+        instance_mask=caster_mask,
     )
     batch = to_screen(batch, res, res)
     depth, _ = rasterizer(batch, res, res, cfg)

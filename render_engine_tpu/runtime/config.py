@@ -64,6 +64,11 @@ class EngineConfig:
     # PCF factor subsampling (1 = full res; 2 quarters the dominant gather
     # cost at a penumbra-sharpness cost only)
     shadow_pcf_scale: int = 2
+    # user control over what casts shadows: bool[CAP] mask or trace-time
+    # callable fn(world) -> bool[CAP] (the reference's user shadow draw
+    # fns, load_models.rs shadow draw registration). None = every
+    # model-bearing entity casts.
+    shadow_caster_mask: object = None
     # render a new shadow map every N-th frame (1 = reference cadence of
     # <=1 map per frame; 2 halves per-frame shadow cost by stretching the
     # round-robin staleness — see shadows.render_shadow_map)

@@ -205,7 +205,8 @@ class Engine:
                 # the step program's determinism.
                 shadow_state = SH.render_shadow_map(
                     shadow_state, world, camera, bank, max_tris=shadow_tris,
-                    interval=shadow_ivl, lov_bias=shadow_lov)
+                    interval=shadow_ivl, lov_bias=shadow_lov,
+                    caster_mask=self.config.shadow_caster_mask)
                 img = render_frame(world, camera, bank, settings,
                                    cubemap=cubemap, atlas=atlas,
                                    shadow_state=shadow_state,
@@ -235,7 +236,8 @@ class Engine:
                     world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
                 shadow_state = SH.render_shadow_map(
                     shadow_state, world, camera, bank, max_tris=shadow_tris,
-                    interval=shadow_ivl, lov_bias=shadow_lov)
+                    interval=shadow_ivl, lov_bias=shadow_lov,
+                    caster_mask=self.config.shadow_caster_mask)
                 img = render_frame(world, camera, bank, settings,
                                    cubemap=cubemap, atlas=atlas,
                                    shadow_state=shadow_state,
@@ -276,7 +278,8 @@ class Engine:
                     sh = SH2.render_shadow_map(
                         sh, w, c, bank, max_tris=self.config.shadow_max_tris,
                         interval=self.config.shadow_update_interval,
-                        lov_bias=self.config.shadow_lov_bias)
+                        lov_bias=self.config.shadow_lov_bias,
+                        caster_mask=self.config.shadow_caster_mask)
                 img = render_frame(w, c, bank, settings, cubemap=cubemap,
                                    atlas=atlas, shadow_state=sh,
                                    systems=systems, inputs=inp)
@@ -605,11 +608,15 @@ class Engine:
                     _, _, slight, sface, sdo = SHD.choose_light(
                         shadow_state, world, camera.position)
                     spv = SHD.light_proj_view(world, slight, face=sface)
+                    cmask = self.config.shadow_caster_mask
+                    if callable(cmask):
+                        cmask = cmask(world)
                     sbatch = build_triangle_batch(
                         world, bank, camera,
                         max_tris=self.config.shadow_max_tris,
                         apply_lov=True, proj_view=spv, depth_only=True,
-                        lov_bias=self.config.shadow_lov_bias)
+                        lov_bias=self.config.shadow_lov_bias,
+                        instance_mask=cmask)
                     out["shadow_triangle_dropped"] = jnp.maximum(
                         sbatch.total_requested
                         - self.config.shadow_max_tris, 0)

@@ -93,6 +93,33 @@ class TestShadowState:
         assert (np.asarray(shadow2.slot_entity) == -1).all()
 
 
+    def test_user_caster_mask_controls_shadow_pass(self):
+        """caster_mask is the user's shadow draw control (the reference
+        registers user shadow draw fns, load_models.rs): excluding the
+        blocker leaves the map empty; a trace-time callable works too."""
+        w, bank = self._world_with_light_and_blocker()
+        cam = (CameraBuilder().with_position(64.0, 25.0, 80.0)
+               .with_draw_distance(500.0).build())
+        cfg = RasterConfig(tile_budget=16, global_budget=8)
+
+        def render(mask):
+            shadow = SH.create_shadow_state(resolution=64, budget=2)
+            return SH.render_shadow_map(shadow, w, cam, bank, max_tris=64,
+                                        raster_cfg=cfg, caster_mask=mask)
+
+        with_blocker = render(None)
+        slot = int(np.argmax(np.asarray(with_blocker.slot_entity) >= 0))
+        assert (np.asarray(with_blocker.maps[slot]) < 1.0).any()
+        # exclude everything -> empty depth map, schedule unchanged
+        none_cast = render(jnp.zeros(w.capacity, bool))
+        assert (np.asarray(none_cast.maps[slot]) == 1.0).all()
+        assert (np.asarray(none_cast.slot_entity)
+                == np.asarray(with_blocker.slot_entity)).all()
+        # callable form: casters = entities below y 30 (the blocker)
+        fn_cast = render(lambda world: world["position"][:, 1] < 30.0)
+        np.testing.assert_array_equal(np.asarray(fn_cast.maps[slot]),
+                                      np.asarray(with_blocker.maps[slot]))
+
     def test_directional_camera_fits_light_radius(self):
         """A caster 300 units off the beam axis of a radius-400 directional
         light (outside the legacy 200-unit ortho box) still casts: the
