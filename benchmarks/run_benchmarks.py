@@ -249,9 +249,32 @@ ALL = {
 
 def main():
     names = sys.argv[1:] or list(ALL)
+    results = []
     for name in names:
         result = ALL[name]()
         print(json.dumps(result), flush=True)
+        results.append(result)
+    # committable artifact trail: every full run appends a versioned record
+    # (backend, scale, results) so self-reported numbers are reproducible
+    out = os.environ.get("BENCH_OUT")
+    if out is None and not sys.argv[1:]:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results.json")
+    if out:
+        rec = {"backend": jax.default_backend(), "scale": SCALE,
+               "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
+               "results": results}
+        history = []
+        if os.path.exists(out):
+            try:
+                with open(out) as fh:
+                    history = json.load(fh)
+            except Exception:
+                history = []
+        history.append(rec)
+        with open(out, "w") as fh:
+            json.dump(history, fh, indent=1)
+        print(f"# appended to {out}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
