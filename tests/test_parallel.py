@@ -117,6 +117,42 @@ class TestShardedRender:
         diff = np.abs(img - single).max(axis=-1)
         assert diff.max() < 0.03, f"max diff {diff.max():.4f}"
 
+    def test_sharded_tile_lights_match_single_chip(self, engine_factory):
+        """Per-tile light culling under row sharding: each rank derives its
+        tile pyramids from GLOBAL pixel coordinates (y_off), so the culled
+        lists — and the image — match the single-chip run exactly."""
+        import dataclasses
+
+        from render_engine_tpu.parallel.render import render_frame_sharded
+        from render_engine_tpu.render.frame import render_frame
+
+        eng = engine_factory(**PAR_KW)
+        s = dataclasses.replace(eng.config.render, backend="pallas",
+                                fused_shading=True, light_tile_budget=8)
+        s_full = dataclasses.replace(s, light_tile_budget=0)
+        single = np.asarray(render_frame(
+            eng.world, eng.camera, eng.bank, s, cubemap=eng.cubemap,
+            systems=eng.compiled_systems, shadow_state=eng.shadow_state))
+        # tile lists are bit-identical to the full loop (no overflow here)
+        full = np.asarray(render_frame(
+            eng.world, eng.camera, eng.bank, s_full, cubemap=eng.cubemap,
+            systems=eng.compiled_systems, shadow_state=eng.shadow_state))
+        np.testing.assert_array_equal(single, full)
+
+        mesh = make_mesh(8)
+        world = shard_world(eng.world, mesh)
+        cam = jax.device_put(eng.camera, NamedSharding(mesh, P()))
+        bank, cubemap = eng.bank, eng.cubemap
+        systems, shadow = eng.compiled_systems, eng.shadow_state
+
+        fn = jax.jit(lambda w, c: render_frame_sharded(
+            w, c, bank, s, mesh, cubemap=cubemap, shadow_state=shadow,
+            systems=systems, interpret=True))
+        with mesh:
+            img = np.asarray(fn(world, cam))
+        diff = np.abs(img - single).max(axis=-1)
+        assert diff.max() < 0.03, f"max diff {diff.max():.4f}"
+
     def test_sharded_render_with_atlas_matches(self, engine_factory):
         """The sharded render threads the texture atlas: per-rank UV
         interpolation + atlas row gathers reproduce the single-chip
