@@ -516,6 +516,7 @@ def render_frame_systems(
     cubemap: Optional[jnp.ndarray] = None,
     atlas=None,
     shadow_state=None,
+    inputs=None,
 ) -> jnp.ndarray:
     """Deferred-render with multiple render systems sharing one G-buffer.
 
@@ -529,9 +530,36 @@ def render_frame_systems(
     gbuf = None
     unlit_mask = None
     boost = None
+    tint_img = None
+    sys_img = None
     trans_layers = []
-    for sys_ in systems:
-        imask = _system_instance_mask(world, sys_)
+    skybox_on = None
+    uniform_values = []
+    for s_idx, sys_ in enumerate(systems):
+        # per-frame draw callback (DrawParam): the callback's submissions
+        # replace static routing, its uniform writes override the compiled
+        # constants, and it may toggle the skybox
+        writes: dict = {}
+        if sys_.draw is not None:
+            dp = DrawParam(sys_, world, camera, inputs, bank)
+            sys_.draw(dp)
+            imask = dp._mask
+            writes = dict(dp._uniform_writes)
+            if dp.skybox is not None:
+                skybox_on = dp.skybox
+        else:
+            imask = _system_instance_mask(world, sys_)
+        uniforms = {name: value for name, value in sys_.uniforms}
+        uniforms.update(writes)
+        uniform_values.append(uniforms)
+        sys_boost_val = jnp.float32(sys_.emissive_boost) * jnp.asarray(
+            uniforms.get("emissive_boost", 1.0), jnp.float32)
+        sys_tint = jnp.asarray(
+            uniforms.get("albedo_tint", (1.0, 1.0, 1.0)),
+            jnp.float32).reshape(3)
+        alpha_scale = jnp.asarray(uniforms.get("alpha_scale", 1.0),
+                                  jnp.float32)
+
         batch = build_triangle_batch(
             world, bank, camera, max_tris=settings.max_tris,
             instance_mask=imask, apply_lov=sys_.casts_lov,
@@ -540,23 +568,26 @@ def render_frame_systems(
         depth, winner = rasterizer(batch, h, w, settings.raster,
                                    ~batch.transparent)
         g = resolve_gbuffer(batch, bank, depth, winner, atlas=atlas)
+        g = dataclasses.replace(g, albedo=g.albedo * sys_tint)
         covered = g.tri_id >= 0
         sys_unlit = jnp.where(covered, not sys_.lit, False)
-        sys_boost = jnp.where(covered, jnp.float32(sys_.emissive_boost), 1.0)
+        sys_boost = jnp.where(covered, sys_boost_val, 1.0)
+        sys_tag = jnp.where(covered, s_idx, -1)
         if gbuf is None:
-            gbuf, unlit_mask, boost = g, sys_unlit, sys_boost
+            gbuf, unlit_mask, boost, sys_img = (g, sys_unlit, sys_boost,
+                                                sys_tag)
         else:
             closer = covered & ((depth < gbuf.depth) | (gbuf.tri_id < 0))
             unlit_mask = jnp.where(closer, sys_unlit, unlit_mask)
             boost = jnp.where(closer, sys_boost, boost)
+            sys_img = jnp.where(closer, sys_tag, sys_img)
             gbuf = _merge_gbuffers(gbuf, g)
         # transparency layer for this system
         t_depth, t_winner = rasterizer(batch, h, w, settings.raster,
                                        batch.transparent)
-        trans_layers.append(
-            (resolve_gbuffer(batch, bank, t_depth, t_winner, atlas=atlas),
-             t_depth, t_winner)
-        )
+        tg = resolve_gbuffer(batch, bank, t_depth, t_winner, atlas=atlas)
+        tg = dataclasses.replace(tg, albedo=tg.albedo * sys_tint)
+        trans_layers.append((tg, t_depth, t_winner, alpha_scale))
 
     lights = L.extract_lights(
         world,
@@ -581,20 +612,41 @@ def render_frame_systems(
         background = jnp.broadcast_to(
             jnp.asarray(settings.clear_color, jnp.float32), (h, w, 3)
         )
+    if skybox_on is not None:
+        # DrawParam.draw_skybox toggle (toggle_rendering_skybox)
+        background = jnp.where(
+            jnp.asarray(skybox_on, bool), background,
+            jnp.asarray(settings.clear_color, jnp.float32))
 
     color = L.shade(gbuf, lights, bank, camera.position,
                     background=background, shadow_factor=shadow_factor)
     # per-system unlit/emissive-boost override (the light-source draw fn)
     color = jnp.where(unlit_mask[..., None], gbuf.albedo * boost[..., None],
                       color)
+    # per-system custom fragment shading over the merged G-buffer (the
+    # user shader-body path, same ShadeParam contract as the fast path)
+    covered_any = gbuf.tri_id >= 0
+    for s_idx, sys_ in enumerate(systems):
+        if sys_.shade is None:
+            continue
+        sp = ShadeParam(
+            position=gbuf.position, normal=gbuf.normal, albedo=gbuf.albedo,
+            depth=gbuf.depth, material=gbuf.material, covered=covered_any,
+            base_color=color, camera=camera, lights=lights,
+            uniforms=uniform_values[s_idx],
+        )
+        out = jnp.asarray(sys_.shade(sp), jnp.float32)
+        color = jnp.where(((sys_img == s_idx) & covered_any)[..., None],
+                          out, color)
 
     # transparency: blend each system's transparent layer (back-to-front by
     # merging via depth against the opaque buffer)
-    for t_gbuf, t_depth, t_winner in trans_layers:
+    for t_gbuf, t_depth, t_winner, alpha_scale in trans_layers:
         t_lit = L.shade(t_gbuf, lights, bank, camera.position,
                         background=color, shadow_factor=shadow_factor)
         mat = jnp.clip(t_gbuf.material, 0, bank.mat_alpha.shape[0] - 1)
-        alpha = bank.mat_alpha[mat][..., None]
+        alpha = jnp.clip(bank.mat_alpha[mat][..., None] * alpha_scale,
+                         0.0, 1.0)
         in_front = (t_winner >= 0) & (t_depth <= gbuf.depth)
         color = jnp.where(in_front[..., None],
                           alpha * t_lit + (1.0 - alpha) * color, color)

@@ -104,6 +104,55 @@ class TestMultiSystem:
         assert img[H // 2, 75].sum() > 0
 
 
+class TestGoldenPathCallbacks:
+    """DrawParam / custom shading / uniforms on render_frame_systems (the
+    multi-system golden path) — same contracts as the compiled fast path."""
+
+    def test_draw_callback_gates_and_skybox(self):
+        w, bank, cam, cube, star = scene()
+        white_sky = jnp.ones((6, 4, 4, 3), jnp.float32)
+
+        def draw(dp):
+            dp.draw_models(cube)  # star bound but not submitted
+            dp.draw_skybox(False)
+
+        sys_ = (RenderSystemBuilder("all").with_models(cube, star)
+                .with_draw_function(draw).build())
+        img = np.asarray(render_frame_systems(
+            w, cam, bank, (sys_,), SETTINGS, cubemap=white_sky))
+        assert (img[:, :WIDTH // 2, 0] > 0.0).any()  # cube drew
+        assert img[0, 0].sum() == 0.0  # skybox toggled off -> clear
+
+    def test_tint_uniform_applies(self):
+        w, bank, cam, cube, star = scene()
+        sys_ = (RenderSystemBuilder("all").with_models(cube, star)
+                .write_uniform("albedo_tint", (0.0, 0.0, 1.0)).build())
+        base = (RenderSystemBuilder("all").with_models(cube, star).build())
+        a = np.asarray(render_frame_systems(w, cam, bank, (sys_,), SETTINGS))
+        b = np.asarray(render_frame_systems(w, cam, bank, (base,), SETTINGS))
+        # the tint kills the cube's red channel
+        assert (b[:, :WIDTH // 2, 0] > a[:, :WIDTH // 2, 0] + 0.01).any()
+
+    def test_custom_shading_on_own_pixels(self):
+        w, bank, cam, cube, star = scene()
+
+        def flat_green(sp):
+            c = jnp.asarray(sp.uniforms["flat_rgb"], jnp.float32)
+            return jnp.broadcast_to(c, sp.base_color.shape)
+
+        shaded = (RenderSystemBuilder("n").with_models(cube)
+                  .write_uniform("flat_rgb", (0.0, 1.0, 0.0))
+                  .with_fragment_shading(flat_green).build())
+        plain = RenderSystemBuilder("s").with_models(star).build()
+        img = np.asarray(render_frame_systems(
+            w, cam, bank, (shaded, plain), SETTINGS))
+        cube_px = img[H // 2, 50]
+        np.testing.assert_allclose(cube_px, [0.0, 1.0, 0.0], atol=1e-5)
+        # the star system keeps default shading (gray, not green-only)
+        star_region = img[:, WIDTH // 2:]
+        assert (star_region[..., 0] > 0.0).any()
+
+
 class TestCompiledSystems:
     """The Engine-integrated fast path: systems as data on one fused pass."""
 
