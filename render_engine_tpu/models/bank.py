@@ -67,10 +67,11 @@ class ModelBank:
     mat_specular: jnp.ndarray  # (K,)
     # per-material texture ROW — the reference packs 5 texture (array,
     # layer) pairs per vertex (model_definitions.rs:71-148); here the row
-    # lives per MATERIAL: [diffuse, specular, 3 reserved], -1 = unset.
-    # Column 0 (diffuse) drives albedo sampling; column 1 multiplies the
-    # material's scalar specular strength (gAlbedoSpec.a semantics).
-    mat_textures: jnp.ndarray  # (K, 5) int32 atlas layer ids
+    # lives per MATERIAL: [diffuse, specular, emissive, 2 reserved],
+    # -1 = unset. Column 0 (diffuse) drives albedo sampling; column 1
+    # multiplies the scalar specular strength (gAlbedoSpec.a semantics);
+    # column 2 multiplies the scalar emissive brightness.
+    mat_textures: jnp.ndarray  # (K, 5) int32 atlas texture ids
     lov_table: jnp.ndarray  # (M, NUM_LOV_BANDS + 1) int32 bank entries
     lov_fractions: jnp.ndarray  # (NUM_LOV_BANDS,) of draw distance
     names: tuple  # (M,) model names, static
@@ -98,6 +99,11 @@ class ModelBank:
         """(K,) specular-map texture id view (-1 = none)."""
         return self.mat_textures[:, 1]
 
+    @property
+    def mat_texture_emis(self) -> jnp.ndarray:
+        """(K,) emissive-map texture id view (-1 = none)."""
+        return self.mat_textures[:, 2]
+
     def has_specular_maps(self) -> bool:
         """Trace-time gate: True if any material carries a specular map, so
         frame builders can skip the spec-map sampling channels entirely for
@@ -108,6 +114,12 @@ class ModelBank:
         import numpy as _np
 
         return bool((_np.asarray(self.mat_textures)[:, 1] >= 0).any())
+
+    def has_emissive_maps(self) -> bool:
+        """Trace-time gate like ``has_specular_maps`` for column 2."""
+        import numpy as _np
+
+        return bool((_np.asarray(self.mat_textures)[:, 2] >= 0).any())
 
     @property
     def num_models(self) -> int:
@@ -154,17 +166,20 @@ class ModelBankBuilder:
 
     # ----------------------------------------------------------- materials
     def add_material(self, albedo=(1.0, 1.0, 1.0), emissive=0.0, alpha=1.0,
-                     texture=-1, specular=1.0, texture_specular=-1) -> int:
-        """``texture``: diffuse atlas layer (-1 = solid ``albedo``);
-        ``texture_specular``: specular-map layer whose red channel
-        multiplies ``specular`` per pixel (-1 = none) — two of the
-        reference's five per-vertex texture pairs
+                     texture=-1, specular=1.0, texture_specular=-1,
+                     texture_emissive=-1) -> int:
+        """``texture``: diffuse atlas texture id (-1 = solid ``albedo``);
+        ``texture_specular``: specular map whose red channel multiplies
+        ``specular`` per pixel; ``texture_emissive``: emissive map whose
+        red channel multiplies ``emissive`` per pixel (-1 = none) — three
+        of the reference's five per-vertex texture pairs
         (model_definitions.rs:71-148), stored per material."""
         self._mats.append(
             dict(albedo=np.asarray(albedo, np.float32),
                  emissive=float(emissive), alpha=float(alpha),
                  texture=int(texture), specular=float(specular),
-                 texture_specular=int(texture_specular))
+                 texture_specular=int(texture_specular),
+                 texture_emissive=int(texture_emissive))
         )
         return len(self._mats) - 1
 
@@ -205,7 +220,7 @@ class ModelBankBuilder:
         base = os.path.dirname(os.path.abspath(path))
         ids = []
         for m in mats:
-            tex = spec_tex = -1
+            tex = spec_tex = emis_tex = -1
             if atlas_builder is not None:
                 # missing files land on the loud error texture inside
                 # add_image_file (helper_constructs.rs:2-12 parity)
@@ -215,9 +230,13 @@ class ModelBankBuilder:
                 if m.get("map_ks"):
                     spec_tex = atlas_builder.add_image_file(
                         os.path.join(base, m["map_ks"]))
+                if m.get("map_ke"):
+                    emis_tex = atlas_builder.add_image_file(
+                        os.path.join(base, m["map_ke"]))
             ids.append(self.add_material(
-                albedo=m["kd"], specular=m.get("ks", 1.0), texture=tex,
-                texture_specular=spec_tex))
+                albedo=m["kd"], specular=m.get("ks", 1.0),
+                emissive=m.get("ke", 0.0), texture=tex,
+                texture_specular=spec_tex, texture_emissive=emis_tex))
         remap = np.asarray(ids, np.int32)[tri_mat]
         return self.add_model(name, (v, n, uv, f), tri_material=remap)
 
@@ -261,7 +280,8 @@ class ModelBankBuilder:
             mat_specular=jnp.asarray([d.get("specular", 1.0) for d in self._mats],
                                      jnp.float32),
             mat_textures=jnp.asarray(
-                [[d["texture"], d.get("texture_specular", -1), -1, -1, -1]
+                [[d["texture"], d.get("texture_specular", -1),
+                  d.get("texture_emissive", -1), -1, -1]
                  for d in self._mats], jnp.int32),
             lov_table=jnp.asarray(lov),
             lov_fractions=jnp.asarray(self._lov_fractions, jnp.float32),

@@ -18,9 +18,10 @@ import numpy as np
 
 def load_mtl(path: str) -> dict:
     """Parse an MTL file -> {name: {"kd": (3,), "map_kd": str|None,
-    "ks": float, "map_ks": str|None}} (the tobj material fields the
-    reference consumes, model_storage.rs:190-193, plus the specular map
-    slot of its per-vertex texture pairs, model_definitions.rs:71-148)."""
+    "ks": float, "map_ks": str|None, "ke": float, "map_ke": str|None}}
+    (the tobj material fields the reference consumes,
+    model_storage.rs:190-193, plus the specular/emissive map slots of its
+    per-vertex texture pairs, model_definitions.rs:71-148)."""
     mats = {}
     cur = None
     with open(path) as fh:
@@ -31,17 +32,25 @@ def load_mtl(path: str) -> dict:
             if parts[0] == "newmtl":
                 cur = parts[1]
                 mats[cur] = {"kd": np.array([1.0, 1.0, 1.0], np.float32),
-                             "map_kd": None, "ks": 1.0, "map_ks": None}
+                             "map_kd": None, "ks": 1.0, "map_ks": None,
+                             "ke": 0.0, "map_ke": None}
             elif cur is not None and parts[0] == "Kd":
                 mats[cur]["kd"] = np.array(parts[1:4], np.float32)
             elif cur is not None and parts[0] == "Ks":
                 # specular color -> scalar strength (gAlbedoSpec.a role)
                 mats[cur]["ks"] = float(np.mean(
                     np.array(parts[1:4], np.float32)))
+            elif cur is not None and parts[0] == "Ke":
+                # emissive color -> scalar brightness (the engine's
+                # emissive-bypass semantics)
+                mats[cur]["ke"] = float(np.mean(
+                    np.array(parts[1:4], np.float32)))
             elif cur is not None and parts[0] == "map_Kd":
                 mats[cur]["map_kd"] = parts[-1]
             elif cur is not None and parts[0] == "map_Ks":
                 mats[cur]["map_ks"] = parts[-1]
+            elif cur is not None and parts[0] == "map_Ke":
+                mats[cur]["map_ke"] = parts[-1]
     return mats
 
 
@@ -104,7 +113,8 @@ def _load_obj_native(path: str):
         mtl_at.append(eff)
     materials = [{"name": "__default__",
                   "kd": np.array([1.0, 1.0, 1.0], np.float32),
-                  "map_kd": None, "ks": 1.0, "map_ks": None}]
+                  "map_kd": None, "ks": 1.0, "map_ks": None,
+                  "ke": 0.0, "map_ke": None}]
     for i, name in enumerate(names):
         k = int(name_lib[i])
         info = (mtl_at[k] if 0 <= k < len(mtl_at) else {}).get(name, {})
@@ -114,6 +124,8 @@ def _load_obj_native(path: str):
             "map_kd": info.get("map_kd"),
             "ks": float(info.get("ks", 1.0)),
             "map_ks": info.get("map_ks"),
+            "ke": float(info.get("ke", 0.0)),
+            "map_ke": info.get("map_ke"),
         })
     return v, n, uv, tris, tri_slot, materials
 
@@ -159,7 +171,8 @@ def load_obj(path: str):
     tris, tri_mat = [], []
     materials = [{"name": "__default__",
                   "kd": np.array([1.0, 1.0, 1.0], np.float32),
-                  "map_kd": None, "ks": 1.0, "map_ks": None}]
+                  "map_kd": None, "ks": 1.0, "map_ks": None,
+                  "ke": 0.0, "map_ke": None}]
     mat_index = {"__default__": 0}
     cur_mat = 0
     mtl: dict = {}
@@ -212,6 +225,8 @@ def load_obj(path: str):
                         "map_kd": info.get("map_kd"),
                         "ks": float(info.get("ks", 1.0)),
                         "map_ks": info.get("map_ks"),
+                        "ke": float(info.get("ke", 0.0)),
+                        "map_ke": info.get("map_ke"),
                     })
                     mat_index[name] = len(materials) - 1
                 cur_mat = mat_index[name]

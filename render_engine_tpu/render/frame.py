@@ -168,10 +168,19 @@ def render_frame(
                                    ~batch.transparent)
         t_depth, t_winner = rasterizer(batch, h, w, settings.raster,
                                        batch.transparent)
-        spec_img = t_spec_img = None
-        if atlas is not None and bank.has_specular_maps():
-            # per-pixel specular maps (trace-time gate: scenes without one
-            # skip the extra sampling entirely)
+        spec_img = t_spec_img = emis_mul = t_emis_mul = None
+        with_spec = atlas is not None and bank.has_specular_maps()
+        with_emis = atlas is not None and bank.has_emissive_maps()
+        if with_emis:
+            # per-pixel specular + emissive maps (trace-time gates: scenes
+            # without them skip the extra sampling entirely)
+            gbuf, spec_img, emis_mul = resolve_gbuffer(
+                batch, bank, depth, winner, atlas=atlas,
+                with_specular=with_spec, with_emissive=True)
+            t_gbuf, t_spec_img, t_emis_mul = resolve_gbuffer(
+                batch, bank, t_depth, t_winner, atlas=atlas,
+                with_specular=with_spec, with_emissive=True)
+        elif with_spec:
             gbuf, spec_img = resolve_gbuffer(batch, bank, depth, winner,
                                              atlas=atlas, with_specular=True)
             t_gbuf, t_spec_img = resolve_gbuffer(
@@ -181,6 +190,22 @@ def render_frame(
             gbuf = resolve_gbuffer(batch, bank, depth, winner, atlas=atlas)
             t_gbuf = resolve_gbuffer(batch, bank, t_depth, t_winner,
                                      atlas=atlas)
+        if with_emis:
+            # fold the emissive-map multiplier into explicit per-pixel
+            # emissive images (the systems path multiplies ITS boosted
+            # values below instead)
+            def em_base(g):
+                m = jnp.clip(g.material, 0, bank.mat_emissive.shape[0] - 1)
+                return bank.mat_emissive[m]
+
+            extras = {"emissive": em_base(gbuf) * emis_mul}
+            t_extras = {
+                "emissive": em_base(t_gbuf) * t_emis_mul,
+                "alpha": jnp.clip(
+                    bank.mat_alpha[jnp.clip(
+                        t_gbuf.material, 0, bank.mat_alpha.shape[0] - 1)],
+                    0.0, 1.0),
+            }
         if ent_attrs is not None:
             # golden-path system semantics: per-pixel tint/emissive/alpha
             # from the winner triangle's entity's system row
@@ -204,6 +229,9 @@ def render_frame(
 
             gbuf, em_img, _ = apply_sys(gbuf)
             t_gbuf, t_em_img, t_asc = apply_sys(t_gbuf)
+            if emis_mul is not None:
+                em_img = em_img * emis_mul
+                t_em_img = t_em_img * t_emis_mul
             extras = {"emissive": em_img}
             t_extras = {
                 "emissive": t_em_img,
@@ -305,7 +333,7 @@ def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv,
 
 
 def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
-                      with_spec=False):
+                      with_spec=False, with_emis=False):
     """Per-pixel textured albedo from the resolve channels: barycentric UV
     interpolation (elementwise) + ONE bilinear row gather from the atlas.
     Full resolution: a lane-strided ::2 subsample of the channel array was
@@ -313,11 +341,12 @@ def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
     than simply gathering every pixel (~7 ms).
     ``tids``: optional (NT_sel,) tile ids when ``res`` is a compacted tile
     subset. Returns (4, NT[_sel], th, tw): [rgb | flag]; with
-    ``with_spec`` (5, ...): [rgb | flag | spec DELTA]. The spec channel is
-    stored as (map_sample - 1) where the material carries a specular map,
-    else 0 — the kernel applies spec_k * (1 + delta), so zero-filled
-    unselected tiles and spec-less materials read as neutral while a black
-    spec texel still kills the highlight."""
+    ``with_spec`` (5, ...): [rgb | flag | spec DELTA]; with ``with_emis``
+    (6, ...): [... | emissive DELTA]. Delta channels are stored as
+    (map_sample - 1) where the material carries that map, else 0 — the
+    kernel applies value * (1 + delta), so zero-filled unselected tiles
+    and map-less materials read as neutral while a black texel still
+    kills the highlight/glow."""
     from render_engine_tpu.render.textures import sample_atlas_rows
 
     a, nt = res.shape[0], res.shape[1]
@@ -354,7 +383,7 @@ def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
     )  # (rows, cols, 3)
     flag = (layer >= 0.0).astype(jnp.float32)
     parts = [rgb, flag[..., None]]
-    if with_spec:
+    if with_spec or with_emis:
         slayer = ch[40]
         smul = sample_atlas_rows(
             atlas, slayer, uv,
@@ -362,6 +391,14 @@ def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
         )[..., 0]
         delta = jnp.where(slayer >= 0.0, smul - 1.0, 0.0)
         parts.append(delta[..., None])
+    if with_emis:
+        elayer = ch[45]
+        emul = sample_atlas_rows(
+            atlas, elayer, uv,
+            jnp.stack([ch[46], ch[47], ch[48], ch[49]], axis=-1),
+        )[..., 0]
+        edelta = jnp.where(elayer >= 0.0, emul - 1.0, 0.0)
+        parts.append(edelta[..., None])
     out = jnp.concatenate(parts, axis=-1)
     c = out.shape[-1]
     return jnp.moveaxis(out, -1, 0).reshape(c, nt, th, twd)
@@ -529,15 +566,19 @@ def tiled_fused_core(
     if atlas is not None:
         ntt = s.shape[0]
         ttb = max(1, int(round(ntt * settings.texture_tile_budget)))
-        # spec maps ride the same override block as one extra DELTA channel
-        # (trace-time gate: scenes without one keep the 4-channel block)
+        # spec/emissive maps ride the same override block as extra DELTA
+        # channels (trace-time gates: scenes without them keep 4 channels)
         with_spec = bank.has_specular_maps()
-        n_ovr = 5 if with_spec else 4
+        with_emis = bank.has_emissive_maps()
+        n_ovr = 4 + (1 if (with_spec or with_emis) else 0) \
+            + (1 if with_emis else 0)
         # tiles with any textured CANDIDATE (conservative superset of
         # textured winners — avoids resolving every tile just to test)
         tex_tri = rows[..., 35] >= 0.0
         if with_spec:
             tex_tri = tex_tri | (rows[..., 40] >= 0.0)
+        if with_emis:
+            tex_tri = tex_tri | (rows[..., 45] >= 0.0)
         tex_cand = jnp.any((cand >= 0) & tex_tri, axis=1)
 
         def textured(slot):
@@ -545,14 +586,16 @@ def tiled_fused_core(
                 res = RP.resolve_attributes_pallas(slot, rows, cfg,
                                                    interpret=interpret)
                 return _texture_override(res, atlas, tiles_x, th, twd,
-                                         with_spec=with_spec)
+                                         with_spec=with_spec,
+                                         with_emis=with_emis)
             order = jnp.argsort(jnp.where(tex_cand, 0, 1).astype(jnp.int32),
                                 stable=True).astype(jnp.int32)
             sel = order[:ttb]
             res_sel = RP.resolve_attributes_pallas(
                 slot[sel], rows[sel], cfg, interpret=interpret)
             ovr_sel = _texture_override(res_sel, atlas, tiles_x, th,
-                                        twd, tids=sel, with_spec=with_spec)
+                                        twd, tids=sel, with_spec=with_spec,
+                                        with_emis=with_emis)
             return jnp.zeros((n_ovr, ntt, th, twd),
                              jnp.float32).at[:, sel].set(ovr_sel)
 
@@ -715,6 +758,13 @@ def _render_frame_pallas_tiled(
                 smul = sample_atlas(atlas, slayer, ex["uv"])[..., 0]
                 ex["specular"] = ex["specular"] * jnp.where(
                     slayer >= 0, smul, 1.0)
+            if bank.has_emissive_maps():
+                # emissive-map red channel multiplies the per-pixel
+                # brightness (third texture pair, same gating)
+                elayer = bank.mat_texture_emis[mat_safe]
+                emul = sample_atlas(atlas, elayer, ex["uv"])[..., 0]
+                ex["emissive"] = ex["emissive"] * jnp.where(
+                    elayer >= 0, emul, 1.0)
             return dataclasses.replace(
                 g, albedo=jnp.where((layer >= 0)[..., None], tex, g.albedo))
 

@@ -320,6 +320,7 @@ def resolve_gbuffer(
     winner: jnp.ndarray,
     atlas=None,
     with_specular: bool = False,
+    with_emissive: bool = False,
 ):
     """Per-pixel attribute interpolation for the winning triangles.
 
@@ -327,7 +328,11 @@ def resolve_gbuffer(
     world position / normal / albedo, with the material id replacing the
     sentinel position tags. With ``with_specular`` (and an atlas), also
     returns the per-pixel specular-strength image (material scalar x
-    specular-map red channel) as ``(gbuf, spec_img)``.
+    specular-map red channel) as ``(gbuf, spec_img)``; with
+    ``with_emissive`` additionally the per-pixel emissive-map MULTIPLIER
+    (the map's red channel, 1 where unmapped — the caller multiplies it
+    into whatever emissive base it uses, material table or system-boosted)
+    as ``(gbuf, spec_img, emis_mul)``.
     """
     h, w = depth.shape
     tri = jnp.clip(winner, 0, batch.budget - 1)
@@ -361,7 +366,7 @@ def resolve_gbuffer(
     mat = batch.material[tri]
     mat_safe = jnp.clip(mat, 0, bank.mat_albedo.shape[0] - 1)
     albedo = bank.mat_albedo[mat_safe]
-    spec_img = None
+    spec_img = emis_mul = None
     if atlas is not None:
         # textured materials sample the atlas; solid colors skip
         # (first_pass_frag.glsl texture-vs-solid-vs-error selection)
@@ -379,6 +384,11 @@ def resolve_gbuffer(
             smul = sample_atlas(atlas, slayer, uv)[..., 0]
             spec_img = bank.mat_specular[mat_safe] * jnp.where(
                 slayer >= 0, smul, 1.0)
+        if with_emissive:
+            # per-pixel emissive-map multiplier, same pattern (third pair)
+            elayer = bank.mat_texture_emis[mat_safe]
+            emul = sample_atlas(atlas, elayer, uv)[..., 0]
+            emis_mul = jnp.where(elayer >= 0, emul, 1.0)
 
     cm = covered[..., None]
     gbuf = GBuffer(
@@ -389,6 +399,8 @@ def resolve_gbuffer(
         material=jnp.where(covered, mat, MATERIAL_BACKGROUND),
         tri_id=winner,
     )
+    if with_emissive:
+        return gbuf, spec_img, emis_mul
     if with_specular:
         return gbuf, spec_img
     return gbuf

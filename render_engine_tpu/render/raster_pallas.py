@@ -232,9 +232,10 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
 
         layer, uvs = tex_cols(bank.mat_texture[mat_safe])
         slayer, suvs = tex_cols(bank.mat_texture_spec[mat_safe])
+        elayer, euvs = tex_cols(bank.mat_texture_emis[mat_safe])
     else:
-        uvs = suvs = jnp.ones((t, 4), jnp.float32)
-        layer = slayer = jnp.full(t, -1.0, jnp.float32)
+        uvs = suvs = euvs = jnp.ones((t, 4), jnp.float32)
+        layer = slayer = elayer = jnp.full(t, -1.0, jnp.float32)
     if ent_attrs is not None:
         sa = ent_attrs[jnp.clip(batch.entity, 0, ent_attrs.shape[0] - 1)]
         unlit, boost, ascale = sa[:, 0] > 0.5, sa[:, 1], sa[:, 5]
@@ -262,7 +263,9 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
             uvs,  # 36:40 packed rect [u_scale, v_scale, u_off, v_off] px
             slayer[:, None],  # 40 specular-map layer
             suvs,  # 41:45 its packed rect
-            jnp.zeros((t, N_ATTR - 45), jnp.float32),
+            elayer[:, None],  # 45 emissive-map layer
+            euvs,  # 46:50 its packed rect
+            jnp.zeros((t, N_ATTR - 50), jnp.float32),
         ],
         axis=1,
     )
@@ -402,7 +405,9 @@ def rasterize_two_pass_pallas(
 #   40     specular-map layer (f32, -1 = none) — second texture pair
 #          (model_definitions.rs:71-148)
 #   41:45  the specular map's packed atlas rect
-N_ATTR = 48  # padded to a multiple of 8 sublanes
+#   45     emissive-map layer (f32, -1 = none) — third texture pair
+#   46:50  its packed atlas rect
+N_ATTR = 56  # padded to a multiple of 8 sublanes
 
 
 def _resolve_kernel(n_attr, tile_h, tile_w,

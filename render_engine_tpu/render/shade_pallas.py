@@ -317,6 +317,9 @@ def _shade_kernel(
                 # specular-map delta: neutral (0) for unselected tiles and
                 # spec-less materials, (sample - 1) otherwise
                 spec_k = spec_k * (1.0 + ovr_ref[ovr_base + 4, 0])
+            if ovr_chans >= 6:
+                # emissive-map delta, same neutral-zero convention
+                emissive = emissive * (1.0 + ovr_ref[ovr_base + 5, 0])
         wx, wy, wz = unproject(depth)
         vx = cam_ref[0, 0] - wx
         vy = cam_ref[0, 1] - wy
@@ -483,7 +486,7 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
     has_texture = albedo_override is not None
     ovr = (albedo_override if has_texture
            else jnp.zeros((8, 1, th, tw), jnp.float32))
-    ovr_chans = ovr.shape[0] // 2  # 4, or 5 with the spec-map delta
+    ovr_chans = ovr.shape[0] // 2  # 4, +1 spec-map delta, +1 emissive-map
 
     use_tile_lights = tile_lights is not None
     if use_tile_lights:

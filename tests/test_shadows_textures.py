@@ -485,24 +485,28 @@ class TestFusedTexturingAndSpecular:
         diff = np.full((s, s, 3), 200, np.uint8)
         spec = np.zeros((s, s, 3), np.uint8)
         spec[:, : s // 2] = 255  # left half shiny
-        for name, img in (("diff.ppm", diff), ("spec.ppm", spec)):
+        emis = np.full((s, s, 3), 128, np.uint8)
+        for name, img in (("diff.ppm", diff), ("spec.ppm", spec),
+                          ("emis.ppm", emis)):
             with open(os.path.join(str(tmp_path), name), "wb") as fh:
                 fh.write(b"P6\n%d %d\n255\n" % (s, s) + img.tobytes())
         obj = self._write_obj(
             str(tmp_path),
-            "newmtl skin\nKd 1 1 1\nKs 0.5 0.5 0.5\n"
-            "map_Kd diff.ppm\nmap_Ks spec.ppm\n")
+            "newmtl skin\nKd 1 1 1\nKs 0.5 0.5 0.5\nKe 2 2 2\n"
+            "map_Kd diff.ppm\nmap_Ks spec.ppm\nmap_Ke emis.ppm\n")
         ab = TextureAtlasBuilder(layer_size=16)
         bb = ModelBankBuilder()
         bb.add_obj("quad", obj, atlas_builder=ab)
         bank = bb.finalize()
         atlas = ab.finalize()
-        assert atlas.layers.shape[0] == 2
+        assert atlas.layers.shape[0] == 3
         mat = int(np.asarray(bank.tri_material)[0])
         row = np.asarray(bank.mat_textures[mat])
-        assert row[0] == 0 and row[1] == 1 and (row[2:] == -1).all()
-        assert bank.has_specular_maps()
+        assert row[0] == 0 and row[1] == 1 and row[2] == 2
+        assert (row[3:] == -1).all()
+        assert bank.has_specular_maps() and bank.has_emissive_maps()
         assert abs(float(bank.mat_specular[mat]) - 0.5) < 1e-6
+        assert abs(float(bank.mat_emissive[mat]) - 2.0) < 1e-6
 
     def test_missing_texture_uses_error_material(self, tmp_path):
         """A missing map_Kd file falls back LOUDLY to the magenta error
@@ -531,6 +535,60 @@ class TestFusedTexturingAndSpecular:
             atlas, jnp.full(1, tid, jnp.int32),
             jnp.array([[1.0 / 32.0, 1.0 - 1.0 / 32.0]])))
         np.testing.assert_allclose(got[0], [1.0, 0.0, 1.0], atol=1e-3)
+
+    def test_emissive_map_modulates_glow_all_paths(self):
+        """The emissive map's red channel scales the per-pixel emissive
+        brightness (third texture pair) in the jnp golden path, the tall
+        pallas path, and the fused kernel — a half-bright checkerboard map
+        makes part of the quad glow dimmer, all three paths agreeing."""
+        import dataclasses as dc
+
+        from render_engine_tpu.render.frame import RenderSettings, render_frame
+        from render_engine_tpu.math.camera import CameraBuilder
+
+        ab = TextureAtlasBuilder(layer_size=16)
+        etid = ab.add_checkerboard(a=(1.0, 1.0, 1.0), b=(0.25, 0.25, 0.25),
+                                   cells=2)
+        atlas = ab.finalize()
+        bb = ModelBankBuilder()
+        m = bb.add_material(albedo=(1.0, 0.5, 0.2), emissive=0.9,
+                            texture_emissive=etid)
+        bb.add_model("quad", primitives.quad(3.0), material=m)
+        bank = bb.finalize()
+        assert bank.has_emissive_maps()
+        cfg = W.WorldConfig(capacity=4, world_length=64.0,
+                            section_length=8.0)
+        w = W.create_world(cfg)
+        w, _ = W.spawn_host(
+            w, 1, position=np.array([[32.0, 32.0, 28.0]], np.float32),
+            model_id=np.array([0], np.int32))
+        w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                 jnp.asarray(w.alive))
+        cam = (CameraBuilder().with_position(32.0, 32.0, 33.0)
+               .with_yaw_pitch_degrees(-90.0, 0.0).with_fov_degrees(70.0)
+               .with_aspect(4.0).with_near_far(0.1, 50.0)
+               .with_draw_distance(50.0).build())
+
+        def settings(backend, fused):
+            return RenderSettings(
+                width=128, height=32, max_tris=64, backend=backend,
+                raster=RasterConfig(tile_budget=16, max_tiles_per_tri=8,
+                                    global_budget=8, chunk=4),
+                fused_shading=fused, texture_tile_budget=1.0)
+
+        outs = []
+        for backend, fused in (("jnp", False), ("pallas", False),
+                               ("pallas", True)):
+            outs.append(np.asarray(render_frame(
+                w, cam, bank, settings(backend, fused), atlas=atlas)))
+        img = outs[0]
+        covered = img.sum(axis=-1) > 0
+        vals = img[covered][:, 0]  # red channel of the glowing quad
+        # checkerboard emissive: bright cells ~0.9, dim cells ~0.225
+        assert vals.max() > 0.8 and vals.min() < 0.3
+        for o in outs[1:]:
+            diff = np.abs(o - img).max(axis=-1)
+            assert (diff > 0.03).mean() < 0.01
 
     def test_specular_map_modulates_highlight_all_paths(self):
         """The spec map's red channel scales the per-pixel specular term in
