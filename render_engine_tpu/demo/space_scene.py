@@ -22,7 +22,6 @@ Port of the reference demo game (src/main.rs:20-62, src/space_logic/):
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from render_engine_tpu.ecs import registry as R
 from render_engine_tpu.ecs.world import World
-from render_engine_tpu.math import aabb as A
 from render_engine_tpu.world import grid as G
 
 CAMERA_CUTOFF = 200.0  # same constant as logic_flow.rs collision cutoff

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from render_engine_tpu.ecs import registry as R
 from render_engine_tpu.ecs.world import World
-from render_engine_tpu.math import aabb as A
 from render_engine_tpu.math import transforms as T
 
 

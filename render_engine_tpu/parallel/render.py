@@ -27,7 +27,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from render_engine_tpu.render import lighting as L
 from render_engine_tpu.render import skybox as SB

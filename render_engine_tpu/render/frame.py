@@ -23,7 +23,6 @@ from render_engine_tpu.render.geometry import build_triangle_batch, to_screen
 from render_engine_tpu.render.raster_jnp import (
     RasterConfig,
     rasterize_depth_winner,
-    render_gbuffer,
     resolve_gbuffer,
 )
 
@@ -150,7 +149,6 @@ def render_frame(
     # --- raster: opaque + transparent layers ----------------------------
     from render_engine_tpu.render.raster_pallas import (
         rasterize_depth_winner_pallas,
-        render_gbuffers_pallas,
     )
 
     extras = t_extras = None

@@ -27,7 +27,6 @@ path. Both are bit-deterministic.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -39,7 +39,7 @@ from render_engine_tpu.ecs.world import World
 from render_engine_tpu.models.bank import ModelBank
 from render_engine_tpu.render import lighting as L
 from render_engine_tpu.render import skybox as SB
-from render_engine_tpu.render.gbuffer import GBuffer, MATERIAL_BACKGROUND
+from render_engine_tpu.render.gbuffer import GBuffer
 from render_engine_tpu.render.frame import RenderSettings, pick_rasterizer
 from render_engine_tpu.render.geometry import build_triangle_batch, to_screen
 from render_engine_tpu.render.raster_jnp import resolve_gbuffer

@@ -28,7 +28,6 @@ from render_engine_tpu.math import transforms as T
 from render_engine_tpu.render.geometry import build_triangle_batch, to_screen
 from render_engine_tpu.render.raster_jnp import (
     RasterConfig,
-    rasterize_depth_winner,
 )
 
 SHADOW_BUDGET = 6  # reference render_flow.rs:220-235

@@ -20,7 +20,6 @@ gameplay_history.txt / gameplay_byte_lookup.txt / initial_camera.txt.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 

@@ -19,7 +19,6 @@ custom_movement flag through debug_execute :351-372).
 
 from __future__ import annotations
 
-import dataclasses
 import enum
 
 import jax.numpy as jnp

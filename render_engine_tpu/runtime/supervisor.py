@@ -19,7 +19,6 @@ from __future__ import annotations
 import time
 import traceback
 
-import jax
 import numpy as np
 
 
