@@ -229,10 +229,10 @@ class ModelBankBuilder:
                         os.path.join(base, m["map_kd"]))
                 if m.get("map_ks"):
                     spec_tex = atlas_builder.add_image_file(
-                        os.path.join(base, m["map_ks"]))
+                        os.path.join(base, m["map_ks"]), kind="specular")
                 if m.get("map_ke"):
                     emis_tex = atlas_builder.add_image_file(
-                        os.path.join(base, m["map_ke"]))
+                        os.path.join(base, m["map_ke"]), kind="shininess")
             ids.append(self.add_material(
                 albedo=m["kd"], specular=m.get("ks", 1.0),
                 emissive=m.get("ke", 0.0), texture=tex,

@@ -71,23 +71,36 @@ class TextureAtlasBuilder:
     def __init__(self, layer_size: int = 256):
         self.size = layer_size
         self._imgs: list[np.ndarray] = []
-        self._error_layer: int | None = None
+        self._error_layers: dict = {}
 
-    def error_texture(self) -> int:
-        """The loud magenta/black checkerboard layer for missing or
-        unloadable texture files — the reference's named error textures
-        (render_system/helper_constructs.rs:2-12). One shared layer,
-        created on first use."""
-        if self._error_layer is None:
-            self._error_layer = self.add_checkerboard(
-                a=(1.0, 0.0, 1.0), b=(0.0, 0.0, 0.0), cells=8)
-        return self._error_layer
+    # the reference's six NAMED error colors, one per texture role
+    # (helper_constructs.rs:2-12); each becomes a color/black checkerboard
+    # layer shared across every material that fails that role
+    ERROR_COLORS = {
+        "diffuse": (0.0, 0.0, 1.0),
+        "dissolve": (0.0, 1.0, 0.0),
+        "normal": (0.0, 1.0, 1.0),
+        "shininess": (1.0, 0.0, 0.0),
+        "specular": (1.0, 0.0, 1.0),
+        "storage": (1.0, 1.0, 0.0),
+    }
 
-    def add_image_file(self, path: str) -> int:
+    def error_texture(self, kind: str = "diffuse") -> int:
+        """The loud checkerboard layer for missing or unloadable texture
+        files of the given role — the reference's named error textures
+        (render_system/helper_constructs.rs:2-12). One shared layer per
+        role, created on first use."""
+        color = self.ERROR_COLORS.get(kind, (1.0, 0.0, 1.0))
+        if kind not in self._error_layers:
+            self._error_layers[kind] = self.add_checkerboard(
+                a=color, b=(0.0, 0.0, 0.0), cells=8)
+        return self._error_layers[kind]
+
+    def add_image_file(self, path: str, kind: str = "diffuse") -> int:
         """Load ``path`` into a layer; a missing or unreadable file returns
-        the error texture (loudly, via warnings) instead of crashing the
-        build — the reference falls back to its error textures the same way
-        (helper_constructs.rs:2-12)."""
+        the role's error texture (loudly, via warnings) instead of crashing
+        the build — the reference falls back to its error textures the same
+        way (helper_constructs.rs:2-12)."""
         try:
             return self.add_image(load_image(path))
         except (OSError, ValueError) as exc:
@@ -95,8 +108,8 @@ class TextureAtlasBuilder:
 
             warnings.warn(
                 f"texture {path!r} failed to load ({exc}); using the "
-                "error texture", stacklevel=2)
-            return self.error_texture()
+                f"{kind!r} error texture", stacklevel=2)
+            return self.error_texture(kind)
 
     def add_image(self, img: np.ndarray) -> int:
         """Register an (h, w, 3) float or uint8 image; returns the texture

@@ -509,9 +509,10 @@ class TestFusedTexturingAndSpecular:
         assert abs(float(bank.mat_emissive[mat]) - 2.0) < 1e-6
 
     def test_missing_texture_uses_error_material(self, tmp_path):
-        """A missing map_Kd file falls back LOUDLY to the magenta error
-        texture instead of crashing (the reference's named error textures,
-        helper_constructs.rs:2-12)."""
+        """A missing map_Kd file falls back LOUDLY to the diffuse-role
+        error texture instead of crashing (the reference's SIX named error
+        colors, one per texture role, helper_constructs.rs:2-12: diffuse
+        is blue)."""
         import warnings
 
         from render_engine_tpu.render.textures import sample_atlas
@@ -529,12 +530,15 @@ class TestFusedTexturingAndSpecular:
         atlas = ab.finalize()
         mat = int(np.asarray(bank.tri_material)[0])
         tid = int(bank.mat_texture[mat])
-        assert tid == ab.error_texture()
-        # the error layer renders loud magenta (checker of magenta/black)
+        assert tid == ab.error_texture("diffuse")
+        # each role has its own loud checkerboard color (reference table)
         got = np.asarray(sample_atlas(
             atlas, jnp.full(1, tid, jnp.int32),
             jnp.array([[1.0 / 32.0, 1.0 - 1.0 / 32.0]])))
-        np.testing.assert_allclose(got[0], [1.0, 0.0, 1.0], atol=1e-3)
+        np.testing.assert_allclose(
+            got[0], TextureAtlasBuilder.ERROR_COLORS["diffuse"], atol=1e-3)
+        assert (ab.error_texture("specular")
+                != ab.error_texture("diffuse"))
 
     def test_emissive_map_modulates_glow_all_paths(self):
         """The emissive map's red channel scales the per-pixel emissive
