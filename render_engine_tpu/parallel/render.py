@@ -46,6 +46,7 @@ def render_frame_sharded(
     atlas=None,
     shadow_state=None,
     systems=None,
+    inputs=None,
     axis_name: str = "world",
     interpret: bool | None = None,
 ):
@@ -64,8 +65,26 @@ def render_frame_sharded(
     band = -(-h // (n * th)) * th  # rows per rank, multiple of tile_h
     hp = band * n
 
+    # per-frame user draw callbacks run in the outer (auto-sharded) jit,
+    # exactly like the single-chip path; custom fragment shading needs the
+    # XLA shading paths and cannot ride the fused sharded kernels
+    draw_ctx = None
+    if systems is not None:
+        if systems.has_shade_callbacks():
+            raise ValueError(
+                "custom fragment shading (with_fragment_shading) is not "
+                "supported on the sharded fused path")
+        if systems.has_draw_callbacks():
+            from render_engine_tpu.render.render_system import (
+                run_draw_callbacks,
+            )
+
+            draw_ctx = run_draw_callbacks(systems, world, camera, inputs,
+                                          bank)
+
     batch = build_triangle_batch(
-        world, bank, camera, max_tris=settings.max_tris, systems=systems
+        world, bank, camera, max_tris=settings.max_tris, systems=systems,
+        instance_mask=None if draw_ctx is None else draw_ctx.allowed,
     )
     batch = to_screen(batch, w, h)
 
@@ -73,7 +92,9 @@ def render_frame_sharded(
     if systems is not None:
         from render_engine_tpu.render.render_system import entity_shade_attrs
 
-        ent_attrs = entity_shade_attrs(world, systems)
+        ent_attrs = entity_shade_attrs(
+            world, systems,
+            sys_table=None if draw_ctx is None else draw_ctx.sys_table)
 
     lights = L.extract_lights(
         world,
@@ -86,6 +107,10 @@ def render_frame_sharded(
     # background_for handles every skybox kind incl. CubemapRows
     background = SB.background_for(camera, cubemap, hp, w,
                                    settings.clear_color)
+    if draw_ctx is not None and draw_ctx.skybox_on is not None:
+        background = jnp.where(
+            jnp.asarray(draw_ctx.skybox_on, bool), background,
+            jnp.asarray(settings.clear_color, jnp.float32))
 
     # optional args can be None — build the arg/spec lists dynamically so
     # the pytree structures line up

@@ -153,6 +153,49 @@ class TestShardedRender:
         diff = np.abs(img - single).max(axis=-1)
         assert diff.max() < 0.03, f"max diff {diff.max():.4f}"
 
+    def test_sharded_draw_callbacks_match_single_chip(self, engine_factory):
+        """DrawParam callbacks run in the outer sharded jit: gating +
+        per-frame uniforms produce the same image as single chip, and the
+        gated-out models vanish on both."""
+        import dataclasses
+
+        from render_engine_tpu.parallel.render import render_frame_sharded
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import (
+            RenderSystemBuilder,
+            compile_systems,
+        )
+
+        eng = engine_factory(**PAR_KW)
+        star = eng.bank.model_index("star")
+
+        def draw(dp):
+            dp.draw_models(star)  # only the star draws this frame
+            dp.write_uniform("albedo_tint", jnp.asarray([1.0, 0.5, 0.5]))
+
+        systems = compile_systems(
+            (RenderSystemBuilder("cb")
+             .with_models(*range(eng.bank.num_models))
+             .with_draw_function(draw).build(),), eng.bank)
+        s = dataclasses.replace(eng.config.render, backend="pallas",
+                                fused_shading=True)
+        single = np.asarray(render_frame(
+            eng.world, eng.camera, eng.bank, s, cubemap=eng.cubemap,
+            systems=systems))
+
+        mesh = make_mesh(8)
+        world = shard_world(eng.world, mesh)
+        cam = jax.device_put(eng.camera, NamedSharding(mesh, P()))
+        bank, cubemap = eng.bank, eng.cubemap
+
+        fn = jax.jit(lambda w, c: render_frame_sharded(
+            w, c, bank, s, mesh, cubemap=cubemap, systems=systems,
+            interpret=True))
+        with mesh:
+            img = np.asarray(fn(world, cam))
+        diff = np.abs(img - single).max(axis=-1)
+        assert diff.max() < 0.03, f"max diff {diff.max():.4f}"
+
     def test_sharded_render_with_atlas_matches(self, engine_factory):
         """The sharded render threads the texture atlas: per-rank UV
         interpolation + atlas row gathers reproduce the single-chip
