@@ -232,10 +232,19 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
 
         layer, uvs = tex_cols(bank.mat_texture[mat_safe])
         slayer, suvs = tex_cols(bank.mat_texture_spec[mat_safe])
-        elayer, euvs = tex_cols(bank.mat_texture_emis[mat_safe])
+        # the third (emissive) pair's 5 columns exist only when some
+        # material carries one — scenes without emissive maps keep the
+        # 48-wide rows (17% narrower resolve dots in the fused kernel)
+        with_emis = bank.has_emissive_maps()
+        if with_emis:
+            elayer, euvs = tex_cols(bank.mat_texture_emis[mat_safe])
     else:
-        uvs = suvs = euvs = jnp.ones((t, 4), jnp.float32)
-        layer = slayer = elayer = jnp.full(t, -1.0, jnp.float32)
+        uvs = suvs = jnp.ones((t, 4), jnp.float32)
+        layer = slayer = jnp.full(t, -1.0, jnp.float32)
+        with_emis = False
+    if not with_emis:
+        euvs = jnp.zeros((t, 4), jnp.float32)
+        elayer = jnp.full(t, -1.0, jnp.float32)
     if ent_attrs is not None:
         sa = ent_attrs[jnp.clip(batch.entity, 0, ent_attrs.shape[0] - 1)]
         unlit, boost, ascale = sa[:, 0] > 0.5, sa[:, 1], sa[:, 5]
@@ -263,12 +272,12 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
             uvs,  # 36:40 packed rect [u_scale, v_scale, u_off, v_off] px
             slayer[:, None],  # 40 specular-map layer
             suvs,  # 41:45 its packed rect
-            elayer[:, None],  # 45 emissive-map layer
-            euvs,  # 46:50 its packed rect
+            elayer[:, None],  # 45 emissive-map layer (only present in
+            euvs,  # 46:50 its packed rect        # emissive-map scenes)
             jnp.zeros((t, N_ATTR - 50), jnp.float32),
         ],
         axis=1,
-    )
+    )[:, : (N_ATTR if with_emis else N_ATTR_BASE)]
 
 
 def _gather_candidate_rows(packed, cand):
@@ -406,8 +415,10 @@ def rasterize_two_pass_pallas(
 #          (model_definitions.rs:71-148)
 #   41:45  the specular map's packed atlas rect
 #   45     emissive-map layer (f32, -1 = none) — third texture pair
-#   46:50  its packed atlas rect
-N_ATTR = 56  # padded to a multiple of 8 sublanes
+#   46:50  its packed atlas rect (columns 45:50 exist only in scenes with
+#          emissive maps; others keep the 48-wide base rows)
+N_ATTR_BASE = 48  # padded to a multiple of 8 sublanes
+N_ATTR = 56  # with the emissive pair
 
 
 def _resolve_kernel(n_attr, tile_h, tile_w,
