@@ -102,23 +102,27 @@ class CollisionResult:
         neighbor in slot order. Large-entity query rows merge in by scatter
         (disjoint from the compact rows by construction)."""
         cap = world.capacity
-        others = jnp.full((cap, k), -1, jnp.int32)
-        masks = jnp.zeros((cap, k), bool)
+        others = jnp.full((cap * k,), -1, jnp.int32)
+        masks = jnp.zeros((cap * k,), bool)
         dropped = jnp.int32(0)
         for query, valid, cand, _ctype, ok in self._tables(world):
+            # each colliding pair knows its slot from its rank among the
+            # row's hits — ONE flat scatter per table instead of a k-loop
+            # of argmax+gather+scatter passes (slot order == rank order,
+            # identical to the per-slot formulation)
             rank = jnp.cumsum(ok.astype(jnp.int32), axis=-1)  # 1-based
-            dest = jnp.where(valid, query, cap)
-            for j in range(k):
-                sel = ok & (rank == j + 1)
-                has_q = jnp.any(sel, axis=-1)
-                first = jnp.argmax(sel, axis=-1)
-                other_q = jnp.take_along_axis(cand, first[:, None],
-                                              axis=-1)[:, 0]
-                others = others.at[dest, j].set(
-                    jnp.where(has_q, other_q, -1), mode="drop")
-                masks = masks.at[dest, j].set(has_q, mode="drop")
-            dropped = dropped + jnp.sum(jnp.maximum(rank[:, -1] - k, 0))
-        return others, masks, dropped.astype(jnp.int32)
+            slot = rank - 1
+            dest_row = jnp.where(valid, query, cap)[:, None]
+            flat = dest_row * k + slot
+            flat = jnp.where(ok & (slot < k), flat, cap * k)  # -> dropped
+            flat = flat.reshape(-1)
+            others = others.at[flat].set(
+                cand.reshape(-1).astype(jnp.int32), mode="drop")
+            masks = masks.at[flat].set(True, mode="drop")
+            dropped = dropped + jnp.sum(
+                jnp.maximum(rank[:, -1] - k, 0) * valid.astype(jnp.int32))
+        return (others.reshape(cap, k), masks.reshape(cap, k),
+                dropped.astype(jnp.int32))
 
     def first_hit_of_type(self, world: World, type_index: int
                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
