@@ -15,7 +15,13 @@ child process and retries the whole child on failure. Only the child prints
 to stdout; all supervisor chatter goes to stderr.
 
 Env knobs: BENCH_WIDTH/HEIGHT/ASTEROIDS/FRAMES/MAX_TRIS,
-BENCH_ATTEMPTS/BENCH_TIMEOUT/BENCH_PROBE_BUDGET.
+BENCH_ATTEMPTS/BENCH_TIMEOUT/BENCH_PROBE_BUDGET/BENCH_DEADLINE.
+
+BENCH_DEADLINE (seconds, default 7200) is the TOTAL wall budget: tunnel
+outages here last hours (round 3 logged 8+ h), so a dead probe does not
+end the run — the supervisor re-probes every ~15 min until the tunnel
+heals or the deadline expires. A healthy tunnel is unaffected (first
+probe passes, the bench runs once).
 """
 
 import json
@@ -77,20 +83,43 @@ def supervise() -> int:
     attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
     child_timeout = float(os.environ.get("BENCH_TIMEOUT", 2400))
     probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET", 900))
+    deadline_budget = float(os.environ.get("BENCH_DEADLINE", 7200))
+    deadline = time.monotonic() + deadline_budget
 
     env = dict(os.environ)
     env["_BENCH_CHILD"] = "1"
-    for attempt in range(1, attempts + 1):
-        if not _wait_for_backend(probe_budget):
-            _log(f"attempt {attempt}: backend never became healthy within "
-                 f"{probe_budget:.0f}s; trying the bench anyway")
+    attempt = 0
+    ran_child = False
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        # Gate each child run on a live probe. Outages span hours (round 3
+        # logged 8+ h), so an exhausted probe budget is not fatal: nap
+        # ~15 min (a killed probe locks the tunnel claim for about that
+        # long anyway) and re-probe until the deadline runs out. A healthy
+        # tunnel passes the first probe and runs the child immediately.
+        if not _wait_for_backend(min(probe_budget, remaining)):
+            remaining = deadline - time.monotonic()
+            if remaining > 1200 or ran_child:
+                nap = min(900.0, max(remaining - 300.0, 60.0))
+                _log(f"tunnel still down; napping {nap:.0f}s "
+                     f"({remaining:.0f}s of deadline left)")
+                time.sleep(nap)
+                continue
+            _log("deadline nearly spent and the bench never ran: "
+                 "trying it blind")
+        attempt += 1
+        ran_child = True
+        remaining = deadline - time.monotonic()
+        run_timeout = max(min(child_timeout, remaining), 300.0)
         _log(f"attempt {attempt}/{attempts}: running bench child "
-             f"(timeout {child_timeout:.0f}s; first TPU compile through the "
+             f"(timeout {run_timeout:.0f}s; first TPU compile through the "
              "tunnel takes several minutes)")
         try:
             proc = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
-                env=env, timeout=child_timeout,
+                env=env, timeout=run_timeout,
             )
         except subprocess.TimeoutExpired:
             _log(f"attempt {attempt}: bench child timed out")
@@ -98,11 +127,13 @@ def supervise() -> int:
         if proc.returncode == 0:
             return 0
         _log(f"attempt {attempt}: bench child failed rc={proc.returncode}")
-        if attempt < attempts:
-            backoff = 60.0 * attempt
-            _log(f"sleeping {backoff:.0f}s before retry")
-            time.sleep(backoff)
-    _log("all attempts exhausted")
+        if attempt >= attempts:
+            _log(f"attempt cap ({attempts}) reached")
+            break
+        backoff = 60.0 * attempt
+        _log(f"sleeping {backoff:.0f}s before retry")
+        time.sleep(backoff)
+    _log("deadline/attempts exhausted")
     return 1
 
 

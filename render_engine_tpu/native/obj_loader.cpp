@@ -44,18 +44,18 @@ inline const char* token_end(const char* p, const char* end) {
   return p;
 }
 
-}  // namespace
-
-extern "C" {
-
-ObjData* obj_parse(const char* path) {
+ObjData* obj_parse_impl(const char* path) {
   FILE* fh = fopen(path, "rb");
   if (!fh) return nullptr;
   fseek(fh, 0, SEEK_END);
   long size = ftell(fh);
+  if (size < 0) {  // directory / unseekable stream: degrade to Python parser
+    fclose(fh);
+    return nullptr;
+  }
   fseek(fh, 0, SEEK_SET);
   std::string buf;
-  buf.resize(size);
+  buf.resize(static_cast<size_t>(size));
   if (size && fread(&buf[0], 1, size, fh) != static_cast<size_t>(size)) {
     fclose(fh);
     return nullptr;
@@ -212,6 +212,21 @@ ObjData* obj_parse(const char* path) {
     return nullptr;
   }
   return d;
+}
+
+}  // namespace
+
+extern "C" {
+
+ObjData* obj_parse(const char* path) {
+  // Never let a C++ exception cross the ctypes boundary: any failure
+  // (bad_alloc, length_error, ...) must degrade to the documented Python
+  // parser fallback instead of terminating the process.
+  try {
+    return obj_parse_impl(path);
+  } catch (...) {
+    return nullptr;
+  }
 }
 
 void obj_counts(ObjData* d, int64_t* nv, int64_t* nf, int32_t* n_names,

@@ -413,7 +413,12 @@ def run_draw_callbacks(systems: CompiledSystems, world: World, camera,
                 elif name == "alpha_scale":
                     alpha_scale = jnp.asarray(value, jnp.float32)
                 elif name == "emissive_boost":
-                    boost = row[1] * jnp.asarray(value, jnp.float32)
+                    # REPLACE the build-time uniform (GL uniform-write
+                    # semantics, matching render_frame_systems) — row[1]
+                    # already folds any build-time emissive_boost uniform,
+                    # so multiplying it would double-apply.
+                    boost = jnp.float32(sys_.emissive_boost) * jnp.asarray(
+                        value, jnp.float32)
             new_row = jnp.concatenate([
                 jnp.stack([unlit, boost]), tint,
                 alpha_scale.reshape(1)])

@@ -6,9 +6,10 @@ per-op overhead dominates at 1080p. This kernel fuses all of it per tile:
 channels stay in VMEM, the light loop runs over a packed SMEM table, and a
 single launch emits [lit rgb | t_lit rgb | alpha | flags].
 
-Opt-in via RenderSettings(fused_shading=True); only taken when shadows and
-textures are off (their gathers/callbacks stay on the XLA path). The math
-mirrors lighting.shade exactly (tested against it).
+Opt-in via RenderSettings(fused_shading=True). Shadows (per-slot PCF
+factor tiles), texture-atlas overrides, and per-tile light lists ARE
+threaded through this kernel (frame.py resolves them into per-tile
+inputs). The math mirrors lighting.shade exactly (tested against it).
 
 Packed light-table row layout (f32, N_LCOL columns):
   0      kind (0 dir, 1 point, 2 spot)

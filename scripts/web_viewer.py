@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address; the viewer has no auth, so only "
+                         "bind 0.0.0.0 on a trusted network (prefer "
+                         "port-forwarding to the default loopback)")
     ap.add_argument("--asteroids", type=int, default=200)
     ap.add_argument("--max-fps", type=float, default=None)
     args = ap.parse_args()
@@ -42,7 +46,7 @@ def main():
     )
     eng.config.record_history = False
 
-    viewer = WebViewer(host="0.0.0.0", port=args.port)
+    viewer = WebViewer(host=args.host, port=args.port)
     print(f"serving on {viewer.url}", flush=True)
     limiter = FpsLimiter(args.max_fps or eng.config.max_fps)
     frame = 0

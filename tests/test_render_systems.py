@@ -321,6 +321,42 @@ class TestCompiledSystems:
         b = np.asarray(render_frame(w, cam, bank, SETTINGS, systems=static))
         np.testing.assert_allclose(a, b, atol=1e-6)
 
+    def test_per_frame_emissive_boost_replaces_buildtime_uniform(self):
+        """write_uniform('emissive_boost', v) REPLACES a build-time
+        emissive_boost uniform (GL uniform-write semantics): a system
+        compiled with uniform 4.0 then written 0.5 per frame renders
+        exactly like one compiled with 0.5 — on render_frame (fused
+        draw-callback path) AND render_frame_systems (golden path)."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+
+        def mk(build_uniform, write):
+            def draw(dp):
+                dp.draw_models(cube, star)
+                if write is not None:
+                    dp.write_uniform("emissive_boost", jnp.float32(write))
+            b = (RenderSystemBuilder("glow").with_models(cube, star)
+                 .with_lighting(False).with_emissive_boost(2.0)
+                 .with_draw_function(draw))
+            if build_uniform is not None:
+                b = b.write_uniform("emissive_boost", build_uniform)
+            return compile_systems((b.build(),), bank)
+
+        overwritten = mk(4.0, 0.5)   # build-time 4.0, per-frame 0.5
+        direct = mk(0.5, None)       # compiled straight at 0.5
+        a = np.asarray(render_frame(w, cam, bank, SETTINGS,
+                                    systems=overwritten))
+        b = np.asarray(render_frame(w, cam, bank, SETTINGS, systems=direct))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        ga = np.asarray(render_frame_systems(
+            w, cam, bank, overwritten.src, SETTINGS))
+        gb = np.asarray(render_frame_systems(
+            w, cam, bank, direct.src, SETTINGS))
+        np.testing.assert_allclose(ga, gb, atol=1e-6)
+        np.testing.assert_allclose(a, ga, atol=1e-5)
+
     def test_draw_skybox_toggle(self):
         """DrawParam.draw_skybox(False) blanks the skybox to the clear
         color for that frame (toggle_rendering_skybox, rendering.rs:57-64),
