@@ -66,27 +66,31 @@ def render_frame_sharded(
     hp = band * n
 
     # per-frame user draw callbacks run in the outer (auto-sharded) jit,
-    # exactly like the single-chip path; custom fragment shading needs the
-    # XLA shading paths and cannot ride the fused sharded kernels
+    # exactly like the single-chip path; custom fragment shading rides the
+    # fused kernels as a per-rank post-hook (frame._fused_custom_shading)
     draw_ctx = None
-    if systems is not None:
-        if systems.has_shade_callbacks():
-            raise ValueError(
-                "custom fragment shading (with_fragment_shading) is not "
-                "supported on the sharded fused path")
-        if systems.has_draw_callbacks():
-            from render_engine_tpu.render.render_system import (
-                run_draw_callbacks,
-            )
+    if systems is not None and systems.has_draw_callbacks():
+        from render_engine_tpu.render.render_system import (
+            run_draw_callbacks,
+        )
 
-            draw_ctx = run_draw_callbacks(systems, world, camera, inputs,
-                                          bank)
+        draw_ctx = run_draw_callbacks(systems, world, camera, inputs, bank)
 
     batch = build_triangle_batch(
         world, bank, camera, max_tris=settings.max_tris, systems=systems,
         instance_mask=None if draw_ctx is None else draw_ctx.allowed,
     )
     batch = to_screen(batch, w, h)
+
+    # per-triangle system ids for the custom-shading post-hook: computed in
+    # the outer jit (needs the entity-sharded world), replicated into ranks
+    tri_sys = None
+    if systems is not None and systems.has_shade_callbacks():
+        from render_engine_tpu.render.render_system import (
+            triangle_system_ids,
+        )
+
+        tri_sys = triangle_system_ids(batch, world, systems)
 
     ent_attrs = None
     if systems is not None:
@@ -146,6 +150,7 @@ def render_frame_sharded(
             width=w, h_total=h, h_local=band, y_off=y_off,
             background=background_rows[0], shadow_state=ss,
             ent_attrs=ea, atlas=at, interpret=interpret,
+            systems=systems, draw_ctx=draw_ctx, tri_sys=tri_sys,
         )
         return img[None]  # leading rank axis for the sharded output
 

@@ -526,10 +526,74 @@ def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
     return jnp.stack(facs), jnp.stack(invs)
 
 
+def _fused_custom_shading(shaded, s, d, wn, rows, cfg, tri_sys, camera,
+                          lights, systems, uniform_writes, bank, atlas,
+                          tiles_x, th, twd, width, h_total, y_off,
+                          interpret):
+    """Custom fragment shading on the fused path — a post-kernel hook.
+
+    The fused kernel resolves winner attributes in-kernel and never
+    materializes the G-buffer, but user shade fns consume the G-buffer
+    contract (ShadeParam). So pay the explicit attribute resolve ONLY when
+    a system declares with_fragment_shading (trace-time gate) and rewrite
+    the lit color (kernel output channels 0:3) for the pixels those
+    systems own. ``base_color`` handed to the user fn is the kernel's own
+    result, so shadows, tile-light culling, and texture overrides all fold
+    in. This keeps user shader bodies on THE production path, as the
+    reference does (src/render_system/initialize_logic.rs:137-185 splices
+    user bodies into the one real pipeline)."""
+    import dataclasses as _dc
+
+    from render_engine_tpu.render import raster_pallas as RP
+    from render_engine_tpu.render.render_system import shade_systems_color
+
+    nt = s.shape[0]
+    res = RP.resolve_attributes_pallas(s, rows, cfg, interpret=interpret)
+    ch = res.reshape(res.shape[0], nt * th, twd)
+    d_t = d.reshape(nt * th, twd)
+    wn_t = wn.reshape(nt * th, twd)
+    # pixel centers: the barycentrics need band-LOCAL y (the rank rasters
+    # with y-shifted triangles), the NDC unproject needs the GLOBAL row —
+    # h_total/width drive the unproject NDC mapping
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    oy = ((tids // tiles_x) * th).astype(jnp.float32)
+    ox = ((tids % tiles_x) * twd).astype(jnp.float32)
+    py = (oy[:, None, None]
+          + jnp.arange(th, dtype=jnp.float32)[None, :, None] + 0.5)
+    px = (ox[:, None, None]
+          + jnp.arange(twd, dtype=jnp.float32)[None, None, :] + 0.5)
+    py = jnp.broadcast_to(py, (nt, th, twd)).reshape(nt * th, twd)
+    px = jnp.broadcast_to(px, (nt, th, twd)).reshape(nt * th, twd)
+    inv_pv = jnp.linalg.inv(camera.proj_view())
+    gbuf, extras = RP._gbuffer_from_channels(
+        ch, d_t, wn_t, h_total, width, inv_pv, px=px, py=py,
+        ndc_py=py + jnp.float32(y_off))
+    if atlas is not None:
+        # ShadeParam.albedo matches what the lighting consumed (the XLA
+        # path textures the G-buffer before shading)
+        from render_engine_tpu.render.textures import sample_atlas
+
+        mat_safe = jnp.clip(gbuf.material, 0,
+                            bank.mat_textures.shape[0] - 1)
+        layer = bank.mat_texture[mat_safe]
+        tex = sample_atlas(atlas, layer, extras["uv"])
+        gbuf = _dc.replace(
+            gbuf,
+            albedo=jnp.where((layer >= 0)[..., None], tex, gbuf.albedo))
+    covered = wn_t >= 0
+    px_sys = tri_sys[jnp.clip(wn_t, 0, tri_sys.shape[0] - 1)]
+    color = jnp.transpose(shaded[0:3], (1, 2, 3, 0)).reshape(
+        nt * th, twd, 3)
+    color = shade_systems_color(color, gbuf, px_sys, covered, camera,
+                                lights, systems, uniform_writes)
+    color = jnp.transpose(color.reshape(nt, th, twd, 3), (3, 0, 1, 2))
+    return shaded.at[0:3].set(color)
+
+
 def tiled_fused_core(
     batch, lights, bank, settings: RenderSettings, camera, *,
     width, h_total, h_local, y_off, background, shadow_state, ent_attrs,
-    atlas=None, interpret=None,
+    atlas=None, interpret=None, systems=None, draw_ctx=None, tri_sys=None,
 ) -> jnp.ndarray:
     """Raster + resolve + fused shading over tiles covering global image
     rows [y_off, y_off + h_local). ``batch.xy`` must be in LOCAL pixel
@@ -639,6 +703,14 @@ def tiled_fused_core(
         albedo_override=albedo_override, tile_lights=tile_lights,
     )  # (8, NT, th, tw)
 
+    if (systems is not None and systems.has_shade_callbacks()
+            and tri_sys is not None):
+        shaded = _fused_custom_shading(
+            shaded, s, d, wn, rows, cfg, tri_sys, camera, lights, systems,
+            None if draw_ctx is None else draw_ctx.uniform_writes,
+            bank, atlas, tiles_x, th, twd, width, h_total, y_off,
+            interpret)
+
     def untile8(x):  # (C, NT, th, tw) -> (h_local, w, C)
         c = x.shape[0]
         x = x.reshape(c, tiles_y, tiles_x, th, twd)
@@ -676,12 +748,6 @@ def _render_frame_pallas_tiled(
     nt = tiles_x * tiles_y
     skybox_on = None if draw_ctx is None else draw_ctx.skybox_on
 
-    if (settings.fused_shading and systems is not None
-            and systems.has_shade_callbacks()):
-        raise ValueError(
-            "custom fragment shading (with_fragment_shading) needs the XLA "
-            "shading paths: set RenderSettings.fused_shading=False")
-
     # --- fused interp+lighting kernel path ------------------------------
     if settings.fused_shading and shadow_factor is None:
         lights = L.extract_lights(
@@ -693,11 +759,19 @@ def _render_frame_pallas_tiled(
         background = SB.background_for(camera, cubemap, h, w,
                                        settings.clear_color)
         background = _gate_skybox(background, skybox_on, settings)
+        tri_sys = None
+        if systems is not None and systems.has_shade_callbacks():
+            from render_engine_tpu.render.render_system import (
+                triangle_system_ids,
+            )
+
+            tri_sys = triangle_system_ids(batch, world, systems)
         return tiled_fused_core(
             batch, lights, bank, settings, camera,
             width=w, h_total=h, h_local=h, y_off=0.0,
             background=background, shadow_state=shadow_state,
-            ent_attrs=ent_attrs, atlas=atlas,
+            ent_attrs=ent_attrs, atlas=atlas, systems=systems,
+            draw_ctx=draw_ctx, tri_sys=tri_sys,
         )
 
     tri_class = jnp.where(

@@ -453,14 +453,17 @@ def _resolve_kernel(n_attr, tile_h, tile_w,
 
 
 def _gbuffer_from_channels(ch, depth, winner, height, width, inv_proj_view,
-                           px=None, py=None):
+                           px=None, py=None, ndc_py=None):
     """Per-pixel interpolation from winner-vertex channel images — pure
     elementwise math, zero gathers. ``ch``: (A, H, W). World position
     reconstructs from depth via ``inv_proj_view`` (4, 4).
 
     ``px``/``py`` override the pixel-center coordinate arrays (the tiled
     fast path passes tile-derived coordinates; then ``height``/``width``
-    refer to the ORIGINAL image for the unproject NDC mapping)."""
+    refer to the ORIGINAL image for the unproject NDC mapping).
+    ``ndc_py`` overrides the y used for the NDC unproject only: a sharded
+    row band rasters with band-LOCAL triangle y (so ``py`` must be local
+    for the barycentrics) while the unproject needs the GLOBAL row."""
     from render_engine_tpu.render.gbuffer import GBuffer, MATERIAL_BACKGROUND
 
     covered = winner >= 0
@@ -493,7 +496,8 @@ def _gbuffer_from_channels(ch, depth, winner, height, width, inv_proj_view,
 
     # world position: unproject (pixel, depth) — deferred-shading standard
     ndc_x = px / jnp.float32(width) * 2.0 - 1.0
-    ndc_y = 1.0 - py / jnp.float32(height) * 2.0
+    ndc_y = 1.0 - (py if ndc_py is None else ndc_py) \
+        / jnp.float32(height) * 2.0
     ndc = jnp.stack(
         [
             jnp.broadcast_to(ndc_x, depth.shape),

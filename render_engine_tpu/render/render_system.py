@@ -452,28 +452,30 @@ class ShadeParam:
     uniforms: dict  # this system's uniform values (static + per-frame)
 
 
-def apply_custom_shading(color, gbuf, winner, batch, world: World, camera,
-                         lights, systems: CompiledSystems,
-                         draw_ctx) -> jnp.ndarray:
-    """Run each shade-fn system's fragment shading over its own pixels.
-
-    Pixel ownership: winner triangle -> entity -> model -> system (the same
-    routing the raster used). Pixels of systems without a shade fn keep the
-    default deferred result."""
-    if systems is None or not systems.has_shade_callbacks():
-        return color
-    tri = jnp.clip(winner, 0, batch.budget - 1)
-    ent = batch.entity[tri]
-    mid = world["model_id"][jnp.clip(ent, 0, world.capacity - 1)]
-    px_sys = systems.model_system[
+def triangle_system_ids(batch, world: World,
+                        systems: CompiledSystems) -> jnp.ndarray:
+    """Per-triangle render-system index: triangle -> entity -> model ->
+    system (the routing the raster used). (max_tris,) int32."""
+    ent = jnp.clip(batch.entity, 0, world.capacity - 1)
+    mid = world["model_id"][ent]
+    return systems.model_system[
         jnp.clip(mid, 0, systems.model_system.shape[0] - 1)]
-    covered = winner >= 0
+
+
+def shade_systems_color(color, gbuf, px_sys, covered, camera, lights,
+                        systems: CompiledSystems,
+                        uniform_writes=None) -> jnp.ndarray:
+    """Run each shade-fn system's fragment shading over its own pixels
+    (``px_sys``: per-pixel system index). Pixels of systems without a
+    shade fn keep the default deferred result. Shared by the XLA paths
+    (apply_custom_shading) and the fused-kernel post-hook
+    (frame._fused_custom_shading)."""
     for s, sys_ in enumerate(systems.src):
         if sys_.shade is None:
             continue
         uniforms = {name: value for name, value in sys_.uniforms}
-        if draw_ctx is not None and draw_ctx.uniform_writes:
-            uniforms.update(draw_ctx.uniform_writes[s])
+        if uniform_writes:
+            uniforms.update(uniform_writes[s])
         sp = ShadeParam(
             position=gbuf.position, normal=gbuf.normal, albedo=gbuf.albedo,
             depth=gbuf.depth, material=gbuf.material, covered=covered,
@@ -487,6 +489,24 @@ def apply_custom_shading(color, gbuf, winner, batch, world: World, camera,
                 f"shape {out.shape}, expected {color.shape}")
         color = jnp.where(((px_sys == s) & covered)[..., None], out, color)
     return color
+
+
+def apply_custom_shading(color, gbuf, winner, batch, world: World, camera,
+                         lights, systems: CompiledSystems,
+                         draw_ctx) -> jnp.ndarray:
+    """Run each shade-fn system's fragment shading over its own pixels.
+
+    Pixel ownership: winner triangle -> entity -> model -> system (the same
+    routing the raster used). Pixels of systems without a shade fn keep the
+    default deferred result."""
+    if systems is None or not systems.has_shade_callbacks():
+        return color
+    tri_sys = triangle_system_ids(batch, world, systems)
+    px_sys = tri_sys[jnp.clip(winner, 0, batch.budget - 1)]
+    covered = winner >= 0
+    return shade_systems_color(
+        color, gbuf, px_sys, covered, camera, lights, systems,
+        None if draw_ctx is None else draw_ctx.uniform_writes)
 
 
 def _system_instance_mask(world: World, system: RenderSystem) -> jnp.ndarray:

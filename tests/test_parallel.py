@@ -196,6 +196,52 @@ class TestShardedRender:
         diff = np.abs(img - single).max(axis=-1)
         assert diff.max() < 0.03, f"max diff {diff.max():.4f}"
 
+    def test_sharded_custom_shading_matches_single_chip(self, engine_factory):
+        """with_fragment_shading runs on the sharded fused path (per-rank
+        post-kernel hook over GLOBAL pixel coordinates): the image matches
+        the single-chip fused render with the same shade fn."""
+        import dataclasses
+
+        from render_engine_tpu.parallel.render import render_frame_sharded
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import (
+            RenderSystemBuilder,
+            compile_systems,
+        )
+
+        eng = engine_factory(**PAR_KW)
+
+        def fancy(sp):
+            tone = jnp.asarray(sp.uniforms["tone"], jnp.float32)
+            n = 0.5 * (sp.normal + 1.0)
+            return jnp.clip(sp.base_color * tone + 0.2 * sp.albedo * n,
+                            0.0, 1.0)
+
+        systems = compile_systems(
+            (RenderSystemBuilder("cs")
+             .with_models(*range(eng.bank.num_models))
+             .write_uniform("tone", 0.8)
+             .with_fragment_shading(fancy).build(),), eng.bank)
+        s = dataclasses.replace(eng.config.render, backend="pallas",
+                                fused_shading=True)
+        single = np.asarray(render_frame(
+            eng.world, eng.camera, eng.bank, s, cubemap=eng.cubemap,
+            systems=systems))
+
+        mesh = make_mesh(8)
+        world = shard_world(eng.world, mesh)
+        cam = jax.device_put(eng.camera, NamedSharding(mesh, P()))
+        bank, cubemap = eng.bank, eng.cubemap
+
+        fn = jax.jit(lambda w, c: render_frame_sharded(
+            w, c, bank, s, mesh, cubemap=cubemap, systems=systems,
+            interpret=True))
+        with mesh:
+            img = np.asarray(fn(world, cam))
+        assert img.shape == single.shape
+        diff = np.abs(img - single).max(axis=-1)
+        assert diff.max() < 0.03, f"max diff {diff.max():.4f}"
+
     def test_sharded_render_with_atlas_matches(self, engine_factory):
         """The sharded render threads the texture atlas: per-rank UV
         interpolation + atlas row gathers reproduce the single-chip

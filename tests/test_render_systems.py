@@ -537,22 +537,75 @@ class TestCompiledSystems:
                                     systems=systems))
         np.testing.assert_allclose(a, b, atol=2e-3)
 
-    def test_custom_shading_fused_rejected(self):
-        from render_engine_tpu.render.frame import render_frame
-        from render_engine_tpu.render.render_system import compile_systems
-
-        w, bank, cam, cube, star = scene()
-        systems = compile_systems((
-            RenderSystemBuilder("x").with_models(cube)
-            .with_fragment_shading(lambda sp: sp.base_color).build(),), bank)
-        fused = RenderSettings(
+    def _fused_settings(self):
+        return RenderSettings(
             width=WIDTH, height=H, max_tris=64, backend="pallas",
             fused_shading=True,
             raster=RasterConfig(tile_budget=16, max_tiles_per_tri=8,
                                 global_budget=8, chunk=4),
         )
-        with pytest.raises(ValueError, match="fused_shading"):
-            render_frame(w, cam, bank, fused, systems=systems)
+
+    def test_custom_shading_fused_matches_jnp(self):
+        """Custom fragment shading runs ON the fused Pallas path (the
+        production kernel) as a post-kernel hook and matches the XLA
+        golden path — user shader bodies stay in THE pipeline like the
+        reference's codegen splice (initialize_logic.rs:137-185)."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+
+        def fancy(sp):
+            tone = jnp.asarray(sp.uniforms["tone"], jnp.float32)
+            n = 0.5 * (sp.normal + 1.0)
+            return jnp.clip(sp.base_color * tone + 0.2 * sp.albedo * n,
+                            0.0, 1.0)
+
+        systems = compile_systems((
+            RenderSystemBuilder("w").with_models(cube, star)
+            .write_uniform("tone", 0.8)
+            .with_fragment_shading(fancy).build(),), bank)
+        a = np.asarray(render_frame(w, cam, bank, SETTINGS,
+                                    systems=systems))
+        b = np.asarray(render_frame(w, cam, bank, self._fused_settings(),
+                                    systems=systems))
+        np.testing.assert_allclose(a, b, atol=2e-3)
+
+    def test_custom_shading_fused_own_pixels_only(self):
+        """On the fused path a shade fn rewrites only ITS system's pixels;
+        the other system's pixels are bit-identical to a plain fused
+        render."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        w, bank, cam, cube, star = scene()
+
+        def flat_green(sp):
+            return jnp.broadcast_to(
+                jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+                sp.base_color.shape)
+
+        shaded = compile_systems((
+            RenderSystemBuilder("n").with_models(cube)
+            .with_fragment_shading(flat_green).build(),
+            RenderSystemBuilder("s").with_models(star).build(),
+        ), bank)
+        plain = compile_systems((
+            RenderSystemBuilder("n").with_models(cube).build(),
+            RenderSystemBuilder("s").with_models(star).build(),
+        ), bank)
+        s = self._fused_settings()
+        img = np.asarray(render_frame(w, cam, bank, s, systems=shaded))
+        ref = np.asarray(render_frame(w, cam, bank, s, systems=plain))
+        # cube (left half) turned flat green where covered
+        cube_cov = ref[:, :WIDTH // 2].sum(axis=-1) > 0
+        assert cube_cov.any()
+        np.testing.assert_allclose(
+            img[:, :WIDTH // 2][cube_cov],
+            [[0.0, 1.0, 0.0]] * int(cube_cov.sum()), atol=1e-6)
+        # star half untouched
+        np.testing.assert_array_equal(img[:, WIDTH // 2:],
+                                      ref[:, WIDTH // 2:])
 
     def test_engine_demo_uses_systems(self, engine_factory):
         from render_engine_tpu.logic.types import InputState
