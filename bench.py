@@ -161,6 +161,9 @@ def main():
         width=width, height=height, capacity=capacity,
         num_asteroids=n_ast, max_tris=max_tris,
         shadow_tile_budget=float(os.environ.get("BENCH_SHADOW_TILES", 0.2)),
+        # BENCH_NORMAL_MAPS=0 drops the station's normal map (48-wide
+        # packed rows instead of 64) for an A/B on the first TPU session
+        normal_maps=os.environ.get("BENCH_NORMAL_MAPS", "1") != "0",
     )
     eng.config.record_history = False
 

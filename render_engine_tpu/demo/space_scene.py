@@ -175,7 +175,8 @@ def _write_station_asset(out_dir: str) -> str:
 
     os.makedirs(out_dir, exist_ok=True)
     obj_path = os.path.join(out_dir, "station.obj")
-    if os.path.exists(obj_path):
+    bump_path = os.path.join(out_dir, "bumps.ppm")
+    if os.path.exists(obj_path) and os.path.exists(bump_path):
         return obj_path
 
     # procedural panel texture (P6 PPM): grid lines + rivets
@@ -187,9 +188,24 @@ def _write_station_asset(out_dir: str) -> str:
     with open(os.path.join(out_dir, "panels.ppm"), "wb") as fh:
         fh.write(b"P6\n%d %d\n255\n" % (s, s) + base.tobytes())
 
+    # tangent-space normal map: domed rivets + recessed grid lines (the
+    # fourth texture pair; map_Bump through the real MTL path)
+    cy = (yy % 16).astype(np.float32) - 8.0
+    cx = (xx % 16).astype(np.float32) - 8.0
+    r2 = cx * cx + cy * cy
+    dome = np.maximum(0.0, 9.0 - r2) / 9.0  # height in [0, 1], radius 3
+    h = 0.6 * dome
+    h -= 0.3 * (((yy % 16) < 2) | ((xx % 16) < 2)).astype(np.float32)
+    gy, gx = np.gradient(h * 4.0)
+    nvec = np.stack([-gx, -gy, np.ones_like(h)], axis=-1)
+    nvec /= np.linalg.norm(nvec, axis=-1, keepdims=True)
+    nmap = ((nvec + 1.0) * 0.5 * 255.0 + 0.5).astype(np.uint8)
+    with open(bump_path, "wb") as fh:
+        fh.write(b"P6\n%d %d\n255\n" % (s, s) + nmap.tobytes())
+
     with open(os.path.join(out_dir, "station.mtl"), "w") as fh:
         fh.write("newmtl hull\nKd 0.8 0.8 0.85\nKs 0.6 0.6 0.6\n"
-                 "map_Kd panels.ppm\n")
+                 "map_Kd panels.ppm\nmap_Bump bumps.ppm\n")
 
     # a 10-unit cube with per-face UVs and normals
     lines = ["mtllib station.mtl"]
@@ -219,7 +235,8 @@ def _write_station_asset(out_dir: str) -> str:
 # ---------------------------------------------------------------------------
 # scene construction
 # ---------------------------------------------------------------------------
-def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42):
+def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42,
+                normal_maps: bool = True):
     bb = engine.bank_builder
     # the star's 6x brightness comes from the light_sources render system's
     # emissive boost (render_system_setup.rs:57-77), not the material
@@ -254,6 +271,12 @@ def build_scene(engine: Engine, num_asteroids: int = 40, seed: int = 42):
     obj_path = _write_station_asset("debug_out/assets")
     station_model = bb.add_obj("station", obj_path,
                                atlas_builder=atlas_builder)
+    if not normal_maps:
+        # A/B knob for TPU measurement: dropping the normal-map role keeps
+        # the 48-wide packed rows (normal maps force 64, see raster_pallas
+        # channel layout); BENCH_NORMAL_MAPS=0 flips it from bench.py
+        for d in bb._mats:
+            d["texture_normal"] = -1
     engine.set_atlas(atlas_builder.finalize())
 
     rng = np.random.default_rng(seed)
@@ -393,6 +416,7 @@ def space_config(
     shadow_resolution: int | None = None,
     shadow_max_tris: int | None = None,
     shadow_tile_budget: float = 0.2,
+    normal_maps: bool = True,
 ) -> EngineConfig:
     from render_engine_tpu.render.raster_jnp import RasterConfig
 
@@ -446,7 +470,8 @@ def space_config(
                                                   pair_budget=3 * max_tris)),
         entity_types=ENTITY_TYPES,
         spawn_budget=spawn_budget,
-        build_scene=lambda e: build_scene(e, num_asteroids=num_asteroids),
+        build_scene=lambda e: build_scene(e, num_asteroids=num_asteroids,
+                                          normal_maps=normal_maps),
         is_debugging=is_debugging,
         enable_shadows=enable_shadows,
         shadow_resolution=shadow_resolution,

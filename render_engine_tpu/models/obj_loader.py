@@ -18,10 +18,12 @@ import numpy as np
 
 def load_mtl(path: str) -> dict:
     """Parse an MTL file -> {name: {"kd": (3,), "map_kd": str|None,
-    "ks": float, "map_ks": str|None, "ke": float, "map_ke": str|None}}
+    "ks": float, "map_ks": str|None, "ke": float, "map_ke": str|None,
+    "map_bump": str|None}}
     (the tobj material fields the reference consumes,
-    model_storage.rs:190-193, plus the specular/emissive map slots of its
-    per-vertex texture pairs, model_definitions.rs:71-148)."""
+    model_storage.rs:190-193, plus the specular/emissive/normal map slots
+    of its per-vertex texture pairs, model_definitions.rs:71-148; the
+    normal map accepts the map_Bump / bump / norm spellings)."""
     mats = {}
     cur = None
     with open(path) as fh:
@@ -33,7 +35,7 @@ def load_mtl(path: str) -> dict:
                 cur = parts[1]
                 mats[cur] = {"kd": np.array([1.0, 1.0, 1.0], np.float32),
                              "map_kd": None, "ks": 1.0, "map_ks": None,
-                             "ke": 0.0, "map_ke": None}
+                             "ke": 0.0, "map_ke": None, "map_bump": None}
             elif cur is not None and parts[0] == "Kd":
                 mats[cur]["kd"] = np.array(parts[1:4], np.float32)
             elif cur is not None and parts[0] == "Ks":
@@ -51,6 +53,9 @@ def load_mtl(path: str) -> dict:
                 mats[cur]["map_ks"] = parts[-1]
             elif cur is not None and parts[0] == "map_Ke":
                 mats[cur]["map_ke"] = parts[-1]
+            elif cur is not None and parts[0] in ("map_Bump", "map_bump",
+                                                  "bump", "norm"):
+                mats[cur]["map_bump"] = parts[-1]
     return mats
 
 
@@ -114,7 +119,7 @@ def _load_obj_native(path: str):
     materials = [{"name": "__default__",
                   "kd": np.array([1.0, 1.0, 1.0], np.float32),
                   "map_kd": None, "ks": 1.0, "map_ks": None,
-                  "ke": 0.0, "map_ke": None}]
+                  "ke": 0.0, "map_ke": None, "map_bump": None}]
     for i, name in enumerate(names):
         k = int(name_lib[i])
         info = (mtl_at[k] if 0 <= k < len(mtl_at) else {}).get(name, {})
@@ -126,6 +131,7 @@ def _load_obj_native(path: str):
             "map_ks": info.get("map_ks"),
             "ke": float(info.get("ke", 0.0)),
             "map_ke": info.get("map_ke"),
+            "map_bump": info.get("map_bump"),
         })
     return v, n, uv, tris, tri_slot, materials
 
@@ -172,7 +178,7 @@ def load_obj(path: str):
     materials = [{"name": "__default__",
                   "kd": np.array([1.0, 1.0, 1.0], np.float32),
                   "map_kd": None, "ks": 1.0, "map_ks": None,
-                  "ke": 0.0, "map_ke": None}]
+                  "ke": 0.0, "map_ke": None, "map_bump": None}]
     mat_index = {"__default__": 0}
     cur_mat = 0
     mtl: dict = {}
@@ -227,6 +233,7 @@ def load_obj(path: str):
                         "map_ks": info.get("map_ks"),
                         "ke": float(info.get("ke", 0.0)),
                         "map_ke": info.get("map_ke"),
+                        "map_bump": info.get("map_bump"),
                     })
                     mat_index[name] = len(materials) - 1
                 cur_mat = mat_index[name]

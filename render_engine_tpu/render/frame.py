@@ -331,7 +331,7 @@ def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv,
 
 
 def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
-                      with_spec=False, with_emis=False):
+                      with_spec=False, with_emis=False, with_norm=False):
     """Per-pixel textured albedo from the resolve channels: barycentric UV
     interpolation (elementwise) + ONE bilinear row gather from the atlas.
     Full resolution: a lane-strided ::2 subsample of the channel array was
@@ -397,6 +397,27 @@ def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
         )[..., 0]
         edelta = jnp.where(elayer >= 0.0, emul - 1.0, 0.0)
         parts.append(edelta[..., None])
+    if with_norm:
+        # LAST 4 channels: perturbed world normal + use-flag (the kernel
+        # replaces its interpolated normal where the flag is set; zero-
+        # filled unselected tiles keep the geometric normal)
+        from render_engine_tpu.render.geometry import perturb_normal
+
+        nrm = jnp.stack(
+            [p0 * ch[10] + p1 * ch[13] + p2 * ch[16],
+             p0 * ch[11] + p1 * ch[14] + p2 * ch[17],
+             p0 * ch[12] + p1 * ch[15] + p2 * ch[18]], axis=-1)
+        nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+        nrm = nrm / jnp.where(nlen > 1e-12, nlen, 1.0)
+        nlayer = ch[50]
+        nsamp = sample_atlas_rows(
+            atlas, nlayer, uv,
+            jnp.stack([ch[51], ch[52], ch[53], ch[54]], axis=-1))
+        tan = jnp.stack([ch[55], ch[56], ch[57]], axis=-1)
+        pert = perturb_normal(nrm, tan, ch[58], nsamp)
+        nflag = (nlayer >= 0.0).astype(jnp.float32)
+        parts.append(jnp.where(nflag[..., None] > 0.0, pert, 0.0))
+        parts.append(nflag[..., None])
     out = jnp.concatenate(parts, axis=-1)
     c = out.shape[-1]
     return jnp.moveaxis(out, -1, 0).reshape(c, nt, th, twd)
@@ -569,16 +590,25 @@ def _fused_custom_shading(shaded, s, d, wn, rows, cfg, tri_sys, camera,
         ch, d_t, wn_t, h_total, width, inv_pv, px=px, py=py,
         ndc_py=py + jnp.float32(y_off))
     if atlas is not None:
-        # ShadeParam.albedo matches what the lighting consumed (the XLA
-        # path textures the G-buffer before shading)
+        # ShadeParam.albedo/normal match what the lighting consumed (the
+        # XLA path textures the G-buffer before shading)
         from render_engine_tpu.render.textures import sample_atlas
 
         mat_safe = jnp.clip(gbuf.material, 0,
                             bank.mat_textures.shape[0] - 1)
         layer = bank.mat_texture[mat_safe]
         tex = sample_atlas(atlas, layer, extras["uv"])
+        normal = gbuf.normal
+        if bank.has_normal_maps():
+            from render_engine_tpu.render.geometry import perturb_normal
+
+            nl_ = bank.mat_texture_norm[mat_safe]
+            nsamp = sample_atlas(atlas, nl_, extras["uv"])
+            pert = perturb_normal(gbuf.normal, extras["tangent"],
+                                  extras["tangent_w"], nsamp)
+            normal = jnp.where((nl_ >= 0)[..., None], pert, gbuf.normal)
         gbuf = _dc.replace(
-            gbuf,
+            gbuf, normal=normal,
             albedo=jnp.where((layer >= 0)[..., None], tex, gbuf.albedo))
     covered = wn_t >= 0
     px_sys = tri_sys[jnp.clip(wn_t, 0, tri_sys.shape[0] - 1)]
@@ -629,11 +659,13 @@ def tiled_fused_core(
         ntt = s.shape[0]
         ttb = max(1, int(round(ntt * settings.texture_tile_budget)))
         # spec/emissive maps ride the same override block as extra DELTA
-        # channels (trace-time gates: scenes without them keep 4 channels)
+        # channels (trace-time gates: scenes without them keep 4 channels);
+        # normal maps add 4 trailing channels (perturbed normal + flag)
         with_spec = bank.has_specular_maps()
         with_emis = bank.has_emissive_maps()
+        with_norm = bank.has_normal_maps()
         n_ovr = 4 + (1 if (with_spec or with_emis) else 0) \
-            + (1 if with_emis else 0)
+            + (1 if with_emis else 0) + (4 if with_norm else 0)
         # tiles with any textured CANDIDATE (conservative superset of
         # textured winners — avoids resolving every tile just to test)
         tex_tri = rows[..., 35] >= 0.0
@@ -641,6 +673,8 @@ def tiled_fused_core(
             tex_tri = tex_tri | (rows[..., 40] >= 0.0)
         if with_emis:
             tex_tri = tex_tri | (rows[..., 45] >= 0.0)
+        if with_norm:
+            tex_tri = tex_tri | (rows[..., 50] >= 0.0)
         tex_cand = jnp.any((cand >= 0) & tex_tri, axis=1)
 
         def textured(slot):
@@ -649,7 +683,8 @@ def tiled_fused_core(
                                                    interpret=interpret)
                 return _texture_override(res, atlas, tiles_x, th, twd,
                                          with_spec=with_spec,
-                                         with_emis=with_emis)
+                                         with_emis=with_emis,
+                                         with_norm=with_norm)
             order = jnp.argsort(jnp.where(tex_cand, 0, 1).astype(jnp.int32),
                                 stable=True).astype(jnp.int32)
             sel = order[:ttb]
@@ -657,7 +692,8 @@ def tiled_fused_core(
                 slot[sel], rows[sel], cfg, interpret=interpret)
             ovr_sel = _texture_override(res_sel, atlas, tiles_x, th,
                                         twd, tids=sel, with_spec=with_spec,
-                                        with_emis=with_emis)
+                                        with_emis=with_emis,
+                                        with_norm=with_norm)
             return jnp.zeros((n_ovr, ntt, th, twd),
                              jnp.float32).at[:, sel].set(ovr_sel)
 
@@ -701,6 +737,7 @@ def tiled_fused_core(
         slot_factor_inv=sfi, slot_entity=sent,
         pixel_origin=(0.0, y_off), interpret=interpret,
         albedo_override=albedo_override, tile_lights=tile_lights,
+        with_norm=atlas is not None and bank.has_normal_maps(),
     )  # (8, NT, th, tw)
 
     if (systems is not None and systems.has_shade_callbacks()
@@ -837,8 +874,30 @@ def _render_frame_pallas_tiled(
                 emul = sample_atlas(atlas, elayer, ex["uv"])[..., 0]
                 ex["emissive"] = ex["emissive"] * jnp.where(
                     elayer >= 0, emul, 1.0)
+            normal = g.normal
+            if bank.has_normal_maps():
+                # fourth texture pair: tangent-space normal map. The
+                # tangent frame rides the 64-wide packed rows when the
+                # table was built with the atlas; otherwise gather it by
+                # winner id (this path is not the production kernel)
+                from render_engine_tpu.render.geometry import (
+                    perturb_normal,
+                    triangle_tangents,
+                )
+
+                nl_ = bank.mat_texture_norm[mat_safe]
+                nsamp = sample_atlas(atlas, nl_, ex["uv"])
+                if "tangent" in ex:
+                    tan_px, w_px = ex["tangent"], ex["tangent_w"]
+                else:
+                    tri_ = jnp.clip(g.tri_id, 0, batch.budget - 1)
+                    tan, handed = triangle_tangents(batch)
+                    tan_px, w_px = tan[tri_], handed[tri_]
+                pert = perturb_normal(g.normal, tan_px, w_px, nsamp)
+                normal = jnp.where((nl_ >= 0)[..., None], pert, g.normal)
             return dataclasses.replace(
-                g, albedo=jnp.where((layer >= 0)[..., None], tex, g.albedo))
+                g, normal=normal,
+                albedo=jnp.where((layer >= 0)[..., None], tex, g.albedo))
 
         gbuf = texture(gbuf, extras)
         t_gbuf = texture(t_gbuf, t_extras)

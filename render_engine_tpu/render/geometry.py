@@ -390,3 +390,51 @@ def to_screen(batch: TriangleBatch, width: int, height: int) -> TriangleBatch:
     x = (batch.xy[..., 0] * 0.5 + 0.5) * jnp.float32(width)
     y = (0.5 - batch.xy[..., 1] * 0.5) * jnp.float32(height)
     return dataclasses.replace(batch, xy=jnp.stack([x, y], axis=-1))
+
+
+def triangle_tangents(batch: TriangleBatch):
+    """Per-triangle tangent frame for normal mapping: ``(tangent (T, 3),
+    handedness (T,))`` from world-space edges and UV deltas (the standard
+    per-face derivation the reference's asset contract implies for its
+    NORMAL_INDEX texture role, model_definitions.rs:77-81; the reference
+    packs-but-never-samples it, so this is the TPU build going one role
+    further). Degenerate UV mappings return a zero tangent — consumers
+    keep the geometric normal there."""
+    p = batch.world_pos  # (T, 3, 3)
+    uv = batch.uv  # (T, 3, 2)
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    du1 = uv[:, 1, 0] - uv[:, 0, 0]
+    dv1 = uv[:, 1, 1] - uv[:, 0, 1]
+    du2 = uv[:, 2, 0] - uv[:, 0, 0]
+    dv2 = uv[:, 2, 1] - uv[:, 0, 1]
+    det = du1 * dv2 - du2 * dv1
+    r = jnp.where(jnp.abs(det) > 1e-12,
+                  1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0), 0.0)
+    tan = (e1 * dv2[:, None] - e2 * dv1[:, None]) * r[:, None]
+    bit = (e2 * du1[:, None] - e1 * du2[:, None]) * r[:, None]
+    n_geo = jnp.cross(e1, e2)
+    handed = jnp.where(
+        jnp.sum(jnp.cross(n_geo, tan) * bit, axis=-1) < 0.0, -1.0, 1.0
+    ).astype(jnp.float32)
+    return tan, handed
+
+
+def perturb_normal(n, tan, handed, sample):
+    """Tangent-space normal-map application, shape-polymorphic over the
+    pixel layout: ``n`` (..., 3) unit interpolated normal, ``tan`` (..., 3)
+    per-face tangent (unnormalized; zero = no-op), ``handed`` (...,)
+    bitangent handedness, ``sample`` (..., 3) texel in [0, 1]. Returns the
+    perturbed unit normal; pixels with a degenerate tangent keep ``n``.
+    Shared by the jnp golden path, the tiled XLA path, and the fused
+    override block so all paths agree bit-for-bit on the math."""
+    t = tan - n * jnp.sum(n * tan, axis=-1, keepdims=True)
+    tl = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    ok = tl[..., 0] > 1e-8
+    t = t / jnp.where(tl > 1e-8, tl, 1.0)
+    b = jnp.cross(n, t) * handed[..., None]
+    m = sample * 2.0 - 1.0
+    p = m[..., 0:1] * t + m[..., 1:2] * b + m[..., 2:3] * n
+    pl_ = jnp.linalg.norm(p, axis=-1, keepdims=True)
+    p = p / jnp.where(pl_ > 1e-12, pl_, 1.0)
+    return jnp.where(ok[..., None], p, n)

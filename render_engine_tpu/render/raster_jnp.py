@@ -388,6 +388,21 @@ def resolve_gbuffer(
             elayer = bank.mat_texture_emis[mat_safe]
             emul = sample_atlas(atlas, elayer, uv)[..., 0]
             emis_mul = jnp.where(elayer >= 0, emul, 1.0)
+        if bank.has_normal_maps():
+            # fourth texture pair: a tangent-space normal map perturbs the
+            # G-buffer normal — the one reserved role with real visual
+            # payoff (the reference packs NORMAL_INDEX but never samples
+            # it, model_definitions.rs:77-81, first_pass_frag.glsl:58-75)
+            from render_engine_tpu.render.geometry import (
+                perturb_normal,
+                triangle_tangents,
+            )
+
+            nlayer = bank.mat_texture_norm[mat_safe]
+            nsamp = sample_atlas(atlas, nlayer, uv)
+            tan, handed = triangle_tangents(batch)
+            pert = perturb_normal(nrm, tan[tri], handed[tri], nsamp)
+            nrm = jnp.where((nlayer >= 0)[..., None], pert, nrm)
 
     cm = covered[..., None]
     gbuf = GBuffer(

@@ -238,13 +238,28 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
         with_emis = bank.has_emissive_maps()
         if with_emis:
             elayer, euvs = tex_cols(bank.mat_texture_emis[mat_safe])
+        # the fourth (normal-map) pair + per-tri tangent frame exist only
+        # in normal-mapped scenes; they force the 64-wide rows
+        with_norm = bank.has_normal_maps()
+        if with_norm:
+            nlayer, nuvs = tex_cols(bank.mat_texture_norm[mat_safe])
     else:
         uvs = suvs = jnp.ones((t, 4), jnp.float32)
         layer = slayer = jnp.full(t, -1.0, jnp.float32)
         with_emis = False
+        with_norm = False
     if not with_emis:
         euvs = jnp.zeros((t, 4), jnp.float32)
         elayer = jnp.full(t, -1.0, jnp.float32)
+    if not with_norm:
+        nuvs = jnp.zeros((t, 4), jnp.float32)
+        nlayer = jnp.full(t, -1.0, jnp.float32)
+        tangent = jnp.zeros((t, 3), jnp.float32)
+        handed = jnp.ones(t, jnp.float32)
+    else:
+        from render_engine_tpu.render.geometry import triangle_tangents
+
+        tangent, handed = triangle_tangents(batch)
     if ent_attrs is not None:
         sa = ent_attrs[jnp.clip(batch.entity, 0, ent_attrs.shape[0] - 1)]
         unlit, boost, ascale = sa[:, 0] > 0.5, sa[:, 1], sa[:, 5]
@@ -274,10 +289,15 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
             suvs,  # 41:45 its packed rect
             elayer[:, None],  # 45 emissive-map layer (only present in
             euvs,  # 46:50 its packed rect        # emissive-map scenes)
-            jnp.zeros((t, N_ATTR - 50), jnp.float32),
+            nlayer[:, None],  # 50 normal-map layer (normal-map scenes)
+            nuvs,  # 51:55 its packed rect
+            tangent,  # 55:58 per-tri tangent
+            handed[:, None],  # 58 bitangent handedness
+            jnp.zeros((t, N_ATTR_NORM - 59), jnp.float32),
         ],
         axis=1,
-    )[:, : (N_ATTR if with_emis else N_ATTR_BASE)]
+    )[:, : (N_ATTR_NORM if with_norm
+            else (N_ATTR if with_emis else N_ATTR_BASE))]
 
 
 def _gather_candidate_rows(packed, cand):
@@ -417,8 +437,15 @@ def rasterize_two_pass_pallas(
 #   45     emissive-map layer (f32, -1 = none) — third texture pair
 #   46:50  its packed atlas rect (columns 45:50 exist only in scenes with
 #          emissive maps; others keep the 48-wide base rows)
+#   50     normal-map layer (f32, -1 = none) — fourth texture pair
+#   51:55  its packed atlas rect
+#   55:58  per-triangle tangent xyz (geometry.triangle_tangents)
+#   58     bitangent handedness (+-1)   (columns 50:59 exist only in
+#          scenes with normal maps; they force the 64-wide rows and
+#          carry the emissive columns too, zeroed when unused)
 N_ATTR_BASE = 48  # padded to a multiple of 8 sublanes
 N_ATTR = 56  # with the emissive pair
+N_ATTR_NORM = 64  # with the normal-map pair + tangent frame
 
 
 def _resolve_kernel(n_attr, tile_h, tile_w,
@@ -542,6 +569,9 @@ def _gbuffer_from_channels(ch, depth, winner, height, width, inv_proj_view,
         "uv": uv,
         "specular": jnp.where(covered, ch[34], 1.0),
     }
+    if ch.shape[0] >= N_ATTR_NORM:  # normal-mapped scene rows
+        extras["tangent"] = jnp.stack([ch[55], ch[56], ch[57]], axis=-1)
+        extras["tangent_w"] = ch[58]
     return gbuf, extras
 
 

@@ -235,7 +235,10 @@ def _interp(ch, px, py, inv_pv, width, height):
 def _shade_kernel(
     tiles_x, tile_h, tile_w, n_lights, width, height, n_slots, has_texture,
     ovr_chans,  # override channels per pass: 4 = [rgb|flag], 5 adds the
-    #             specular-map DELTA (spec_k multiplies by 1 + delta)
+    #             specular-map DELTA (spec_k multiplies by 1 + delta),
+    #             6 adds the emissive-map delta; with_norm appends 4 more
+    with_norm,  # static: the LAST 4 override channels are the normal-map
+    #             perturbed world normal + use-flag
     use_tile_lights,  # static: light loop runs over this tile's culled
     #                   list (tl_ref/tc_ref) instead of all n_live lights
     inv_ref,  # scalar-prefetch SMEM (max(n_slots,1), NT) int32: per-slot
@@ -310,17 +313,26 @@ def _shade_kernel(
         (nx, ny, nz), (ar, ag, ab), emissive, alpha, spec_k = _interp(
             ch, px, py, None, width, height)
         if has_texture:
+            base_chans = ovr_chans - (4 if with_norm else 0)
             tf = ovr_ref[ovr_base + 3, 0] > 0.5
             ar = jnp.where(tf, ovr_ref[ovr_base + 0, 0], ar)
             ag = jnp.where(tf, ovr_ref[ovr_base + 1, 0], ag)
             ab = jnp.where(tf, ovr_ref[ovr_base + 2, 0], ab)
-            if ovr_chans >= 5:
+            if base_chans >= 5:
                 # specular-map delta: neutral (0) for unselected tiles and
                 # spec-less materials, (sample - 1) otherwise
                 spec_k = spec_k * (1.0 + ovr_ref[ovr_base + 4, 0])
-            if ovr_chans >= 6:
+            if base_chans >= 6:
                 # emissive-map delta, same neutral-zero convention
                 emissive = emissive * (1.0 + ovr_ref[ovr_base + 5, 0])
+            if with_norm:
+                # normal-map override: replace the interpolated normal
+                # where the flag is set (unselected tiles stay geometric)
+                nb = ovr_base + base_chans
+                nf = ovr_ref[nb + 3, 0] > 0.5
+                nx = jnp.where(nf, ovr_ref[nb + 0, 0], nx)
+                ny = jnp.where(nf, ovr_ref[nb + 1, 0], ny)
+                nz = jnp.where(nf, ovr_ref[nb + 2, 0], nz)
         wx, wy, wz = unproject(depth)
         vx = cam_ref[0, 0] - wx
         vy = cam_ref[0, 1] - wy
@@ -440,7 +452,7 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
                 slot_factor_tiles=None, slot_factor_inv=None,
                 slot_entity=None,
                 pixel_origin=(0.0, 0.0), albedo_override=None,
-                tile_lights=None):
+                tile_lights=None, with_norm=False):
     """Run the fused resolve+interp+lighting kernel over tiled buffers.
 
     rows: (NT, K, A) gathered candidate attribute rows; s_o/s_t:
@@ -510,6 +522,7 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
     kernel = functools.partial(_shade_kernel, tiles_x, th, tw,
                                light_budget, float(width), float(height),
                                n_slots, has_texture, ovr_chans,
+                               bool(with_norm) and has_texture,
                                use_tile_lights)
 
     def vmem_tile(index_map):

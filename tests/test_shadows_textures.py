@@ -450,12 +450,17 @@ class TestFusedTexturingAndSpecular:
         mid = bb.add_obj("station", obj, atlas_builder=ab)
         bank = bb.finalize()
         atlas = ab.finalize()
-        assert atlas is not None and atlas.layers.shape[0] == 1
+        # two 64x64 textures (panels diffuse + bumps normal map), one per
+        # shelf-packed layer
+        assert atlas is not None and atlas.layers.shape[0] == 2
         assert int(bank.tri_count[mid]) == 12
-        # the hull material carries Ks=0.6 and the texture layer
+        # the hull material carries Ks=0.6, the diffuse layer, and the
+        # map_Bump normal map
         mat = int(np.asarray(bank.tri_material)[int(bank.tri_offset[mid])])
         assert abs(float(bank.mat_specular[mat]) - 0.6) < 1e-6
         assert int(bank.mat_texture[mat]) == 0
+        assert int(bank.mat_texture_norm[mat]) >= 0
+        assert bank.has_normal_maps()
 
     @staticmethod
     def _write_obj(dirname, mtl_body):
