@@ -8,6 +8,9 @@ Each prints one JSON line:
   {"config": ..., "metric": ..., "value": N, "unit": ...}
 
 Scale knobs via env: BENCH_SCALE=0.1 shrinks populations/resolutions for CI.
+BENCH_CPU=1 forces the CPU backend (the axon sitecustomize pins
+JAX_PLATFORMS, so during tunnel outages this config flip is the ONLY way
+to run the CI-scale pass).
 """
 
 from __future__ import annotations
@@ -20,6 +23,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("BENCH_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

@@ -126,6 +126,17 @@ class ModelBank:
 
         return bool((_np.asarray(self.mat_textures)[:, 3] >= 0).any())
 
+    @property
+    def mat_texture_diss(self) -> jnp.ndarray:
+        """Per-material dissolve (alpha) map texture id (column 4)."""
+        return self.mat_textures[:, 4]
+
+    def has_dissolve_maps(self) -> bool:
+        """Trace-time gate like ``has_specular_maps`` for column 4."""
+        import numpy as _np
+
+        return bool((_np.asarray(self.mat_textures)[:, 4] >= 0).any())
+
     def has_emissive_maps(self) -> bool:
         """Trace-time gate like ``has_specular_maps`` for column 2."""
         import numpy as _np
@@ -178,22 +189,26 @@ class ModelBankBuilder:
     # ----------------------------------------------------------- materials
     def add_material(self, albedo=(1.0, 1.0, 1.0), emissive=0.0, alpha=1.0,
                      texture=-1, specular=1.0, texture_specular=-1,
-                     texture_emissive=-1, texture_normal=-1) -> int:
+                     texture_emissive=-1, texture_normal=-1,
+                     texture_dissolve=-1) -> int:
         """``texture``: diffuse atlas texture id (-1 = solid ``albedo``);
         ``texture_specular``: specular map whose red channel multiplies
         ``specular`` per pixel; ``texture_emissive``: emissive map whose
         red channel multiplies ``emissive`` per pixel;
         ``texture_normal``: tangent-space normal map perturbing the
-        G-buffer normal (-1 = none) — four of the reference's five
-        per-vertex texture pairs (model_definitions.rs:71-148), stored per
-        material."""
+        G-buffer normal; ``texture_dissolve``: per-pixel alpha map (MTL
+        map_d) multiplying ``alpha`` — a dissolve-mapped material always
+        takes the transparent forward pass (-1 = none). All five of the
+        reference's per-vertex texture pairs
+        (model_definitions.rs:71-148), stored per material."""
         self._mats.append(
             dict(albedo=np.asarray(albedo, np.float32),
                  emissive=float(emissive), alpha=float(alpha),
                  texture=int(texture), specular=float(specular),
                  texture_specular=int(texture_specular),
                  texture_emissive=int(texture_emissive),
-                 texture_normal=int(texture_normal))
+                 texture_normal=int(texture_normal),
+                 texture_dissolve=int(texture_dissolve))
         )
         return len(self._mats) - 1
 
@@ -234,7 +249,7 @@ class ModelBankBuilder:
         base = os.path.dirname(os.path.abspath(path))
         ids = []
         for m in mats:
-            tex = spec_tex = emis_tex = norm_tex = -1
+            tex = spec_tex = emis_tex = norm_tex = diss_tex = -1
             if atlas_builder is not None:
                 # missing files land on the loud error texture inside
                 # add_image_file (helper_constructs.rs:2-12 parity)
@@ -250,11 +265,15 @@ class ModelBankBuilder:
                 if m.get("map_bump"):
                     norm_tex = atlas_builder.add_image_file(
                         os.path.join(base, m["map_bump"]), kind="normal")
+                if m.get("map_d"):
+                    diss_tex = atlas_builder.add_image_file(
+                        os.path.join(base, m["map_d"]), kind="dissolve")
             ids.append(self.add_material(
                 albedo=m["kd"], specular=m.get("ks", 1.0),
-                emissive=m.get("ke", 0.0), texture=tex,
+                emissive=m.get("ke", 0.0), alpha=m.get("d", 1.0),
+                texture=tex,
                 texture_specular=spec_tex, texture_emissive=emis_tex,
-                texture_normal=norm_tex))
+                texture_normal=norm_tex, texture_dissolve=diss_tex))
         remap = np.asarray(ids, np.int32)[tri_mat]
         return self.add_model(name, (v, n, uv, f), tri_material=remap)
 
@@ -300,7 +319,8 @@ class ModelBankBuilder:
             mat_textures=jnp.asarray(
                 [[d["texture"], d.get("texture_specular", -1),
                   d.get("texture_emissive", -1),
-                  d.get("texture_normal", -1), -1]
+                  d.get("texture_normal", -1),
+                  d.get("texture_dissolve", -1)]
                  for d in self._mats], jnp.int32),
             lov_table=jnp.asarray(lov),
             lov_fractions=jnp.asarray(self._lov_fractions, jnp.float32),

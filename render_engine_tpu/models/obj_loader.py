@@ -35,7 +35,8 @@ def load_mtl(path: str) -> dict:
                 cur = parts[1]
                 mats[cur] = {"kd": np.array([1.0, 1.0, 1.0], np.float32),
                              "map_kd": None, "ks": 1.0, "map_ks": None,
-                             "ke": 0.0, "map_ke": None, "map_bump": None}
+                             "ke": 0.0, "map_ke": None, "map_bump": None,
+                             "map_d": None, "d": 1.0}
             elif cur is not None and parts[0] == "Kd":
                 mats[cur]["kd"] = np.array(parts[1:4], np.float32)
             elif cur is not None and parts[0] == "Ks":
@@ -56,6 +57,10 @@ def load_mtl(path: str) -> dict:
             elif cur is not None and parts[0] in ("map_Bump", "map_bump",
                                                   "bump", "norm"):
                 mats[cur]["map_bump"] = parts[-1]
+            elif cur is not None and parts[0] == "map_d":
+                mats[cur]["map_d"] = parts[-1]
+            elif cur is not None and parts[0] == "d":
+                mats[cur]["d"] = float(parts[1])
     return mats
 
 
@@ -119,7 +124,8 @@ def _load_obj_native(path: str):
     materials = [{"name": "__default__",
                   "kd": np.array([1.0, 1.0, 1.0], np.float32),
                   "map_kd": None, "ks": 1.0, "map_ks": None,
-                  "ke": 0.0, "map_ke": None, "map_bump": None}]
+                  "ke": 0.0, "map_ke": None, "map_bump": None,
+                  "map_d": None, "d": 1.0}]
     for i, name in enumerate(names):
         k = int(name_lib[i])
         info = (mtl_at[k] if 0 <= k < len(mtl_at) else {}).get(name, {})
@@ -132,6 +138,8 @@ def _load_obj_native(path: str):
             "ke": float(info.get("ke", 0.0)),
             "map_ke": info.get("map_ke"),
             "map_bump": info.get("map_bump"),
+            "map_d": info.get("map_d"),
+            "d": float(info.get("d", 1.0)),
         })
     return v, n, uv, tris, tri_slot, materials
 
@@ -178,7 +186,8 @@ def load_obj(path: str):
     materials = [{"name": "__default__",
                   "kd": np.array([1.0, 1.0, 1.0], np.float32),
                   "map_kd": None, "ks": 1.0, "map_ks": None,
-                  "ke": 0.0, "map_ke": None, "map_bump": None}]
+                  "ke": 0.0, "map_ke": None, "map_bump": None,
+                  "map_d": None, "d": 1.0}]
     mat_index = {"__default__": 0}
     cur_mat = 0
     mtl: dict = {}
@@ -234,6 +243,8 @@ def load_obj(path: str):
                         "ke": float(info.get("ke", 0.0)),
                         "map_ke": info.get("map_ke"),
                         "map_bump": info.get("map_bump"),
+                        "map_d": info.get("map_d"),
+                        "d": float(info.get("d", 1.0)),
                     })
                     mat_index[name] = len(materials) - 1
                 cur_mat = mat_index[name]

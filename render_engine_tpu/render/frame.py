@@ -169,25 +169,29 @@ def render_frame(
         spec_img = t_spec_img = emis_mul = t_emis_mul = None
         with_spec = atlas is not None and bank.has_specular_maps()
         with_emis = atlas is not None and bank.has_emissive_maps()
-        if with_emis:
-            # per-pixel specular + emissive maps (trace-time gates: scenes
-            # without them skip the extra sampling entirely)
-            gbuf, spec_img, emis_mul = resolve_gbuffer(
-                batch, bank, depth, winner, atlas=atlas,
-                with_specular=with_spec, with_emissive=True)
-            t_gbuf, t_spec_img, t_emis_mul = resolve_gbuffer(
-                batch, bank, t_depth, t_winner, atlas=atlas,
-                with_specular=with_spec, with_emissive=True)
-        elif with_spec:
-            gbuf, spec_img = resolve_gbuffer(batch, bank, depth, winner,
-                                             atlas=atlas, with_specular=True)
-            t_gbuf, t_spec_img = resolve_gbuffer(
-                batch, bank, t_depth, t_winner, atlas=atlas,
-                with_specular=True)
-        else:
-            gbuf = resolve_gbuffer(batch, bank, depth, winner, atlas=atlas)
-            t_gbuf = resolve_gbuffer(batch, bank, t_depth, t_winner,
-                                     atlas=atlas)
+        # dissolve maps only matter on the transparent layer (per-pixel
+        # alpha); the opaque resolve never samples them
+        with_diss = atlas is not None and bank.has_dissolve_maps()
+
+        def _resolve(d_, wn_, dissolve):
+            # per-pixel specular/emissive/dissolve maps (trace-time gates:
+            # scenes without them skip the extra sampling entirely);
+            # resolve_gbuffer appends images by flag order
+            out = resolve_gbuffer(
+                batch, bank, d_, wn_, atlas=atlas, with_specular=with_spec,
+                with_emissive=with_emis, with_dissolve=dissolve)
+            if not (with_spec or with_emis or dissolve):
+                return out, None, None, None
+            out = list(out)
+            g = out.pop(0)
+            spec = out.pop(0) if (with_spec or with_emis) else None
+            emis = out.pop(0) if with_emis else None
+            diss = out.pop(0) if dissolve else None
+            return g, spec, emis, diss
+
+        gbuf, spec_img, emis_mul, _ = _resolve(depth, winner, False)
+        t_gbuf, t_spec_img, t_emis_mul, t_diss_mul = _resolve(
+            t_depth, t_winner, with_diss)
         if with_emis:
             # fold the emissive-map multiplier into explicit per-pixel
             # emissive images (the systems path multiplies ITS boosted
@@ -293,6 +297,9 @@ def render_frame(
     else:
         mat = jnp.clip(t_gbuf.material, 0, bank.mat_alpha.shape[0] - 1)
         alpha = bank.mat_alpha[mat][..., None]
+    if t_diss_mul is not None:
+        # dissolve map (map_d, fifth pair): per-pixel alpha multiplier
+        alpha = alpha * t_diss_mul[..., None]
     in_front = t_gbuf.covered() & (t_gbuf.depth <= gbuf.depth)
     color = jnp.where(
         in_front[..., None], alpha * t_lit + (1.0 - alpha) * color, color
@@ -331,7 +338,8 @@ def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv,
 
 
 def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
-                      with_spec=False, with_emis=False, with_norm=False):
+                      with_spec=False, with_emis=False, with_norm=False,
+                      with_diss=False):
     """Per-pixel textured albedo from the resolve channels: barycentric UV
     interpolation (elementwise) + ONE bilinear row gather from the atlas.
     Full resolution: a lane-strided ::2 subsample of the channel array was
@@ -380,8 +388,11 @@ def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
         jnp.stack([ch[36], ch[37], ch[38], ch[39]], axis=-1),
     )  # (rows, cols, 3)
     flag = (layer >= 0.0).astype(jnp.float32)
+    # channel indices are FIXED (spec @4, emis @5, diss @6): a later role
+    # forces the earlier slots to exist, neutral-zero when the scene has
+    # no such maps (their layer columns are -1)
     parts = [rgb, flag[..., None]]
-    if with_spec or with_emis:
+    if with_spec or with_emis or with_diss:
         slayer = ch[40]
         smul = sample_atlas_rows(
             atlas, slayer, uv,
@@ -389,7 +400,7 @@ def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
         )[..., 0]
         delta = jnp.where(slayer >= 0.0, smul - 1.0, 0.0)
         parts.append(delta[..., None])
-    if with_emis:
+    if with_emis or with_diss:
         elayer = ch[45]
         emul = sample_atlas_rows(
             atlas, elayer, uv,
@@ -397,6 +408,16 @@ def _texture_override(res, atlas, tiles_x, th, twd, tids=None,
         )[..., 0]
         edelta = jnp.where(elayer >= 0.0, emul - 1.0, 0.0)
         parts.append(edelta[..., None])
+    if with_diss:
+        # dissolve-map delta: alpha multiplies by (1 + delta) in-kernel,
+        # neutral zero for unselected tiles and map-less materials
+        dlayer = ch[59]
+        dmul = sample_atlas_rows(
+            atlas, dlayer, uv,
+            jnp.stack([ch[60], ch[61], ch[62], ch[63]], axis=-1),
+        )[..., 0]
+        ddelta = jnp.where(dlayer >= 0.0, dmul - 1.0, 0.0)
+        parts.append(ddelta[..., None])
     if with_norm:
         # LAST 4 channels: perturbed world normal + use-flag (the kernel
         # replaces its interpolated normal where the flag is set; zero-
@@ -658,14 +679,23 @@ def tiled_fused_core(
     if atlas is not None:
         ntt = s.shape[0]
         ttb = max(1, int(round(ntt * settings.texture_tile_budget)))
-        # spec/emissive maps ride the same override block as extra DELTA
-        # channels (trace-time gates: scenes without them keep 4 channels);
-        # normal maps add 4 trailing channels (perturbed normal + flag)
+        # spec/emissive/dissolve maps ride the same override block as
+        # extra DELTA channels (trace-time gates: scenes without them keep
+        # 4 channels; a later role forces the earlier slots so indices are
+        # fixed); normal maps add 4 trailing channels (normal + flag)
         with_spec = bank.has_specular_maps()
         with_emis = bank.has_emissive_maps()
         with_norm = bank.has_normal_maps()
-        n_ovr = 4 + (1 if (with_spec or with_emis) else 0) \
-            + (1 if with_emis else 0) + (4 if with_norm else 0)
+        with_diss = bank.has_dissolve_maps()
+        if with_diss:
+            n_base = 7
+        elif with_emis:
+            n_base = 6
+        elif with_spec:
+            n_base = 5
+        else:
+            n_base = 4
+        n_ovr = n_base + (4 if with_norm else 0)
         # tiles with any textured CANDIDATE (conservative superset of
         # textured winners — avoids resolving every tile just to test)
         tex_tri = rows[..., 35] >= 0.0
@@ -675,6 +705,8 @@ def tiled_fused_core(
             tex_tri = tex_tri | (rows[..., 45] >= 0.0)
         if with_norm:
             tex_tri = tex_tri | (rows[..., 50] >= 0.0)
+        if with_diss:
+            tex_tri = tex_tri | (rows[..., 59] >= 0.0)
         tex_cand = jnp.any((cand >= 0) & tex_tri, axis=1)
 
         def textured(slot):
@@ -684,7 +716,8 @@ def tiled_fused_core(
                 return _texture_override(res, atlas, tiles_x, th, twd,
                                          with_spec=with_spec,
                                          with_emis=with_emis,
-                                         with_norm=with_norm)
+                                         with_norm=with_norm,
+                                         with_diss=with_diss)
             order = jnp.argsort(jnp.where(tex_cand, 0, 1).astype(jnp.int32),
                                 stable=True).astype(jnp.int32)
             sel = order[:ttb]
@@ -693,12 +726,15 @@ def tiled_fused_core(
             ovr_sel = _texture_override(res_sel, atlas, tiles_x, th,
                                         twd, tids=sel, with_spec=with_spec,
                                         with_emis=with_emis,
-                                        with_norm=with_norm)
+                                        with_norm=with_norm,
+                                        with_diss=with_diss)
             return jnp.zeros((n_ovr, ntt, th, twd),
                              jnp.float32).at[:, sel].set(ovr_sel)
 
         ovr_o = textured(s)
-        if settings.texture_transparent:
+        if settings.texture_transparent or with_diss:
+            # dissolve maps only act on the transparent pass, so they
+            # force the transparent-layer texture resolve on
             ovr_t = textured(ts)
         else:
             ovr_t = jnp.zeros_like(ovr_o)
@@ -738,6 +774,7 @@ def tiled_fused_core(
         pixel_origin=(0.0, y_off), interpret=interpret,
         albedo_override=albedo_override, tile_lights=tile_lights,
         with_norm=atlas is not None and bank.has_normal_maps(),
+        with_diss=atlas is not None and bank.has_dissolve_maps(),
     )  # (8, NT, th, tw)
 
     if (systems is not None and systems.has_shade_callbacks()
@@ -874,6 +911,12 @@ def _render_frame_pallas_tiled(
                 emul = sample_atlas(atlas, elayer, ex["uv"])[..., 0]
                 ex["emissive"] = ex["emissive"] * jnp.where(
                     elayer >= 0, emul, 1.0)
+            if bank.has_dissolve_maps():
+                # dissolve map (map_d): per-pixel alpha multiplier,
+                # consumed by the transparent-pass blend
+                dl_ = bank.mat_texture_diss[mat_safe]
+                dmul = sample_atlas(atlas, dl_, ex["uv"])[..., 0]
+                ex["alpha"] = ex["alpha"] * jnp.where(dl_ >= 0, dmul, 1.0)
             normal = g.normal
             if bank.has_normal_maps():
                 # fourth texture pair: tangent-space normal map. The

@@ -212,12 +212,17 @@ def build_triangle_batch(
     clip = jnp.einsum("ij,tnj->tni", pv, homo)  # (T, 3, 4)
 
     if not depth_only:
-        # transparency routing: material alpha < 1, entity FLAG_TRANSPARENT
-        # or a render-system alpha_scale uniform below 1 (ent_flags rides
-        # the packed entity row gathered above)
+        # transparency routing: material alpha < 1, a dissolve map (per-
+        # pixel alpha, fifth texture pair — any mapped pixel may dissolve,
+        # so the whole triangle takes the forward pass), entity
+        # FLAG_TRANSPARENT, or a render-system alpha_scale uniform below 1
+        # (ent_flags rides the packed entity row gathered above)
         transparent = (bank.mat_alpha[material] < 1.0) | (
             (ent_flags & R.FLAG_TRANSPARENT) != 0
         )
+        if bank.has_dissolve_maps():
+            transparent = transparent | (
+                bank.mat_texture_diss[material] >= 0)
         if msys is not None:
             ns = systems.sys_table.shape[0]
             ascale = systems.sys_table[jnp.clip(msys, 0, ns - 1), 5]

@@ -320,6 +320,7 @@ def resolve_gbuffer(
     atlas=None,
     with_specular: bool = False,
     with_emissive: bool = False,
+    with_dissolve: bool = False,
 ):
     """Per-pixel attribute interpolation for the winning triangles.
 
@@ -413,6 +414,20 @@ def resolve_gbuffer(
         material=jnp.where(covered, mat, MATERIAL_BACKGROUND),
         tri_id=winner,
     )
+    if with_dissolve:
+        # per-pixel alpha multiplier (MTL map_d red channel; fifth pair)
+        # — appended LAST so existing flag combinations keep their shape
+        if atlas is not None:
+            dlayer = bank.mat_texture_diss[mat_safe]
+            dmul_s = sample_atlas(atlas, dlayer, uv)[..., 0]
+            diss_mul = jnp.where(dlayer >= 0, dmul_s, 1.0)
+        else:
+            diss_mul = jnp.ones_like(depth)
+        if with_emissive:
+            return gbuf, spec_img, emis_mul, diss_mul
+        if with_specular:
+            return gbuf, spec_img, diss_mul
+        return gbuf, diss_mul
     if with_emissive:
         return gbuf, spec_img, emis_mul
     if with_specular:

@@ -238,16 +238,21 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
         with_emis = bank.has_emissive_maps()
         if with_emis:
             elayer, euvs = tex_cols(bank.mat_texture_emis[mat_safe])
-        # the fourth (normal-map) pair + per-tri tangent frame exist only
-        # in normal-mapped scenes; they force the 64-wide rows
+        # the fourth (normal-map) pair + per-tri tangent frame and the
+        # fifth (dissolve) pair exist only in scenes carrying them; either
+        # forces the 64-wide rows
         with_norm = bank.has_normal_maps()
         if with_norm:
             nlayer, nuvs = tex_cols(bank.mat_texture_norm[mat_safe])
+        with_diss = bank.has_dissolve_maps()
+        if with_diss:
+            dlayer, duvs = tex_cols(bank.mat_texture_diss[mat_safe])
     else:
         uvs = suvs = jnp.ones((t, 4), jnp.float32)
         layer = slayer = jnp.full(t, -1.0, jnp.float32)
         with_emis = False
         with_norm = False
+        with_diss = False
     if not with_emis:
         euvs = jnp.zeros((t, 4), jnp.float32)
         elayer = jnp.full(t, -1.0, jnp.float32)
@@ -260,6 +265,9 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
         from render_engine_tpu.render.geometry import triangle_tangents
 
         tangent, handed = triangle_tangents(batch)
+    if not with_diss:
+        duvs = jnp.zeros((t, 4), jnp.float32)
+        dlayer = jnp.full(t, -1.0, jnp.float32)
     if ent_attrs is not None:
         sa = ent_attrs[jnp.clip(batch.entity, 0, ent_attrs.shape[0] - 1)]
         unlit, boost, ascale = sa[:, 0] > 0.5, sa[:, 1], sa[:, 5]
@@ -293,10 +301,11 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
             nuvs,  # 51:55 its packed rect
             tangent,  # 55:58 per-tri tangent
             handed[:, None],  # 58 bitangent handedness
-            jnp.zeros((t, N_ATTR_NORM - 59), jnp.float32),
+            dlayer[:, None],  # 59 dissolve-map layer
+            duvs,  # 60:64 its packed rect
         ],
         axis=1,
-    )[:, : (N_ATTR_NORM if with_norm
+    )[:, : (N_ATTR_NORM if (with_norm or with_diss)
             else (N_ATTR if with_emis else N_ATTR_BASE))]
 
 
@@ -440,9 +449,12 @@ def rasterize_two_pass_pallas(
 #   50     normal-map layer (f32, -1 = none) — fourth texture pair
 #   51:55  its packed atlas rect
 #   55:58  per-triangle tangent xyz (geometry.triangle_tangents)
-#   58     bitangent handedness (+-1)   (columns 50:59 exist only in
-#          scenes with normal maps; they force the 64-wide rows and
-#          carry the emissive columns too, zeroed when unused)
+#   58     bitangent handedness (+-1)
+#   59     dissolve-map layer (f32, -1 = none) — fifth texture pair
+#          (MTL map_d: per-pixel alpha on the transparent pass)
+#   60:64  its packed atlas rect   (columns 50:64 exist only in scenes
+#          with normal or dissolve maps; they force the 64-wide rows and
+#          carry the lower optional columns too, zeroed when unused)
 N_ATTR_BASE = 48  # padded to a multiple of 8 sublanes
 N_ATTR = 56  # with the emissive pair
 N_ATTR_NORM = 64  # with the normal-map pair + tangent frame

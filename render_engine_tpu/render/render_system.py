@@ -610,9 +610,17 @@ def render_frame_systems(
         # transparency layer for this system
         t_depth, t_winner = rasterizer(batch, h, w, settings.raster,
                                        batch.transparent)
-        tg = resolve_gbuffer(batch, bank, t_depth, t_winner, atlas=atlas)
+        with_diss = atlas is not None and bank.has_dissolve_maps()
+        if with_diss:
+            # dissolve map (map_d): per-pixel alpha on the forward pass
+            tg, t_diss = resolve_gbuffer(batch, bank, t_depth, t_winner,
+                                         atlas=atlas, with_dissolve=True)
+        else:
+            tg = resolve_gbuffer(batch, bank, t_depth, t_winner,
+                                 atlas=atlas)
+            t_diss = None
         tg = dataclasses.replace(tg, albedo=tg.albedo * sys_tint)
-        trans_layers.append((tg, t_depth, t_winner, alpha_scale))
+        trans_layers.append((tg, t_depth, t_winner, alpha_scale, t_diss))
 
     lights = L.extract_lights(
         world,
@@ -666,12 +674,14 @@ def render_frame_systems(
 
     # transparency: blend each system's transparent layer (back-to-front by
     # merging via depth against the opaque buffer)
-    for t_gbuf, t_depth, t_winner, alpha_scale in trans_layers:
+    for t_gbuf, t_depth, t_winner, alpha_scale, t_diss in trans_layers:
         t_lit = L.shade(t_gbuf, lights, bank, camera.position,
                         background=color, shadow_factor=shadow_factor)
         mat = jnp.clip(t_gbuf.material, 0, bank.mat_alpha.shape[0] - 1)
         alpha = jnp.clip(bank.mat_alpha[mat][..., None] * alpha_scale,
                          0.0, 1.0)
+        if t_diss is not None:
+            alpha = alpha * t_diss[..., None]
         in_front = (t_winner >= 0) & (t_depth <= gbuf.depth)
         color = jnp.where(in_front[..., None],
                           alpha * t_lit + (1.0 - alpha) * color, color)

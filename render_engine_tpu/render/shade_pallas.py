@@ -239,6 +239,8 @@ def _shade_kernel(
     #             6 adds the emissive-map delta; with_norm appends 4 more
     with_norm,  # static: the LAST 4 override channels are the normal-map
     #             perturbed world normal + use-flag
+    with_diss,  # static: override channel 6 is the dissolve-map alpha
+    #             delta (alpha multiplies by 1 + delta; transparent pass)
     use_tile_lights,  # static: light loop runs over this tile's culled
     #                   list (tl_ref/tc_ref) instead of all n_live lights
     inv_ref,  # scalar-prefetch SMEM (max(n_slots,1), NT) int32: per-slot
@@ -325,6 +327,10 @@ def _shade_kernel(
             if base_chans >= 6:
                 # emissive-map delta, same neutral-zero convention
                 emissive = emissive * (1.0 + ovr_ref[ovr_base + 5, 0])
+            if with_diss and base_chans >= 7:
+                # dissolve-map delta: per-pixel alpha (map_d, fifth pair);
+                # only the transparent pass consumes alpha downstream
+                alpha = alpha * (1.0 + ovr_ref[ovr_base + 6, 0])
             if with_norm:
                 # normal-map override: replace the interpolated normal
                 # where the flag is set (unselected tiles stay geometric)
@@ -452,7 +458,7 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
                 slot_factor_tiles=None, slot_factor_inv=None,
                 slot_entity=None,
                 pixel_origin=(0.0, 0.0), albedo_override=None,
-                tile_lights=None, with_norm=False):
+                tile_lights=None, with_norm=False, with_diss=False):
     """Run the fused resolve+interp+lighting kernel over tiled buffers.
 
     rows: (NT, K, A) gathered candidate attribute rows; s_o/s_t:
@@ -523,6 +529,7 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
                                light_budget, float(width), float(height),
                                n_slots, has_texture, ovr_chans,
                                bool(with_norm) and has_texture,
+                               bool(with_diss) and has_texture,
                                use_tile_lights)
 
     def vmem_tile(index_map):

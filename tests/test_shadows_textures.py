@@ -599,6 +599,82 @@ class TestFusedTexturingAndSpecular:
             diff = np.abs(o - img).max(axis=-1)
             assert (diff > 0.03).mean() < 0.01
 
+    def test_dissolve_map_modulates_alpha_all_paths(self):
+        """The dissolve map (MTL map_d, fifth texture pair) is per-pixel
+        alpha: a dissolve-mapped material always takes the transparent
+        forward pass, and the map's red channel multiplies the blend
+        alpha — jnp golden, tall pallas, and fused kernel agree."""
+        from render_engine_tpu.render.frame import RenderSettings, render_frame
+        from render_engine_tpu.math.camera import CameraBuilder
+
+        ab = TextureAtlasBuilder(layer_size=16)
+        dtid = ab.add_checkerboard(a=(1.0, 1.0, 1.0), b=(0.2, 0.2, 0.2),
+                                   cells=2)
+        atlas = ab.finalize()
+        bb = ModelBankBuilder()
+        # alpha 1.0: ONLY the dissolve map makes this transparent;
+        # emissive 1.0 makes t_lit == albedo so the blended pixel is
+        # exactly alpha * albedo over the black background
+        m = bb.add_material(albedo=(1.0, 0.3, 0.3), emissive=1.0,
+                            texture_dissolve=dtid)
+        bb.add_model("quad", primitives.quad(3.0), material=m)
+        bank = bb.finalize()
+        assert bank.has_dissolve_maps()
+        cfg = W.WorldConfig(capacity=4, world_length=64.0,
+                            section_length=8.0)
+        w = W.create_world(cfg)
+        w, _ = W.spawn_host(
+            w, 1, position=np.array([[32.0, 32.0, 28.0]], np.float32),
+            model_id=np.array([0], np.int32))
+        w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                 jnp.asarray(w.alive))
+        cam = (CameraBuilder().with_position(32.0, 32.0, 33.0)
+               .with_yaw_pitch_degrees(-90.0, 0.0).with_fov_degrees(70.0)
+               .with_aspect(4.0).with_near_far(0.1, 50.0)
+               .with_draw_distance(50.0).build())
+
+        def settings(backend, fused):
+            return RenderSettings(
+                width=128, height=32, max_tris=64, backend=backend,
+                raster=RasterConfig(tile_budget=16, max_tiles_per_tri=8,
+                                    global_budget=8, chunk=4),
+                fused_shading=fused, texture_tile_budget=1.0)
+
+        outs = []
+        for backend, fused in (("jnp", False), ("pallas", False),
+                               ("pallas", True)):
+            outs.append(np.asarray(render_frame(
+                w, cam, bank, settings(backend, fused), atlas=atlas)))
+        img = outs[0]
+        covered = img.sum(axis=-1) > 0.05
+        vals = img[covered][:, 0]  # red = alpha * 1.0 over black
+        assert vals.max() > 0.9 and vals.min() < 0.3, (
+            f"dissolve checkerboard missing: {vals.min()}..{vals.max()}")
+        for o in outs[1:]:
+            diff = np.abs(o - img).max(axis=-1)
+            assert (diff > 0.03).mean() < 0.01
+
+    def test_mtl_map_d_wires_through_loader(self, tmp_path):
+        """map_d + the d opacity scalar load through the real OBJ loader
+        into the dissolve slot (tobj material contract parity)."""
+        img = np.full((8, 8, 3), 128, np.uint8)
+        ppm = tmp_path / "holes.ppm"
+        ppm.write_bytes(b"P6\n8 8\n255\n" + img.tobytes())
+        (tmp_path / "m.mtl").write_text(
+            "newmtl a\nKd 0.5 0.5 0.5\nd 0.7\nmap_d holes.ppm\n")
+        (tmp_path / "q.obj").write_text(
+            "mtllib m.mtl\nv -1 -1 0\nv 1 -1 0\nv 1 1 0\n"
+            "vt 0 0\nvt 1 0\nvt 1 1\nvn 0 0 1\n"
+            "usemtl a\nf 1/1/1 2/2/1 3/3/1\n")
+        ab = TextureAtlasBuilder(layer_size=16)
+        bb = ModelBankBuilder()
+        bb.add_obj("q", str(tmp_path / "q.obj"), atlas_builder=ab)
+        bank = bb.finalize()
+        assert bank.has_dissolve_maps()
+        mat = int(np.asarray(bank.tri_material)[0])
+        assert int(bank.mat_texture_diss[mat]) >= 0
+        assert abs(float(bank.mat_alpha[mat]) - 0.7) < 1e-6
+
     def test_specular_map_modulates_highlight_all_paths(self):
         """The spec map's red channel scales the per-pixel specular term in
         the jnp golden path, the tall pallas path, and the fused kernel —
