@@ -89,6 +89,19 @@ class ModelBank:
         )
 
     @property
+    def vert_packed(self) -> jnp.ndarray:
+        """(V, 8) f32 [pos 3 | normal 3 | uv 2]: the lit geometry stage's
+        per-vertex gather as ONE row. Random row gathers are latency-bound
+        per ROW (~10 ns regardless of width), so one 8-wide gather beats
+        the three same-index gathers of vertices/normals/uvs it replaces
+        at a third of the rows. Built per trace — a constant-folded
+        concat. The depth-only (shadow) path keeps the narrow
+        ``vertices`` table: it never reads normals/uvs, so the extra
+        bytes would be pure waste there."""
+        return jnp.concatenate([self.vertices, self.normals, self.uvs],
+                               axis=1)
+
+    @property
     def mat_texture(self) -> jnp.ndarray:
         """(K,) diffuse texture id view (-1 = solid color) — column 0 of
         ``mat_textures``; the pre-multi-texture consumers read this."""

@@ -180,7 +180,15 @@ def build_triangle_batch(
     # f32 row — int-typed gathers land in scalar memory)
     trow = bank.tri_packed[tri_idx]  # (T, 4): v0 v1 v2 material
     tv = trow[:, 0:3].astype(jnp.int32)
-    v_obj = bank.vertices[tv]  # (T, 3, 3)
+    if depth_only:
+        # shadow pass reads positions only — keep the narrow table
+        v_obj = bank.vertices[tv]  # (T, 3, 3)
+    else:
+        # pos|normal|uv ride ONE packed row: a third of the gather rows
+        # of the three separate same-index gathers (rows are what row
+        # gathers pay for, not bytes — see docs/STATUS.md perf ledger)
+        vrow = bank.vert_packed[tv]  # (T, 3, 8)
+        v_obj = vrow[..., 0:3]
 
     # object -> world (per-entity TRS, composed on the fly — (T,4,4)
     # matrices are never materialized, see kinematics.refresh_transforms)
@@ -197,8 +205,8 @@ def build_triangle_batch(
         uv = jnp.zeros((t, 3, 2), jnp.float32)
         transparent = jnp.zeros(t, bool)
     else:
-        n_obj = bank.normals[tv]
-        uv = bank.uvs[tv]
+        n_obj = vrow[..., 3:6]
+        uv = vrow[..., 6:8]
         material = trow[:, 3].astype(jnp.int32)
         # normal transform for TRS: n' = R @ (n / scale) (inverse-transpose
         # of R S without a matrix inverse)
