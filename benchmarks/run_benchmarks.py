@@ -159,6 +159,7 @@ def bench_lights():
             "metric": (f"{nl} point lights deferred 720p, "
                        f"{n_sys} render systems, shared G-buffer"),
             "value": round(fps, 2), "unit": "fps",
+            "light_tile_budget": eng.config.render.light_tile_budget,
             "drops": eng.drop_stats()}
 
 

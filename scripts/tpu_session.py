@@ -13,6 +13,10 @@ step, not the session.
 
 Usage:
     python scripts/tpu_session.py            # run everything pending
+    python scripts/tpu_session.py --wait     # probe every ~15 min until the
+                                             # tunnel heals, then run; loop
+                                             # until every step is done (or
+                                             # TPU_SESSION_DEADLINE s, def 11 h)
     python scripts/tpu_session.py --list     # show step status
     python scripts/tpu_session.py smoke bench  # run specific steps
     TPU_SESSION_SKIP=profile python scripts/tpu_session.py
@@ -121,16 +125,8 @@ def run_step(name, argv, timeout_s, extra_env):
     return True  # a failed step shouldn't starve the rest of the queue
 
 
-def main():
-    os.makedirs(LOGDIR, exist_ok=True)
-    if "--list" in sys.argv:
-        for name, _, _, _ in STEPS:
-            state = ("done" if os.path.exists(
-                os.path.join(LOGDIR, f"{name}.done")) else "pending")
-            print(f"{name:14s} {state}")
-        return
-    only = [a for a in sys.argv[1:] if not a.startswith("-")]
-    skip = set(os.environ.get("TPU_SESSION_SKIP", "").split(","))
+def _run_pending(only, skip):
+    """One pass over the queue. Returns (summary, n_pending_after)."""
     summary = {}
     for name, argv, timeout_s, extra_env in STEPS:
         if only and name not in only:
@@ -142,7 +138,48 @@ def main():
             break
         summary[name] = ("done" if os.path.exists(
             os.path.join(LOGDIR, f"{name}.done")) else "failed")
-    print(f"[tpu_session] summary: {json.dumps(summary)}", flush=True)
+    pending = sum(
+        1 for name, _, _, _ in STEPS
+        if name not in skip and (not only or name in only)
+        and not os.path.exists(os.path.join(LOGDIR, f"{name}.done")))
+    return summary, pending
+
+
+def main():
+    os.makedirs(LOGDIR, exist_ok=True)
+    if "--list" in sys.argv:
+        for name, _, _, _ in STEPS:
+            state = ("done" if os.path.exists(
+                os.path.join(LOGDIR, f"{name}.done")) else "pending")
+            print(f"{name:14s} {state}")
+        return
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    skip = set(os.environ.get("TPU_SESSION_SKIP", "").split(","))
+    if "--wait" not in sys.argv:
+        summary, _ = _run_pending(only, skip)
+        print(f"[tpu_session] summary: {json.dumps(summary)}", flush=True)
+        return
+    # --wait: the rounds-3/4 outages lasted 8+ h, so park on a ~15 min
+    # probe loop (a killed probe locks the tunnel claim about that long
+    # anyway) and rerun the queue after every heal until nothing is pending.
+    deadline = time.time() + float(
+        os.environ.get("TPU_SESSION_DEADLINE", 39600))
+    while time.time() < deadline:
+        ok, msg = _probe()
+        if not ok:
+            print(f"[tpu_session] tunnel down ({msg[-120:]}); "
+                  "re-probing in ~15 min", flush=True)
+            time.sleep(870)
+            continue
+        summary, pending = _run_pending(only, skip)
+        print(f"[tpu_session] pass summary: {json.dumps(summary)} "
+              f"({pending} pending)", flush=True)
+        if pending == 0:
+            print("[tpu_session] ALL STEPS DONE", flush=True)
+            return
+        time.sleep(300)
+    print("[tpu_session] --wait deadline expired", flush=True)
+    sys.exit(3)
 
 
 if __name__ == "__main__":
