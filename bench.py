@@ -157,6 +157,13 @@ def main():
     print(f"[bench child] building engine {width}x{height}, "
           f"{n_ast} asteroids ...", file=sys.stderr, flush=True)
     capacity = 1 << (n_ast + 64).bit_length()  # headroom above population
+    # zero-edit perf sweeps: every sweepable knob rides an env var so a TPU
+    # session can A/B without touching code (each edit would otherwise pay
+    # a fresh multi-minute tunnel compile anyway; env sweeps are scriptable)
+    def _opt_int(name):
+        v = os.environ.get(name)
+        return int(v) if v else None
+
     eng = build_space_engine(
         width=width, height=height, capacity=capacity,
         num_asteroids=n_ast, max_tris=max_tris,
@@ -164,6 +171,9 @@ def main():
         # BENCH_NORMAL_MAPS=0 drops the station's normal map (48-wide
         # packed rows instead of 64) for an A/B on the first TPU session
         normal_maps=os.environ.get("BENCH_NORMAL_MAPS", "1") != "0",
+        shadow_update_interval=_opt_int("BENCH_SHADOW_INTERVAL"),
+        shadow_pcf_scale=_opt_int("BENCH_PCF_SCALE"),
+        light_tile_budget=_opt_int("BENCH_LIGHT_TILE_BUDGET"),
     )
     eng.config.record_history = False
 

@@ -417,6 +417,9 @@ def space_config(
     shadow_max_tris: int | None = None,
     shadow_tile_budget: float = 0.2,
     normal_maps: bool = True,
+    shadow_update_interval: int | None = None,
+    shadow_pcf_scale: int | None = None,
+    light_tile_budget: int | None = None,
 ) -> EngineConfig:
     from render_engine_tpu.render.raster_jnp import RasterConfig
 
@@ -433,7 +436,8 @@ def space_config(
     # MOST one new map per frame (each of the demo's 2 lights refreshes
     # every 2 frames there; every 4 here) — halves per-frame shadow cost.
     # Tiny CI targets keep the per-frame cadence so scheduling tests see it.
-    shadow_update_interval = 2 if height >= 240 else 1
+    if shadow_update_interval is None:
+        shadow_update_interval = 2 if height >= 240 else 1
 
     registry = R.ComponentRegistry(custom=CUSTOM_COMPONENTS)
     return EngineConfig(
@@ -444,6 +448,7 @@ def space_config(
         render=RenderSettings(width=width, height=height, max_tris=max_tris,
                               max_point_lights=8, max_spot_lights=8,
                               fused_shading=True,
+                              light_tile_budget=(light_tile_budget or 0),
                               # space scenes are mostly sky: compact the
                               # latency-bound PCF/texture gathers to the
                               # most-occupied tiles (overflow degrades to
@@ -477,6 +482,8 @@ def space_config(
         shadow_resolution=shadow_resolution,
         shadow_max_tris=shadow_max_tris,
         shadow_update_interval=shadow_update_interval,
+        **({} if shadow_pcf_scale is None
+           else {"shadow_pcf_scale": shadow_pcf_scale}),
         # shadow casters use two-bands-coarser LoV (the reference's
         # shadow_render_system_lov, render_thread.rs:97-104): the light
         # frustum sees ~2.4x the camera-visible triangle count at full
