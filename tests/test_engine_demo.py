@@ -112,3 +112,20 @@ class TestEngineShadows:
         assert all(v >= 0 for v in d.values())
         # light-fitted shadow cameras see every relevant caster in the demo
         assert d.get("shadow_caster_outside_volume", 0) == 0
+
+
+class TestSweepKnobs:
+    def test_space_config_sweep_knobs(self):
+        """The bench sweep knobs (BENCH_SHADOW_INTERVAL / BENCH_PCF_SCALE /
+        BENCH_LIGHT_TILE_BUDGET) plumb through space_config; None keeps
+        every existing default."""
+        base = space_config(**KW)
+        cfg = space_config(**KW, shadow_update_interval=3,
+                           shadow_pcf_scale=4, light_tile_budget=16)
+        assert cfg.shadow_update_interval == 3
+        assert cfg.shadow_pcf_scale == 4
+        assert cfg.render.light_tile_budget == 16
+        # defaults untouched when the knobs stay None
+        assert base.shadow_update_interval == 1  # tiny CI target cadence
+        assert base.shadow_pcf_scale == 2
+        assert base.render.light_tile_budget == 0
