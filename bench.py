@@ -174,6 +174,8 @@ def main():
         shadow_update_interval=_opt_int("BENCH_SHADOW_INTERVAL"),
         shadow_pcf_scale=_opt_int("BENCH_PCF_SCALE"),
         light_tile_budget=_opt_int("BENCH_LIGHT_TILE_BUDGET"),
+        shadow_slots=_opt_int("BENCH_SHADOW_SLOTS"),
+        raster_tile_budget=_opt_int("BENCH_TILE_BUDGET"),
     )
     eng.config.record_history = False
 

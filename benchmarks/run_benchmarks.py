@@ -146,10 +146,13 @@ def bench_lights():
     # rebuild jitted fns with a bigger light budget (keep fused shading,
     # raster config, and the demo's render systems); tiles cull the light
     # loop to their own lists (overflow shows in drops as
-    # light_tile_overflow — keep it 0)
+    # light_tile_overflow — keep it 0). TPU sweep at this config
+    # (debug_logs/tpu_session/lights_sweep.json): budget 0 -> 61.0 FPS,
+    # 48 -> 70.44 but 24 overflows, 96 -> 68.7 with ZERO overflow; 96 is
+    # the default (exactness first, still +13% over the dense loop).
     eng.config.render = dataclasses.replace(
         eng.config.render, max_point_lights=nl, max_spot_lights=8,
-        light_tile_budget=int(os.environ.get("BENCH_LIGHT_TILE_BUDGET", 48)),
+        light_tile_budget=int(os.environ.get("BENCH_LIGHT_TILE_BUDGET", 96)),
     )
     eng.finalize_scene()
     assert eng.compiled_systems is not None

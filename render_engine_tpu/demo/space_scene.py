@@ -420,6 +420,8 @@ def space_config(
     shadow_update_interval: int | None = None,
     shadow_pcf_scale: int | None = None,
     light_tile_budget: int | None = None,
+    shadow_slots: int | None = None,
+    raster_tile_budget: int | None = None,
 ) -> EngineConfig:
     from render_engine_tpu.render.raster_jnp import RasterConfig
 
@@ -438,6 +440,14 @@ def space_config(
     # Tiny CI targets keep the per-frame cadence so scheduling tests see it.
     if shadow_update_interval is None:
         shadow_update_interval = 2 if height >= 240 else 1
+    # the scene has exactly 2 shadow-casting lights (the 2 star spots, 1
+    # map each): slots beyond that are never mapped but still cost their
+    # per-frame PCF conditional's output materialization. CI keeps the
+    # reference budget of 6 so eviction/scheduling tests see it.
+    if shadow_slots is None:
+        shadow_slots = 2 if height >= 240 else 6
+    if raster_tile_budget is None:
+        raster_tile_budget = 96
 
     registry = R.ComponentRegistry(custom=CUSTOM_COMPONENTS)
     return EngineConfig(
@@ -470,7 +480,7 @@ def space_config(
                               # tile_budget 64 measured SLOWER than 96
                               # (52.6 vs 54.2 FPS) with 5x the candidate
                               # drops — per-candidate costs don't dominate
-                              raster=RasterConfig(tile_budget=96,
+                              raster=RasterConfig(tile_budget=raster_tile_budget,
                                                   global_budget=32,
                                                   pair_budget=3 * max_tris)),
         entity_types=ENTITY_TYPES,
@@ -481,6 +491,7 @@ def space_config(
         enable_shadows=enable_shadows,
         shadow_resolution=shadow_resolution,
         shadow_max_tris=shadow_max_tris,
+        shadow_slots=shadow_slots,
         shadow_update_interval=shadow_update_interval,
         **({} if shadow_pcf_scale is None
            else {"shadow_pcf_scale": shadow_pcf_scale}),

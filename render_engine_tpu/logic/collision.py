@@ -100,29 +100,42 @@ class CollisionResult:
         the self type's callback once, so an entity touching a wormhole AND
         a mine in the same frame gets both callbacks — not just the first
         neighbor in slot order. Large-entity query rows merge in by scatter
-        (disjoint from the compact rows by construction)."""
+        (disjoint from the compact rows by construction).
+
+        Compact-then-scatter: each slot j is the column whose 1-based hit
+        rank equals j+1 — k lane-dim argmax reduces compact the (Q, K)
+        table to (Q, k) per query ON-ROW, then ONE (Q, 2k) f32 row scatter
+        lands the rows in entity space. The previous formulation scattered
+        every (query, candidate) cell into a flat (CAP*k,) int32/bool pair
+        — a ~229k-element 1-D scatter that lands in TPU scalar memory and
+        measured 3.9 ms/frame on the device trace; the row form is the
+        (N, C) f32 row-table layout from the perf model."""
         cap = world.capacity
-        others = jnp.full((cap * k,), -1, jnp.int32)
-        masks = jnp.zeros((cap * k,), bool)
+        payload = jnp.concatenate(
+            [jnp.full((cap + 1, k), -1.0, jnp.float32),
+             jnp.zeros((cap + 1, k), jnp.float32)], axis=-1)
         dropped = jnp.int32(0)
         for query, valid, cand, _ctype, ok in self._tables(world):
-            # each colliding pair knows its slot from its rank among the
-            # row's hits — ONE flat scatter per table instead of a k-loop
-            # of argmax+gather+scatter passes (slot order == rank order,
-            # identical to the per-slot formulation)
             rank = jnp.cumsum(ok.astype(jnp.int32), axis=-1)  # 1-based
-            slot = rank - 1
-            dest_row = jnp.where(valid, query, cap)[:, None]
-            flat = dest_row * k + slot
-            flat = jnp.where(ok & (slot < k), flat, cap * k)  # -> dropped
-            flat = flat.reshape(-1)
-            others = others.at[flat].set(
-                cand.reshape(-1).astype(jnp.int32), mode="drop")
-            masks = masks.at[flat].set(True, mode="drop")
+            oth, got = [], []
+            for j in range(k):
+                hit_j = ok & (rank == j + 1)
+                col = jnp.argmax(hit_j, axis=-1)
+                has_j = jnp.any(hit_j, axis=-1)
+                other_j = jnp.take_along_axis(
+                    cand, col[:, None], axis=-1)[:, 0]
+                # ids stay far below 2^24: the f32 round-trip is exact
+                oth.append(jnp.where(has_j, other_j, -1)
+                           .astype(jnp.float32))
+                got.append(has_j.astype(jnp.float32))
+            rows = jnp.stack(oth + got, axis=-1)  # (Q, 2k): others | masks
+            dest = jnp.where(valid, query, cap)
+            payload = payload.at[dest].set(rows, mode="drop")
             dropped = dropped + jnp.sum(
                 jnp.maximum(rank[:, -1] - k, 0) * valid.astype(jnp.int32))
-        return (others.reshape(cap, k), masks.reshape(cap, k),
-                dropped.astype(jnp.int32))
+        others = payload[:cap, :k].astype(jnp.int32)
+        masks = payload[:cap, k:] > 0.5
+        return others, masks, dropped.astype(jnp.int32)
 
     def first_hit_of_type(self, world: World, type_index: int
                           ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -57,6 +57,11 @@ class RenderSettings:
     # sphere intersects its view pyramid, bit-identical to the full loop
     # until a tile exceeds this many lights (then counted in
     # light_tile_overflow). 0 = off (loop every light per tile).
+    # Default JUSTIFIED off: the dense loop already runs only the LIVE
+    # light count, so scenes with a handful of lights gain nothing and
+    # pay the per-frame tile cull. TPU-measured at 256 point lights
+    # (lights_sweep.json): 0 -> 61.0 FPS, 96 -> 68.7 with zero overflow
+    # — set ~96 for many-light scenes (run_benchmarks.py does).
     light_tile_budget: int = 0
 
     def __hash__(self):
@@ -697,16 +702,22 @@ def tiled_fused_core(
             n_base = 4
         n_ovr = n_base + (4 if with_norm else 0)
         # tiles with any textured CANDIDATE (conservative superset of
-        # textured winners — avoids resolving every tile just to test)
-        tex_tri = rows[..., 35] >= 0.0
+        # textured winners — avoids resolving every tile just to test).
+        # One masked lane-dim max over the row table instead of one
+        # strided channel select per role: each [..., c] is a cross-lane
+        # shuffle over the full (NT, B, C) table, the reduce is one pass.
+        tex_ch = [35]
         if with_spec:
-            tex_tri = tex_tri | (rows[..., 40] >= 0.0)
+            tex_ch.append(40)
         if with_emis:
-            tex_tri = tex_tri | (rows[..., 45] >= 0.0)
+            tex_ch.append(45)
         if with_norm:
-            tex_tri = tex_tri | (rows[..., 50] >= 0.0)
+            tex_ch.append(50)
         if with_diss:
-            tex_tri = tex_tri | (rows[..., 59] >= 0.0)
+            tex_ch.append(59)
+        chmask = jnp.zeros((rows.shape[-1],), bool).at[
+            jnp.array(tex_ch, jnp.int32)].set(True)
+        tex_tri = jnp.max(jnp.where(chmask, rows, -1.0), axis=-1) >= 0.0
         tex_cand = jnp.any((cand >= 0) & tex_tri, axis=1)
 
         def textured(slot):

@@ -49,8 +49,14 @@ class EngineConfig:
     collision_pairs: int = 4
     # entities with AABBs larger than a grid cell handled exactly via the
     # global candidate list (coarser-tree-level parity,
-    # bounding_box_tree_v2.rs:21-109); overflow -> collision_large_dropped
-    collision_large_budget: int = 8
+    # bounding_box_tree_v2.rs:21-109); overflow -> collision_large_dropped.
+    # 32: "large" is orientation-dependent (the 8-corner AABB of a big
+    # rotating model breathes across the halfspan threshold), so the live
+    # count spikes — the demo's 10k-asteroid field peaked >8 and dropped
+    # 17 pairs over a 50-frame TPU bench at the old budget of 8. Cost is
+    # L extra candidate columns + an (L, CAP) bool brute table: lane-dim
+    # compares, sub-0.1 ms at L=32, CAP=16k.
+    collision_large_budget: int = 32
 
     # scene setup: build_scene(engine) -> None, spawns initial entities and
     # registers models (the register_model_instances callback path,
@@ -61,6 +67,13 @@ class EngineConfig:
     enable_shadows: bool = False
     shadow_resolution: int = 1024
     shadow_max_tris: int = 16384
+    # shadow map slots (the reference's SHADOW budget, render_flow.rs:
+    # 220-235). Each slot costs a per-frame PCF factor pass gated on
+    # "slot mapped" — an UNMAPPED slot still materializes its conditional
+    # outputs, so scenes that know their shadow-light count should size
+    # this to it (demo: 2 spot lights -> 2). Overflow = round-robin
+    # eviction, exactly the reference's staleness semantics.
+    shadow_slots: int = 6
     # PCF factor subsampling (1 = full res; 2 quarters the dominant gather
     # cost at a penumbra-sharpness cost only)
     shadow_pcf_scale: int = 2

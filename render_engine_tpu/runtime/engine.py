@@ -135,6 +135,7 @@ class Engine:
 
             self.shadow_state = SH.create_shadow_state(
                 self.config.shadow_resolution,
+                budget=self.config.shadow_slots,
                 pcf_scale=self.config.shadow_pcf_scale,
             )
 

@@ -31,9 +31,25 @@ def main():
     from render_engine_tpu.demo.space_scene import build_space_engine
     from render_engine_tpu.logic.types import InputState, KEY_W
 
+    def _opt_int(name):
+        v = os.environ.get(name)
+        return None if v in (None, "") else int(v)
+
     cap = 1 << (n_ast + 64).bit_length()
-    eng = build_space_engine(width=width, height=height, capacity=cap,
-                             num_asteroids=n_ast, max_tris=max_tris)
+    # same sweep knobs as bench.py: profile EXACTLY the configuration the
+    # headline runs (BENCH_SHADOW_INTERVAL=1 removes the lax.cond around
+    # the shadow pass so its inner ops attribute to real source lines)
+    eng = build_space_engine(
+        width=width, height=height, capacity=cap,
+        num_asteroids=n_ast, max_tris=max_tris,
+        normal_maps=os.environ.get("BENCH_NORMAL_MAPS", "1") != "0",
+        shadow_tile_budget=float(os.environ.get("BENCH_SHADOW_TILES", 0.2)),
+        shadow_update_interval=_opt_int("BENCH_SHADOW_INTERVAL"),
+        shadow_pcf_scale=_opt_int("BENCH_PCF_SCALE"),
+        light_tile_budget=_opt_int("BENCH_LIGHT_TILE_BUDGET"),
+        shadow_slots=_opt_int("BENCH_SHADOW_SLOTS"),
+        raster_tile_budget=_opt_int("BENCH_TILE_BUDGET"),
+    )
     eng.config.record_history = False
     img = eng.frame(InputState.idle(0).with_keys(KEY_W), 1 / 60)
     float(img.sum())
