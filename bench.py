@@ -152,7 +152,7 @@ def main():
     max_tris = int(os.environ.get("BENCH_MAX_TRIS", 16384))
 
     from render_engine_tpu.demo.space_scene import build_space_engine
-    from render_engine_tpu.logic.types import InputState, KEY_W
+    from render_engine_tpu.logic.types import InputState
 
     print(f"[bench child] building engine {width}x{height}, "
           f"{n_ast} asteroids ...", file=sys.stderr, flush=True)
@@ -167,7 +167,7 @@ def main():
     eng = build_space_engine(
         width=width, height=height, capacity=capacity,
         num_asteroids=n_ast, max_tris=max_tris,
-        shadow_tile_budget=float(os.environ.get("BENCH_SHADOW_TILES", 0.2)),
+        shadow_tile_budget=float(os.environ.get("BENCH_SHADOW_TILES", 0.28)),
         # BENCH_NORMAL_MAPS=0 drops the station's normal map (48-wide
         # packed rows instead of 64) for an A/B on the first TPU session
         normal_maps=os.environ.get("BENCH_NORMAL_MAPS", "1") != "0",
@@ -190,7 +190,7 @@ def main():
           "tunnel takes several minutes) ...", file=sys.stderr, flush=True)
     # warmup / compile
     for i in range(3):
-        img = eng.frame(InputState.idle(i).with_keys(KEY_W), dt=1 / 60,
+        img = eng.frame(InputState.idle(i), dt=1 / 60,
                         render=True)
     sync(img)
 
@@ -203,17 +203,23 @@ def main():
     # MEDIAN of 3 timed windows: the axon tunnel's throughput wobbles a few
     # percent run to run (one observed transient measured 20x slow); a
     # median is the honest steady-state figure. Every window simulates and
-    # renders every frame. The ship patrols (thrust, brake, thrust) so all
-    # three windows view comparable scene content instead of flying off.
-    from render_engine_tpu.logic.types import KEY_S
-
+    # renders every frame. The ship COASTS (no thrust): the scene is fully
+    # dynamic regardless (10k orbiting asteroids, spinning station, shadow
+    # updates, collisions), but a thrusting patrol couples the camera pose
+    # to chaotic sim events — an earlier thrust-brake-thrust patrol ended
+    # with the ship inside the station (wormhole-impulse + FP-divergence
+    # lottery), a full-screen textured close-up that saturates any static
+    # texture-tile budget and made both FPS and the drop counters
+    # unreproducible run-to-run. A fixed viewpoint benches the same
+    # content every run; input handling itself is exercised identically
+    # (the key array is read by the same traced logic either way).
     windows = []
+    window_drops = []
     fidx = 100
-    for key in (KEY_W, KEY_S, KEY_W):
+    for _ in range(3):
         t0 = time.perf_counter()
         for i in range(frames):
-            img = eng.frame(InputState.idle(fidx).with_keys(key),
-                            dt=1 / 60, render=True)
+            img = eng.frame(InputState.idle(fidx), dt=1 / 60, render=True)
             fidx += 1
         # ONE readback: the last image depends on the last stepped world,
         # so this proves the whole fused chain drained (a second readback
@@ -222,6 +228,10 @@ def main():
         windows.append(frames / (time.perf_counter() - t0))
         print(f"[bench child] window {len(windows)}: "
               f"{windows[-1]:.2f} fps", file=sys.stderr, flush=True)
+        # drop counters OUTSIDE the timed window, at every window boundary:
+        # a single end-of-run snapshot is one arbitrary pose; the per-
+        # counter MAX over three poses is the honest truncation figure
+        window_drops.append(eng.drop_stats())
 
     fps = float(np.median(windows))
     alive = int(np.asarray(eng.world.alive).sum())
@@ -234,9 +244,11 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
         "windows_fps": [round(w, 2) for w in windows],
-        # budget-overflow observability: nonzero counters mean the frame
-        # silently truncated work (grow the corresponding budget)
-        "drops": eng.drop_stats(),
+        # budget-overflow observability: nonzero counters mean a frame
+        # silently truncated work (grow the corresponding budget). Per-
+        # counter MAX over the three window-boundary snapshots.
+        "drops": {k: max(d[k] for d in window_drops)
+                  for k in window_drops[0]},
     }
     print(json.dumps(result))
 

@@ -415,7 +415,7 @@ def space_config(
     enable_shadows: bool = True,
     shadow_resolution: int | None = None,
     shadow_max_tris: int | None = None,
-    shadow_tile_budget: float = 0.2,
+    shadow_tile_budget: float = 0.28,
     normal_maps: bool = True,
     shadow_update_interval: int | None = None,
     shadow_pcf_scale: int | None = None,
@@ -447,7 +447,10 @@ def space_config(
     if shadow_slots is None:
         shadow_slots = 2 if height >= 240 else 6
     if raster_tile_budget is None:
-        raster_tile_budget = 96
+        # 112: at 96 the 10k field leaves ~15 opaque candidates dropped
+        # once exact (post-bf16-fix) culling delivers the full visible set
+        # (debug_logs/diag_budgets.py); 112 zeroes it
+        raster_tile_budget = 112
 
     registry = R.ComponentRegistry(custom=CUSTOM_COMPONENTS)
     return EngineConfig(
@@ -480,10 +483,22 @@ def space_config(
                               # tile_budget 64 measured SLOWER than 96
                               # (52.6 vs 54.2 FPS) with 5x the candidate
                               # drops — per-candidate costs don't dominate
+                              # trans_tile_budget 64: the wormhole/producer
+                              # spheres stack ~200 transparent candidates
+                              # into a handful of tiles at the spawn view —
+                              # the default 16 dropped exactly those
                               raster=RasterConfig(tile_budget=raster_tile_budget,
+                                                  trans_tile_budget=64,
                                                   global_budget=32,
                                                   pair_budget=3 * max_tris)),
         entity_types=ENTITY_TYPES,
+        # pulled-in LoV bands (reference default ends them at 10/25/45/70/
+        # 100% of draw distance): the demo's 2-unit rocks subtend < 7 px
+        # beyond 22% of the 1500 draw distance at 1080p, so the coarse
+        # bands are visually identical while carrying 5x fewer triangles —
+        # the custom_level_of_view tuning the reference exposes per model
+        # (model_storage.rs:294-298)
+        lov_fractions=(0.10, 0.15, 0.20, 0.25, 0.30),
         spawn_budget=spawn_budget,
         build_scene=lambda e: build_scene(e, num_asteroids=num_asteroids,
                                           normal_maps=normal_maps),
@@ -512,7 +527,12 @@ def build_space_engine(**kw) -> Engine:
         .with_yaw_pitch_degrees(-90.0, 0.0)
         .with_fov_degrees(60.0)
         .with_aspect(cfg.render.width / cfg.render.height)
-        .with_near_far(0.5, 2000.0)
+        # far plane == draw distance: the reference has ONE render distance
+        # (far_draw_distance doubles as the render distance,
+        # camera_object.rs:211-214), so nothing renders beyond the last LoV
+        # band — a far plane past draw_distance would draw a coarsest-band
+        # shell the reference would have culled
+        .with_near_far(0.5, 1500.0)
         .with_draw_distance(1500.0)
         .build()
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from render_engine_tpu.math import transforms as T
+
 
 def from_points(points: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """AABB of a point cloud. ``points``: (..., N, 3) -> ((...,3), (...,3)).
@@ -72,7 +74,8 @@ def transform(mn, mx, matrix) -> tuple[jnp.ndarray, jnp.ndarray]:
     cs = corners(mn, mx)  # (..., 8, 3)
     rot = matrix[..., :3, :3]
     trans = matrix[..., :3, 3]
-    moved = jnp.einsum("...ij,...nj->...ni", rot, cs) + trans[..., None, :]
+    moved = jnp.einsum("...ij,...nj->...ni", rot, cs,
+                       precision=T.MM_PRECISION) + trans[..., None, :]
     return from_points(moved)
 
 

@@ -70,7 +70,7 @@ class Camera:
         return T.perspective(self.fov_y, self.aspect, self.near, self.far)
 
     def proj_view(self) -> jnp.ndarray:
-        return self.projection_matrix() @ self.view_matrix()
+        return T.mm44(self.projection_matrix(), self.view_matrix())
 
     def frustum_planes(self) -> jnp.ndarray:
         return T.frustum_planes(self.proj_view())

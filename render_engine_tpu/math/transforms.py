@@ -16,7 +16,33 @@ the reference's frustum/PCF math carries over unchanged):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# TPU matmul DEFAULT precision rounds f32 inputs to bf16 (one MXU pass).
+# That is correct for the big raster/shade resolve dots (they tolerate it by
+# construction) but silently corrupts COORDINATE math: measured on the v5e,
+# a `proj @ view` composed at DEFAULT put the Gribb-Hartmann far plane
+# (r3 - r2, catastrophic cancellation at far/near = 400) off by ~143 world
+# units, flipping aabb_in_frustum for casters 100+ units INSIDE the volume
+# (debug_logs/diag_caster_volume.py; CPU f32 was exact all along). Every
+# matrix compose / point transform here pins full-f32 (HIGHEST) — their
+# FLOPs are trivial, the error is not.
+MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def mm44(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """4x4 (or batched) matrix compose at full f32 precision — use this for
+    every proj/view/light matrix product instead of ``a @ b``."""
+    return jnp.matmul(a, b, precision=MM_PRECISION)
+
+
+def inv44(m: jnp.ndarray) -> jnp.ndarray:
+    """Matrix inverse with its internal products pinned to full f32 —
+    ``jnp.linalg.inv`` at DEFAULT precision inherits the bf16 rounding."""
+    with jax.default_matmul_precision("float32"):
+        return jnp.linalg.inv(m)
+
 
 # ---------------------------------------------------------------------------
 # Quaternions
@@ -118,7 +144,8 @@ def apply_transform(matrix, points) -> jnp.ndarray:
     """Apply (...,4,4) affine to (...,N,3) points -> (...,N,3)."""
     rot = matrix[..., :3, :3]
     trans = matrix[..., :3, 3]
-    return jnp.einsum("...ij,...nj->...ni", rot, points) + trans[..., None, :]
+    return jnp.einsum("...ij,...nj->...ni", rot, points,
+                      precision=MM_PRECISION) + trans[..., None, :]
 
 
 def translation_update(matrix, new_translation) -> jnp.ndarray:
@@ -145,9 +172,9 @@ def look_at(eye, target, up) -> jnp.ndarray:
     m = m.at[0, :3].set(s)
     m = m.at[1, :3].set(u)
     m = m.at[2, :3].set(-f)
-    m = m.at[0, 3].set(-jnp.dot(s, eye))
-    m = m.at[1, 3].set(-jnp.dot(u, eye))
-    m = m.at[2, 3].set(jnp.dot(f, eye))
+    m = m.at[0, 3].set(-jnp.dot(s, eye, precision=MM_PRECISION))
+    m = m.at[1, 3].set(-jnp.dot(u, eye, precision=MM_PRECISION))
+    m = m.at[2, 3].set(jnp.dot(f, eye, precision=MM_PRECISION))
     return m
 
 

@@ -28,10 +28,17 @@ import jax.numpy as jnp
 import numpy as np
 
 NUM_LOV_BANDS = 5  # reference NUMBER_DEFAULT_LEVEL_VIEWS
-# Band thresholds as fractions of draw distance (reference
-# create_level_of_views: 10/15/20/25/30%; beyond the last band the coarsest
-# geometry is used).
-DEFAULT_LOV_FRACTIONS = (0.10, 0.15, 0.20, 0.25, 0.30)
+# Band END thresholds as fractions of draw distance. The reference's
+# create_level_of_views (default_render_system.rs:240-255) ACCUMULATES its
+# 10/15/20/25/30% increments, so the default bands end at 10/25/45/70/100%
+# of the render distance and the last band ends exactly at the far plane
+# (far_draw_distance == render_distance there, camera_object.rs:211-214).
+# Beyond the last band the coarsest geometry is used — the reference's
+# out-of-range fallback (model_definitions.rs:42-47), reachable here only
+# when a camera's far plane exceeds its draw_distance. Scenes can tune
+# these via EngineConfig.lov_fractions (the custom_level_of_view
+# analogue, model_storage.rs:294-298).
+DEFAULT_LOV_FRACTIONS = (0.10, 0.25, 0.45, 0.70, 1.00)
 
 
 @partial(

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from render_engine_tpu.ecs.world import World
+from render_engine_tpu.math import transforms as T
 from render_engine_tpu.models.bank import ModelBank
 from render_engine_tpu.render import lighting as L
 from render_engine_tpu.render import skybox as SB
@@ -337,7 +338,7 @@ def _unproject_tiled(d, tiles_x, th, twd, width, height, inv_pv,
         [jnp.broadcast_to(px / width * 2.0 - 1.0, d.shape),
          jnp.broadcast_to(1.0 - py / height * 2.0, d.shape),
          d, jnp.ones_like(d)], axis=-1)
-    wp = jnp.einsum("ij,...j->...i", inv_pv, ndc)
+    wp = jnp.einsum("ij,...j->...i", inv_pv, ndc, precision=T.MM_PRECISION)
     return wp[..., :3] / jnp.where(
         jnp.abs(wp[..., 3:4]) > 1e-12, wp[..., 3:4], 1.0)
 
@@ -481,7 +482,7 @@ def _frustum_need(m, corners, ncov):
     all 8 corners fail one clip plane — a LINEAR condition on the
     homogeneous corner vectors, so it bounds the whole projective hull;
     culled tiles are exactly lit by pcf_factor's inside mask)."""
-    clip = corners @ m.T
+    clip = jnp.matmul(corners, m.T, precision=T.MM_PRECISION)
     x, y, z, w = clip[..., 0], clip[..., 1], clip[..., 2], clip[..., 3]
     culled = (jnp.all(x + w < 0, 1) | jnp.all(x - w > 0, 1)
               | jnp.all(y + w < 0, 1) | jnp.all(y - w > 0, 1)
@@ -500,7 +501,7 @@ def shadow_tile_overflow(shadow, d, wn, tiles_x, th, twd, width, h_total,
                                          h_total, y_off)
     over = jnp.int32(0)
     for s in range(shadow.slot_entity.shape[0]):
-        m = shadow.light_mats[s] @ inv_pv
+        m = T.mm44(shadow.light_mats[s], inv_pv)
         need = jnp.sum(_frustum_need(m, corners, ncov).astype(jnp.int32))
         need = jnp.where(shadow.slot_entity[s] >= 0, need, 0)
         over = jnp.maximum(over, jnp.maximum(need - tb, 0))
@@ -545,7 +546,7 @@ def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
     facs, invs = [], []
     for s in range(n_slots):
         def active(s=s):
-            m = shadow.light_mats[s] @ inv_pv  # camera NDC -> light clip
+            m = T.mm44(shadow.light_mats[s], inv_pv)  # camera NDC -> light clip
             need = _frustum_need(m, corners, ncov)
             key = jnp.where(need, ncov, -1)
             order = jnp.argsort(-key, stable=True).astype(jnp.int32)
@@ -611,7 +612,7 @@ def _fused_custom_shading(shaded, s, d, wn, rows, cfg, tri_sys, camera,
           + jnp.arange(twd, dtype=jnp.float32)[None, None, :] + 0.5)
     py = jnp.broadcast_to(py, (nt, th, twd)).reshape(nt * th, twd)
     px = jnp.broadcast_to(px, (nt, th, twd)).reshape(nt * th, twd)
-    inv_pv = jnp.linalg.inv(camera.proj_view())
+    inv_pv = T.inv44(camera.proj_view())
     gbuf, extras = RP._gbuffer_from_channels(
         ch, d_t, wn_t, h_total, width, inv_pv, px=px, py=py,
         ndc_py=py + jnp.float32(y_off))
@@ -751,7 +752,7 @@ def tiled_fused_core(
             ovr_t = jnp.zeros_like(ovr_o)
         albedo_override = jnp.concatenate([ovr_o, ovr_t])  # (2*n_ovr, ...)
 
-    inv_pv = jnp.linalg.inv(camera.proj_view())
+    inv_pv = T.inv44(camera.proj_view())
     nt_ = d.shape[0]
     sft = sfi = sent = None
     if shadow_state is not None:
@@ -894,7 +895,7 @@ def _render_frame_pallas_tiled(
     py_tall = jnp.broadcast_to(py_t, (nt, th, twd)).reshape(nt * th, twd)
     px_tall = jnp.broadcast_to(px_t, (nt, th, twd)).reshape(nt * th, twd)
 
-    inv_pv = jnp.linalg.inv(camera.proj_view())
+    inv_pv = T.inv44(camera.proj_view())
     gbuf, extras = RP._gbuffer_from_channels(
         ch_o, tall(d), tall(wn), h, w, inv_pv, px=px_tall, py=py_tall)
     t_gbuf, t_extras = RP._gbuffer_from_channels(

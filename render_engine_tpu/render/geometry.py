@@ -217,7 +217,8 @@ def build_triangle_batch(
     # world -> clip (MXU) -------------------------------------------------
     ones = jnp.ones(w_pos.shape[:-1] + (1,), jnp.float32)
     homo = jnp.concatenate([w_pos, ones], axis=-1)  # (T, 3, 4)
-    clip = jnp.einsum("ij,tnj->tni", pv, homo)  # (T, 3, 4)
+    clip = jnp.einsum("ij,tnj->tni", pv, homo,
+                      precision=T.MM_PRECISION)  # (T, 3, 4)
 
     if not depth_only:
         # transparency routing: material alpha < 1, a dissolve map (per-

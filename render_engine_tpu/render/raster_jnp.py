@@ -158,33 +158,51 @@ def _bin_triangles(batch: TriangleBatch, cfg: RasterConfig,
     bt = cfg.tile_budget
     btr = cfg.trans_tile_budget
     if classed:
-        width_w = bt + btr
         tile_of = sbase >> 1
         is_trans = (sbase & 1) == 1
         budget_of = jnp.where(is_trans, btr, bt)
-        col = rank + jnp.where(is_trans, bt, 0)
         ok = live & (rank < budget_of)
     else:
-        width_w = bt
+        is_trans = None
         tile_of = sbase
-        col = rank
         ok = live & (rank < bt)
-    flat = jnp.where(ok, tile_of * width_w + col, nt * width_w)
-    # scatter 8-wide f32 ROWS (only column 0 is read back): 1-element
-    # scatters take the scalar-memory path at ~3x the cost of row scatters
-    val_rows = jnp.broadcast_to(
-        sorted_tri.astype(jnp.float32)[:, None], (length, 8))
-    win = jnp.full((nt * width_w, 8), -1.0, jnp.float32).at[flat].set(
-        val_rows, mode="drop"
-    )[:, 0].astype(jnp.int32).reshape(nt, width_w)
+    # window fill is ONE scatter-max of 128-lane one-hot rows: each live
+    # pair writes its triangle id into lane rank%128 of row
+    # (tile, rank//128); ids >= 0 and the window initializes to -1, so max
+    # combines collision-free lanes. The previous form scattered 8-wide
+    # broadcast rows into an (NT*width, 8) buffer and read back lane 0 —
+    # the (…, 8) minor dim occupies 8/128 lanes of every memory tile
+    # (16x padding) and the [:, 0] read is a lane-select relayout of the
+    # whole padded buffer, so its cost scaled with the budget widths
+    # (measured 0.59 ms at widths 96+16 -> 2.97 ms at 112+64; this form
+    # is width-independent up to each 128-lane group).
+    go = -(-bt // 128)  # 128-lane groups per opaque window
+    gt = -(-btr // 128) if classed else 0
+    lane = rank % 128
+    grp = rank // 128
+    if classed:
+        row = jnp.where(is_trans,
+                        nt * go + tile_of * gt + jnp.minimum(grp, gt - 1)
+                        if gt > 0 else nt * go,
+                        tile_of * go + jnp.minimum(grp, go - 1))
+        n_rows = nt * (go + gt)
+    else:
+        row = tile_of * go + jnp.minimum(grp, go - 1)
+        n_rows = nt * go
+    row = jnp.where(ok, row, n_rows)  # out-of-budget -> dropped
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (length, 128), 1)
+              == lane[:, None])
+    val_rows = jnp.where(onehot, sorted_tri.astype(jnp.float32)[:, None],
+                         -1.0)
+    win = jnp.full((n_rows, 128), -1.0, jnp.float32).at[row].max(
+        val_rows, mode="drop").astype(jnp.int32)
     # budget-overflow diagnostics (the engine's silent-truncation counter,
     # cf. the reference's soft-error prints texture_array.rs:91)
     cand_dropped = jnp.sum((live & ~ok).astype(jnp.int32)) + pair_sliced
+    tile_cand = win[:nt * go].reshape(nt, go * 128)[:, :bt]
     if classed:
-        tile_cand = win[:, :bt]
-        trans_cand = win[:, bt:]
+        trans_cand = win[nt * go:].reshape(nt, gt * 128)[:, :btr]
     else:
-        tile_cand = win
         trans_cand = None
 
     # ---- global list ----------------------------------------------------

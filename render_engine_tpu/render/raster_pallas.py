@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from render_engine_tpu.render.geometry import TriangleBatch
 from render_engine_tpu.render.raster_jnp import RasterConfig, _bin_triangles
+from render_engine_tpu.math import transforms as T
 
 
 def _tile_kernel(
@@ -546,7 +547,8 @@ def _gbuffer_from_channels(ch, depth, winner, height, width, inv_proj_view,
         ],
         axis=-1,
     )  # (H, W, 4)
-    wp = jnp.einsum("ij,hwj->hwi", inv_proj_view, ndc)
+    wp = jnp.einsum("ij,hwj->hwi", inv_proj_view, ndc,
+                    precision=T.MM_PRECISION)
     pos = wp[..., :3] / jnp.where(
         jnp.abs(wp[..., 3:4]) > 1e-12, wp[..., 3:4], 1.0
     )
@@ -631,7 +633,7 @@ def render_gbuffers_pallas(
     if proj_view is None:
         inv_pv = jnp.eye(4, dtype=jnp.float32)
     else:
-        inv_pv = jnp.linalg.inv(proj_view)
+        inv_pv = T.inv44(proj_view)
     gbuf, extras = _gbuffer_from_channels(
         untile_ch(res_o), depth, winner, height, width, inv_pv
     )

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from render_engine_tpu.math import transforms as T
 from render_engine_tpu.render.lighting import (
     DIFFUSE_FLOOR,
     SHININESS,
@@ -162,7 +163,7 @@ def select_tile_lights(ltab, n_live, camera_position, inv_pv, tiles_x,
     gy = jnp.broadcast_to(ndc_y[:, None], (tiles_y + 1, tiles_x + 1))
     ndc = jnp.stack([gx, gy, jnp.full_like(gx, 0.5), jnp.ones_like(gx)],
                     axis=-1)
-    wp = jnp.einsum("ij,yxj->yxi", inv_pv, ndc)
+    wp = jnp.einsum("ij,yxj->yxi", inv_pv, ndc, precision=T.MM_PRECISION)
     rays = wp[..., :3] / jnp.where(jnp.abs(wp[..., 3:4]) > 1e-12,
                                    wp[..., 3:4], 1.0) - cam  # (Ty+1,Tx+1,3)
 

@@ -178,7 +178,7 @@ def light_proj_view(world: World, entity: jnp.ndarray,
     ortho = T.orthographic(-ortho_extent, ortho_extent, -ortho_extent,
                            ortho_extent, near, ortho_far)
     proj = jnp.where(is_dir, ortho, persp)
-    return proj @ view
+    return T.mm44(proj, view)
 
 
 def casters_outside_volume(world: World, light_entity: jnp.ndarray,
@@ -339,8 +339,12 @@ def render_shadow_map(
 def shadow_raster_cfg(max_tris: int) -> RasterConfig:
     """Default raster config of the shadow depth pass — shared with the
     engine's drop diagnostics so the counted binning budgets are exactly
-    the ones the pass runs with."""
-    return RasterConfig(tile_budget=64, global_budget=16,
+    the ones the pass runs with. tile_budget 160: once exact (post-
+    bf16-fix) culling delivered the full caster set, the demo's second
+    star still dropped 142 candidates at 64-96 and ~12 at 128 (sized per
+    window and per light, debug_logs/diag_budgets.py); the shadow raster
+    is ~0.8 ms every `interval`-th frame, so the wider table is cheap."""
+    return RasterConfig(tile_budget=160, global_budget=16,
                         pair_budget=4 * max_tris)
 
 
@@ -420,7 +424,7 @@ def pcf_factor(shadow: ShadowState, slot: jnp.ndarray,
         [world_pos, jnp.ones(world_pos.shape[:-1] + (1,), jnp.float32)],
         axis=-1,
     )
-    clip = jnp.einsum("ij,...j->...i", mat, homo)
+    clip = jnp.einsum("ij,...j->...i", mat, homo, precision=T.MM_PRECISION)
     w = clip[..., 3:4]
     ndc = clip[..., :3] / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
     # the shadow raster samples pixel centers at +0.5, so texel i covers

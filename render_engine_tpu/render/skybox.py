@@ -10,6 +10,8 @@ the cubemap — same result, no geometry, one fused op.
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from render_engine_tpu.math import transforms as T
 import numpy as np
 
 
@@ -208,9 +210,10 @@ def starfield_background(camera, stars: Starfield, height: int, width: int,
     right = right / jnp.linalg.norm(right)
     up = jnp.cross(right, fwd)
     # view-space components
-    dx = stars.dirs @ right
-    dy = stars.dirs @ up
-    dz = stars.dirs @ fwd  # positive = in front
+    dx = jnp.matmul(stars.dirs, right, precision=T.MM_PRECISION)
+    dy = jnp.matmul(stars.dirs, up, precision=T.MM_PRECISION)
+    dz = jnp.matmul(stars.dirs, fwd,
+                    precision=T.MM_PRECISION)  # positive = in front
     t = jnp.tan(0.5 * jnp.float32(camera.fov_y))
     safe = jnp.where(dz > 1e-6, dz, 1.0)
     ndc_x = dx / (safe * t * camera.aspect)

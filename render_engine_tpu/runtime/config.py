@@ -63,6 +63,12 @@ class EngineConfig:
     # pipeline.rs:186-208)
     build_scene: Optional[Callable] = None
 
+    # level-of-view band end thresholds as fractions of the camera draw
+    # distance. None = the reference's default bands (10/25/45/70/100%,
+    # default_render_system.rs:240-255); scenes whose models are tiny can
+    # pull bands in (custom_level_of_view analogue, model_storage.rs:294).
+    lov_fractions: Optional[Sequence[float]] = None
+
     # shadows (reference budget: 6 maps @1024^2, <=1 new per frame)
     enable_shadows: bool = False
     shadow_resolution: int = 1024

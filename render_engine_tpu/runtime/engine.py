@@ -27,6 +27,7 @@ from render_engine_tpu.models.bank import ModelBank, ModelBankBuilder
 from render_engine_tpu.render.frame import render_frame
 from render_engine_tpu.runtime.config import EngineConfig
 from render_engine_tpu.runtime.history import HistoryLog
+from render_engine_tpu.math import transforms as T
 
 
 class Engine:
@@ -41,7 +42,9 @@ class Engine:
         )
         self.world = W.create_world(self.world_config)
         self.camera = camera or CameraBuilder().build()
-        self.bank_builder = ModelBankBuilder()
+        self.bank_builder = (
+            ModelBankBuilder(lov_fractions=tuple(config.lov_fractions))
+            if config.lov_fractions is not None else ModelBankBuilder())
         self.bank: ModelBank | None = None
         self.cubemap = None
         self.atlas = None
@@ -593,7 +596,7 @@ class Engine:
                             + settings.max_point_lights
                             + settings.max_spot_lights)
                     ltab_sel, n_live = pack_lights(lights, lbud)
-                    inv_pv_l = jnp.linalg.inv(camera.proj_view())
+                    inv_pv_l = T.inv44(camera.proj_view())
                     _, _, light_drop = select_tile_lights(
                         ltab_sel, n_live, camera.position, inv_pv_l,
                         tiles_x, tiles_y, cfg.tile_h, cfg.tile_w,
@@ -644,7 +647,7 @@ class Engine:
                         batch, settings.height, settings.width, cfg,
                         tri_class, two_pass=True, interpret=None,
                         cand=cand, counts=counts)
-                    inv_pv = jnp.linalg.inv(camera.proj_view())
+                    inv_pv = T.inv44(camera.proj_view())
                     out["shadow_tile_overflow"] = shadow_tile_overflow(
                         shadow_state, d, wn, tiles_x, cfg.tile_h,
                         cfg.tile_w, settings.width, settings.height,

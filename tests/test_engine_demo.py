@@ -129,3 +129,15 @@ class TestSweepKnobs:
         assert base.shadow_update_interval == 1  # tiny CI target cadence
         assert base.shadow_pcf_scale == 2
         assert base.render.light_tile_budget == 0
+
+    def test_space_config_budget_knobs(self):
+        """BENCH_SHADOW_SLOTS / BENCH_TILE_BUDGET plumb through, and the
+        measured headline budget defaults hold (112 opaque + 64 transparent
+        candidates per tile, diag_budgets.py sizing)."""
+        base = space_config(**KW)
+        cfg = space_config(**KW, shadow_slots=3, raster_tile_budget=128)
+        assert cfg.shadow_slots == 3
+        assert cfg.render.raster.tile_budget == 128
+        assert base.shadow_slots == 6  # CI keeps the reference budget
+        assert base.render.raster.tile_budget == 112
+        assert base.render.raster.trans_tile_budget == 64

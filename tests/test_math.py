@@ -200,3 +200,67 @@ class TestCameraFrustum:
         m = f(cam)
         assert m.shape == (4, 4)
         assert np.isfinite(np.asarray(m)).all()
+
+
+class TestMatmulPrecision:
+    """The TPU's DEFAULT matmul precision rounds f32 inputs to bf16, which
+    catastrophically cancels in the Gribb-Hartmann far-plane extraction
+    (r3 - r2 of proj@view is tiny, then normalized): measured ~143 world
+    units of far-plane error on the v5e, silently culling casters deep
+    inside a light volume. mm44/inv44 and the precision-pinned einsums
+    keep coordinate math exact on EVERY backend; this test asserts the
+    plane math matches an f64 reference wherever the suite runs (on CPU
+    it documents the contract; on TPU it catches the regression)."""
+
+    def test_far_plane_matches_f64(self):
+        from render_engine_tpu.world import culling
+
+        pos = np.array([1000.0, 1000.0, 880.0], np.float32)
+        d = np.array([0.0, -0.3, 1.0], np.float64)
+        d /= np.linalg.norm(d)
+        persp = np.asarray(T.perspective(jnp.float32(2.1), 1.0, 1.0,
+                                         jnp.float32(400.0)))
+        view = np.asarray(T.look_at(jnp.asarray(pos),
+                                    jnp.asarray(pos + d.astype(np.float32)),
+                                    jnp.asarray(np.array([0.0, 1.0, 0.0],
+                                                         np.float32))))
+        pv = T.mm44(jnp.asarray(persp), jnp.asarray(view))
+        planes = np.asarray(T.frustum_planes(pv))
+
+        r = persp.astype(np.float64) @ view.astype(np.float64)
+        pl64 = np.stack([r[3] + r[0], r[3] - r[0], r[3] + r[1], r[3] - r[1],
+                         r[3] + r[2], r[3] - r[2]])
+        pl64 /= np.linalg.norm(pl64[:, :3], axis=-1, keepdims=True)
+        # f32 round-off through the pinned compose stays under 1e-2 world
+        # units even on the cancellation-amplified far plane; bf16 measured
+        # ~143 there
+        np.testing.assert_allclose(planes, pl64, atol=1e-2)
+
+        # a caster 290 units down the axis, 0.37 rad off it, must test
+        # inside (the exact configuration the TPU miscull dropped)
+        ax = d
+        lat = np.cross(ax, [0.0, 1.0, 0.0])
+        lat /= np.linalg.norm(lat)
+        ang = np.arccos(0.93)
+        c = pos + (290 * np.cos(ang) * ax + 290 * np.sin(ang) * lat).astype(
+            np.float32)
+        mn = jnp.asarray((c - 7)[None].astype(np.float32))
+        mx = jnp.asarray((c + 7)[None].astype(np.float32))
+        assert bool(culling.aabb_in_frustum(T.frustum_planes(pv), mn, mx)[0])
+
+    def test_inv44_roundtrip(self):
+        cam = (CameraBuilder()
+               .with_position(900.0, 1000.0, 800.0)
+               .with_yaw_pitch_degrees(-90.0, -10.0)
+               .with_fov_degrees(63.0)
+               .with_aspect(16 / 9)
+               .with_near_far(0.5, 2000.0)
+               .build())
+        pv = cam.proj_view()
+        # compare against the f64 inverse, scaled: pv is ill-conditioned
+        # (translations ~1e3, far/near 4e3), so an absolute identity check
+        # overstates achievable f32 accuracy; the pinned inverse must
+        # match f64 to f32 round-off relative to the inverse's own scale
+        inv64 = np.linalg.inv(np.asarray(pv).astype(np.float64))
+        err = np.abs(np.asarray(T.inv44(pv)) - inv64)
+        assert err.max() <= 1e-4 * np.abs(inv64).max()
