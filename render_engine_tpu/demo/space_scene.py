@@ -142,9 +142,15 @@ def user_input_logic(world, camera, inputs, dt, cs):
     return cs, camera
 
 
-def user_collision_logic(world, other_idx, mask, cs):
-    """Wormhole hit => forward velocity impulse (user.rs:17-50)."""
-    hit_wormhole = mask & (world["type_id"][other_idx] == TYPE_WORMHOLE)
+def user_collision_logic(world, other_idx, mask, cs, other_type=None):
+    """Wormhole hit => forward velocity impulse (user.rs:17-50).
+
+    ``other_type`` rides the engine's compacted contact rows — the
+    ``world["type_id"][other_idx]`` fallback is a full-capacity 1-D int
+    gather that lands in TPU scalar memory (~0.25 ms per pair slot)."""
+    if other_type is None:
+        other_type = world["type_id"][other_idx]
+    hit_wormhole = mask & (other_type == TYPE_WORMHOLE)
     vel = world["velocity"]
     speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
     direction = jnp.where(speed > 1e-6, vel / jnp.maximum(speed, 1e-6),

@@ -90,10 +90,17 @@ class CollisionResult:
         return out
 
     def hits_topk(self, world: World, k: int
-                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """(others int32[CAP, k], mask bool[CAP, k], dropped int32): the
-        first ``k`` colliding neighbors per query entity, scattered back to
-        entity space, plus the count of colliding pairs beyond slot ``k``.
+                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray]:
+        """(others int32[CAP, k], mask bool[CAP, k], other_type
+        int32[CAP, k], dropped int32): the first ``k`` colliding neighbors
+        per query entity, scattered back to entity space, plus the count of
+        colliding pairs beyond slot ``k``. ``other_type`` carries each
+        contact's type id compacted from the candidate rows — callbacks
+        that filter by the other entity's type must use it instead of
+        ``world["type_id"][other_idx]`` (a full-capacity 1-D int gather
+        lands in TPU scalar memory at ~0.25 ms per callback slot; the type
+        channel rides the SAME row scatter for free).
 
         This is the per-PAIR delivery of the reference's handle_collisions
         (logic_flow.rs:537-655): every colliding (self, other) pair fires
@@ -113,29 +120,36 @@ class CollisionResult:
         cap = world.capacity
         payload = jnp.concatenate(
             [jnp.full((cap + 1, k), -1.0, jnp.float32),
-             jnp.zeros((cap + 1, k), jnp.float32)], axis=-1)
+             jnp.zeros((cap + 1, k), jnp.float32),
+             jnp.full((cap + 1, k), -1.0, jnp.float32)], axis=-1)
         dropped = jnp.int32(0)
-        for query, valid, cand, _ctype, ok in self._tables(world):
+        for query, valid, cand, ctype, ok in self._tables(world):
             rank = jnp.cumsum(ok.astype(jnp.int32), axis=-1)  # 1-based
-            oth, got = [], []
+            oth, got, typ = [], [], []
             for j in range(k):
                 hit_j = ok & (rank == j + 1)
                 col = jnp.argmax(hit_j, axis=-1)
                 has_j = jnp.any(hit_j, axis=-1)
                 other_j = jnp.take_along_axis(
                     cand, col[:, None], axis=-1)[:, 0]
+                type_j = jnp.take_along_axis(
+                    ctype, col[:, None], axis=-1)[:, 0]
                 # ids stay far below 2^24: the f32 round-trip is exact
                 oth.append(jnp.where(has_j, other_j, -1)
                            .astype(jnp.float32))
                 got.append(has_j.astype(jnp.float32))
-            rows = jnp.stack(oth + got, axis=-1)  # (Q, 2k): others | masks
+                typ.append(jnp.where(has_j, type_j, -1)
+                           .astype(jnp.float32))
+            # (Q, 3k): others | masks | types in ONE row scatter
+            rows = jnp.stack(oth + got + typ, axis=-1)
             dest = jnp.where(valid, query, cap)
             payload = payload.at[dest].set(rows, mode="drop")
             dropped = dropped + jnp.sum(
                 jnp.maximum(rank[:, -1] - k, 0) * valid.astype(jnp.int32))
         others = payload[:cap, :k].astype(jnp.int32)
-        masks = payload[:cap, k:] > 0.5
-        return others, masks, dropped.astype(jnp.int32)
+        masks = payload[:cap, k:2 * k] > 0.5
+        otypes = payload[:cap, 2 * k:].astype(jnp.int32)
+        return others, masks, otypes, dropped.astype(jnp.int32)
 
     def first_hit_of_type(self, world: World, type_index: int
                           ) -> tuple[jnp.ndarray, jnp.ndarray]:

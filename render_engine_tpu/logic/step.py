@@ -42,6 +42,16 @@ from render_engine_tpu.world import culling
 from render_engine_tpu.world import grid as G
 
 
+def _accepts_other_type(fn) -> bool:
+    """Trace-time check: does this user callback take ``other_type=``?"""
+    import inspect
+
+    try:
+        return "other_type" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def make_step(
     types: Sequence[EntityType],
     *,
@@ -133,21 +143,36 @@ def make_step(
             stats["collision_cell_dropped"] = colres.cell_dropped
             stats["collision_large_dropped"] = colres.large_dropped
             pairs = max(1, collision_pairs)
-            others, hitm, pair_dropped = colres.hits_topk(world, pairs)
+            others, hitm, otypes, pair_dropped = colres.hits_topk(
+                world, pairs)
             stats["collision_pair_dropped"] = pair_dropped
             # per-PAIR delivery (logic_flow.rs:537-655): slot j carries each
-            # entity's j-th simultaneous contact; empty slots mask to no-ops
+            # entity's j-th simultaneous contact; empty slots mask to no-ops.
+            # Callbacks accepting other_type= get the contact's type id
+            # pre-compacted from the candidate rows (no scalar-memory
+            # re-gather; see types.py collision contract).
             for t in types:
                 if t.collision is not None:
+                    wants = _accepts_other_type(t.collision)
                     for j in range(pairs):
                         tmask = hitm[:, j] & world.of_type(t.index)
-                        cs = t.collision(world, others[:, j], tmask, cs)
+                        if wants:
+                            cs = t.collision(world, others[:, j], tmask, cs,
+                                             other_type=otypes[:, j])
+                        else:
+                            cs = t.collision(world, others[:, j], tmask, cs)
                 if t.random_collision is not None:
+                    wants = _accepts_other_type(t.random_collision)
                     for j in range(pairs):
                         tmask = hitm[:, j] & world.of_type(t.index)
                         rng, sub = jax.random.split(rng)
-                        cs = t.random_collision(world, others[:, j], tmask,
-                                                sub, cs)
+                        if wants:
+                            cs = t.random_collision(
+                                world, others[:, j], tmask, sub, cs,
+                                other_type=otypes[:, j])
+                        else:
+                            cs = t.random_collision(world, others[:, j],
+                                                    tmask, sub, cs)
 
         # 7. per-type logic
         for t in types:

@@ -24,6 +24,12 @@ Callback signatures (all pure; ``cs`` is the frame's accumulating ChangeSet):
       this type, the first colliding entity's index; ``mask`` marks entities
       that actually collided this frame. The other entity is read-only —
       the EntityIdRead contract (entity_id.rs:6-51) by construction.
+      A callback may additionally accept ``other_type=None`` (int32[CAP],
+      the contact's type id, -1 where unmasked): the engine passes it
+      pre-compacted from the collision candidate rows, so type filters
+      need no ``world["type_id"][other_idx]`` gather (a full-capacity 1-D
+      int gather lands in TPU scalar memory — see CLAUDE.md perf model).
+      ``random_collision`` callbacks may accept the same kwarg.
   user_input(world, camera, inputs, dt, cs) -> (cs, camera)
       UserInputLogic analogue, runs once for the user entity's type.
 """

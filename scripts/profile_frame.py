@@ -102,6 +102,29 @@ def main():
                 cnt[src] += 1
         return tot, cnt
 
+    def by_class(win):
+        """Aggregate op time by HLO op CLASS (fusion / copy / sort / ...).
+        Ops nested inside a conditional span are dropped (the cond span
+        already carries their time) so class totals sum to the window."""
+        t0, t1 = win["ts"], win["ts"] + win["dur"]
+        inwin = [e for e in ev
+                 if (e.get("ph") == "X" and "dur" in e
+                     and not e.get("name", "").startswith("jit_")
+                     and e["ts"] >= t0 and e["ts"] + e["dur"] <= t1)]
+        conds = [(e["ts"], e["ts"] + e["dur"]) for e in inwin
+                 if e["name"].startswith("conditional")]
+        tot = collections.Counter()
+        cnt = collections.Counter()
+        for e in inwin:
+            if not e["name"].startswith("conditional") and any(
+                    c0 < e["ts"] and e["ts"] + e["dur"] < c1
+                    for c0, c1 in conds):
+                continue
+            cls = e["name"].split(".")[0].split("(")[0]
+            tot[cls] += e["dur"]
+            cnt[cls] += 1
+        return tot, cnt
+
     for label, prefix in (("STEP", "jit_step_only"),
                           ("RENDER", "jit_render_pure"),
                           ("RENDER", "jit_render_shadowed"),
@@ -117,8 +140,13 @@ def main():
                 print(f"{d/1e3:8.2f} ms  x{cnt[n]:4d}  {n}")
         if wins:
             print(f"=== {label} top ops (window 0)")
-            for n, d in ops_in(wins[0]).most_common(15):
+            n_ops = int(os.environ.get("PROFILE_TOP_OPS", 15))
+            for n, d in ops_in(wins[0]).most_common(n_ops):
                 print(f"{d/1e3:8.2f} ms  {n[:100]}")
+            print(f"=== {label} by op class (window 0, cond-inner dropped)")
+            tot, cnt = by_class(wins[0])
+            for n, d in tot.most_common(20):
+                print(f"{d/1e3:8.2f} ms  x{cnt[n]:4d}  {n}")
 
 
 if __name__ == "__main__":

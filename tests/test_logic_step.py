@@ -219,15 +219,21 @@ class TestCollisions:
         g = G.build_grid(w)
         res = COL.find_collisions(w, g, jnp.array([10.0, 10.0, 10.0]),
                                   jnp.asarray(w.alive))
-        others, mask, dropped = res.hits_topk(w, 4)
+        others, mask, otypes, dropped = res.hits_topk(w, 4)
         m0 = np.asarray(mask[0])
         o0 = np.asarray(others[0])
         assert m0[0] and m0[1] and not m0[2:].any()
         assert {int(o0[0]), int(o0[1])} == {1, 2}
         assert int(dropped) == 0
+        # other_type carries the contact's type id (compacted from the
+        # candidate rows — no re-gather); unmasked slots are -1
+        t0 = np.asarray(otypes[0])
+        types_np = np.asarray(w["type_id"])
+        assert t0[0] == types_np[o0[0]] and t0[1] == types_np[o0[1]]
+        assert (np.asarray(otypes)[~np.asarray(mask)] == -1).all()
         # all three entities mutually overlap: 6 directed pairs total.
         # k=1 keeps one contact each and counts the 3 dropped pairs.
-        _, mask1, dropped1 = res.hits_topk(w, 1)
+        _, mask1, _, dropped1 = res.hits_topk(w, 1)
         assert np.asarray(mask1).sum() == 3  # one slot each
         assert int(dropped1) == 3
 
@@ -261,9 +267,11 @@ class TestCollisions:
         for i in range(1, 7):
             assert bool(has[i]) and int(other[i]) == 0, f"side {i}"
         # the large mover reports all 6 contacts through its slots
-        others, mask, dropped = res.hits_topk(w, 6)
+        others, mask, otypes, dropped = res.hits_topk(w, 6)
         assert np.asarray(mask[0]).sum() == 6
         assert set(np.asarray(others[0]).tolist()) == {1, 2, 3, 4, 5, 6}
+        # large-mover rows carry types too (brute-force table path)
+        assert (np.asarray(otypes[0]) == 1).all()
         assert int(dropped) == 0
         assert int(res.large_dropped) == 0
         # a starved large budget is counted, not silent
@@ -419,10 +427,14 @@ class TestFullStep:
         logic_flow.rs:537-655): the wormhole sets velocity, the mine sets
         ang_vel — both must land, regardless of slot order. Two identical
         runs stay bit-identical."""
-        def ship_hit(world, other_idx, mask, cs):
-            otype = world["type_id"][other_idx]
-            worm = mask & (otype == 1)
-            mine = mask & (otype == 2)
+        def ship_hit(world, other_idx, mask, cs, other_type=None):
+            # the engine passes other_type= to callbacks that accept it
+            # (compacted from candidate rows); the wormhole filter uses it
+            # while the mine filter re-gathers — both paths must agree for
+            # BOTH effects below to land
+            assert other_type is not None
+            worm = mask & (other_type == 1)
+            mine = mask & (world["type_id"][other_idx] == 2)
             vel = jnp.broadcast_to(jnp.array([0.0, 0.0, 50.0]),
                                    (world.capacity, 3))
             spin = jnp.broadcast_to(jnp.array([0.0, 9.0, 0.0]),
