@@ -85,13 +85,25 @@ class ModelBank:
 
     @property
     def tri_packed(self) -> jnp.ndarray:
-        """(F, 4) f32 [v0 v1 v2 material]: the geometry stage's per-triangle
-        gather as ONE f32 row (int-typed gathers land in TPU scalar memory
-        at ~5x the cost; ids stay far below 2^24 so the round-trip is
-        exact). Built per trace — a two-op concat, negligible."""
+        """(F, 5) f32 [v0 v1 v2 material transparent]: the geometry stage's
+        per-triangle gather as ONE f32 row (int-typed gathers land in TPU
+        scalar memory at ~5x the cost; ids stay far below 2^24 so the
+        round-trip is exact). Column 4 is the STATIC half of the
+        transparency routing — material alpha < 1 or a dissolve map
+        (geometry.py consumes it instead of re-gathering mat_alpha /
+        mat_texture_diss per batch row: two ~0.17 ms scalar-memory gathers
+        on the device trace; here the bank rides the jitted frame as a
+        constant, so the per-material gather chain constant-folds and the
+        channel is width-free on the existing row gather). Built per trace
+        — a concat of bank constants, negligible."""
+        mat_safe = jnp.clip(self.tri_material, 0,
+                            self.mat_alpha.shape[0] - 1)
+        transp = ((self.mat_alpha[mat_safe] < 1.0)
+                  | (self.mat_textures[mat_safe, 4] >= 0))
         return jnp.concatenate(
             [self.tri_v.astype(jnp.float32),
-             self.tri_material.astype(jnp.float32)[:, None]],
+             self.tri_material.astype(jnp.float32)[:, None],
+             transp.astype(jnp.float32)[:, None]],
             axis=1,
         )
 

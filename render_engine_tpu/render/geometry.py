@@ -178,7 +178,7 @@ def build_triangle_batch(
 
     # gather model-space geometry (vertex ids + material ride one packed
     # f32 row — int-typed gathers land in scalar memory)
-    trow = bank.tri_packed[tri_idx]  # (T, 4): v0 v1 v2 material
+    trow = bank.tri_packed[tri_idx]  # (T, 5): v0 v1 v2 material transp
     tv = trow[:, 0:3].astype(jnp.int32)
     if depth_only:
         # shadow pass reads positions only — keep the narrow table
@@ -221,17 +221,17 @@ def build_triangle_batch(
                       precision=T.MM_PRECISION)  # (T, 3, 4)
 
     if not depth_only:
-        # transparency routing: material alpha < 1, a dissolve map (per-
+        # transparency routing: material alpha < 1 or a dissolve map (per-
         # pixel alpha, fifth texture pair — any mapped pixel may dissolve,
-        # so the whole triangle takes the forward pass), entity
-        # FLAG_TRANSPARENT, or a render-system alpha_scale uniform below 1
+        # so the whole triangle takes the forward pass) — both STATIC per
+        # material, so they ride tri_packed column 4 (no per-batch
+        # mat_alpha / mat_texture_diss gathers: those land in scalar
+        # memory, ~0.17 ms each on the device trace) — plus entity
+        # FLAG_TRANSPARENT and render-system alpha_scale uniforms below 1
         # (ent_flags rides the packed entity row gathered above)
-        transparent = (bank.mat_alpha[material] < 1.0) | (
+        transparent = (trow[:, 4] > 0.5) | (
             (ent_flags & R.FLAG_TRANSPARENT) != 0
         )
-        if bank.has_dissolve_maps():
-            transparent = transparent | (
-                bank.mat_texture_diss[material] >= 0)
         if msys is not None:
             ns = systems.sys_table.shape[0]
             ascale = systems.sys_table[jnp.clip(msys, 0, ns - 1), 5]
