@@ -111,8 +111,8 @@ class CollisionResult:
 
         Compact-then-scatter: each slot j is the column whose 1-based hit
         rank equals j+1 — k lane-dim argmax reduces compact the (Q, K)
-        table to (Q, k) per query ON-ROW, then ONE (Q, 2k) f32 row scatter
-        lands the rows in entity space. The previous formulation scattered
+        table to (Q, k) per query ON-ROW, then ONE (Q, 3k) f32 row scatter
+        (others | masks | contact types) lands the rows in entity space. The previous formulation scattered
         every (query, candidate) cell into a flat (CAP*k,) int32/bool pair
         — a ~229k-element 1-D scatter that lands in TPU scalar memory and
         measured 3.9 ms/frame on the device trace; the row form is the

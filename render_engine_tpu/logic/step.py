@@ -43,13 +43,23 @@ from render_engine_tpu.world import grid as G
 
 
 def _accepts_other_type(fn) -> bool:
-    """Trace-time check: does this user callback take ``other_type=``?"""
+    """Trace-time check: does this user callback take ``other_type=``?
+
+    ``**kwargs`` callbacks count as accepting it (they receive the keyword
+    without error); uninspectable callables fall back to the slow
+    ``world["type_id"][other_idx]`` gather path — wrap them in a plain
+    ``def`` with an explicit ``other_type=`` parameter to get the fast
+    contact-row type channel."""
     import inspect
 
     try:
-        return "other_type" in inspect.signature(fn).parameters
+        params = inspect.signature(fn).parameters
     except (TypeError, ValueError):
         return False
+    if "other_type" in params:
+        return True
+    return any(p.kind is inspect.Parameter.VAR_KEYWORD
+               for p in params.values())
 
 
 def make_step(

@@ -95,7 +95,12 @@ class ModelBank:
         on the device trace; here the bank rides the jitted frame as a
         constant, so the per-material gather chain constant-folds and the
         channel is width-free on the existing row gather). Built per trace
-        — a concat of bank constants, negligible."""
+        — a concat of bank constants, negligible. Note the clip below
+        mirrors the geometry stage's downstream mat_safe clamping (an
+        out-of-range id — unreachable through the builder — inherits
+        material 0's transparency rather than faulting); column 3 keeps
+        the raw id on purpose so the clamp happens exactly once per
+        consumer."""
         mat_safe = jnp.clip(self.tri_material, 0,
                             self.mat_alpha.shape[0] - 1)
         transp = ((self.mat_alpha[mat_safe] < 1.0)
@@ -293,7 +298,7 @@ class ModelBankBuilder:
                         os.path.join(base, m["map_ks"]), kind="specular")
                 if m.get("map_ke"):
                     emis_tex = atlas_builder.add_image_file(
-                        os.path.join(base, m["map_ke"]), kind="shininess")
+                        os.path.join(base, m["map_ke"]), kind="emissive")
                 if m.get("map_bump"):
                     norm_tex = atlas_builder.add_image_file(
                         os.path.join(base, m["map_bump"]), kind="normal")

@@ -120,6 +120,11 @@ def render_frame(
 
     ``shadow_state``: a shadows.ShadowState whose maps PCF-attenuate the
     matching lights; ``shadow_factor`` overrides it with a custom callback.
+    NOTE: a custom ``shadow_factor`` forfeits the fused Pallas shading
+    kernel — the frame drops to the tiled XLA path (the callback's
+    arbitrary Python can't run inside the kernel's light loop), which
+    costs several ms at 1080p. The built-in PCF path (shadow_state alone)
+    stays fused.
     ``systems``: optional render_system.CompiledSystems — user render
     systems folded into the single fused pass as per-triangle data (model
     routing, LoV gating, unlit/emissive boost, tint/alpha uniforms), plus

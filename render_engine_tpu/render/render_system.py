@@ -68,7 +68,8 @@ class RenderSystem:
     # (system_information.rs:486-559 shader declarations): replaces the
     # default deferred Blinn-Phong for this system's pixels. Traced Python
     # over the G-buffer contract instead of GLSL strings. None = default
-    # shading. Requires fused_shading=False (the XLA shading paths).
+    # shading. Runs on EVERY path: the XLA shading paths, the fused Pallas
+    # kernel (as a post-kernel resolve hook), and the sharded frame.
     shade: object = None
 
 
@@ -123,8 +124,9 @@ class RenderSystemBuilder:
         contract. The fn sees per-pixel position/normal/albedo/depth/
         material, the camera, the frame's light table, this system's
         uniform values (including per-frame DrawParam writes), and the
-        default-shaded color to build on. Opaque layer only; requires the
-        XLA shading paths (fused_shading=False)."""
+        default-shaded color to build on. Opaque layer only. Runs on every
+        path — the XLA shading paths, the fused Pallas kernel (post-kernel
+        hook over the G-buffer contract), and the sharded frame."""
         if not callable(fn):
             raise TypeError("fragment shading function must be callable")
         self._shade = fn

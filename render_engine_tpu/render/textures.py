@@ -75,7 +75,9 @@ class TextureAtlasBuilder:
 
     # the reference's six NAMED error colors, one per texture role
     # (helper_constructs.rs:2-12); each becomes a color/black checkerboard
-    # layer shared across every material that fails that role
+    # layer shared across every material that fails that role. "emissive"
+    # is this build's extra role beyond the reference's five (map_Ke) and
+    # gets its own color (orange — not in the reference palette).
     ERROR_COLORS = {
         "diffuse": (0.0, 0.0, 1.0),
         "dissolve": (0.0, 1.0, 0.0),
@@ -83,6 +85,7 @@ class TextureAtlasBuilder:
         "shininess": (1.0, 0.0, 0.0),
         "specular": (1.0, 0.0, 1.0),
         "storage": (1.0, 1.0, 0.0),
+        "emissive": (1.0, 0.5, 0.0),
     }
 
     def error_texture(self, kind: str = "diffuse") -> int:

@@ -161,18 +161,24 @@ class Engine:
             Amortizes host->device latency for headless/bench runs. NOTE:
             this is a different compiled program than the single step; runs
             that must be bit-replayable frame-by-frame use frame()/_step.
-            """
+            Drop counters are the per-counter MAX over the whole burst (a
+            mid-burst overflow must not vanish by the last frame — the
+            ALL-truncation-counted contract)."""
 
             def body(carry, xs):
                 w, c = carry
                 inp, dt = xs
-                w, c, _ = step(w, c, inp, dt, bank.aabb_min, bank.aabb_max)
-                return (w, c), None
+                w, c, drops = step(w, c, inp, dt, bank.aabb_min,
+                                   bank.aabb_max)
+                return (w, c), drops
 
-            (world, camera), _ = jax.lax.scan(
+            (world, camera), drops_seq = jax.lax.scan(
                 body, (world, camera), (inputs_batch, dts)
             )
-            return world, camera
+            import jax.tree_util as jtu
+
+            max_drops = jtu.tree_map(lambda a: jnp.max(a, axis=0), drops_seq)
+            return world, camera, max_drops
 
         self._step_many = jax.jit(step_many, donate_argnums=(0,))
 
@@ -437,10 +443,17 @@ class Engine:
         self._prev_keys = prev
         stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *chained)
         dts = jnp.asarray(dts, jnp.float32)
-        self.world, self.camera = self._step_many(
+        self.world, self.camera, self._last_drops = self._step_many(
             self.world, self.camera, stacked, dts)
         self.frame_index += len(dts)
         if render_last:
+            # advance the shadow round-robin by one map so the rendered
+            # frame isn't N frames stale (full freshness needs the
+            # per-frame paths: frame() or run_frames_rendered)
+            if self.shadow_state is not None:
+                img, self.shadow_state = self._render_shadowed(
+                    self.world, self.camera, self.shadow_state)
+                return img
             return self.render_only()
         return None
 

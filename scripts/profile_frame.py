@@ -116,9 +116,13 @@ def main():
         tot = collections.Counter()
         cnt = collections.Counter()
         for e in inwin:
-            if not e["name"].startswith("conditional") and any(
-                    c0 < e["ts"] and e["ts"] + e["dur"] < c1
-                    for c0, c1 in conds):
+            # inclusive containment, excluding the span itself: ops that
+            # start/end exactly at a cond boundary belong to that cond, and
+            # inner conditionals are dropped too (the outermost cond span
+            # carries the whole subtree's time once)
+            span = (e["ts"], e["ts"] + e["dur"])
+            if any(c0 <= span[0] and span[1] <= c1 and (c0, c1) != span
+                   for c0, c1 in conds):
                 continue
             cls = e["name"].split(".")[0].split("(")[0]
             tot[cls] += e["dur"]
