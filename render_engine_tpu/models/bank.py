@@ -40,6 +40,30 @@ NUM_LOV_BANDS = 5  # reference NUMBER_DEFAULT_LEVEL_VIEWS
 # analogue, model_storage.rs:294-298).
 DEFAULT_LOV_FRACTIONS = (0.10, 0.25, 0.45, 0.70, 1.00)
 
+# Reference-parity default Blinn-Phong exponent (second_pass_frag.glsl:66).
+DEFAULT_SHININESS = 64.0
+
+
+def pack_spec_shin(spec, shin):
+    """Quantize-pack (specular strength, shininess exponent) into ONE f32
+    channel for varying-shininess scenes: strength in 1/1024 steps over
+    [0, 4), exponent integer-rounded into [1, 2047]. The packed value is
+    an integer below 2^23, so the f32 round-trip is exact and the one-hot
+    MXU resolve transports it losslessly. Every path (jnp golden, tiled
+    XLA, fused Pallas) consumes the SAME quantized values (mat_*_eff), so
+    path parity is bit-exact."""
+    sq = jnp.round(jnp.clip(spec, 0.0, 4.0 - 1.0 / 1024.0) * 1024.0)
+    hq = jnp.round(jnp.clip(shin, 1.0, 2047.0))
+    return hq * 4096.0 + sq
+
+
+def unpack_spec_shin(packed):
+    """Inverse of pack_spec_shin -> (strength, exponent). Division by the
+    power-of-two base and the floor are exact in f32."""
+    hq = jnp.floor(packed * (1.0 / 4096.0))
+    sq = packed - hq * 4096.0
+    return sq * (1.0 / 1024.0), hq
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -48,7 +72,7 @@ DEFAULT_LOV_FRACTIONS = (0.10, 0.25, 0.45, 0.70, 1.00)
         "tri_offset", "tri_count", "vtx_offset",
         "aabb_min", "aabb_max",
         "mat_albedo", "mat_emissive", "mat_alpha", "mat_specular",
-        "mat_textures",
+        "mat_shininess", "mat_textures",
         "lov_table", "lov_fractions",
     ],
     meta_fields=["names"],
@@ -72,13 +96,24 @@ class ModelBank:
     # term — the gAlbedoSpec alpha-channel semantics
     # (first_pass_frag.glsl:84, second_pass_frag.glsl:127-133)
     mat_specular: jnp.ndarray  # (K,)
+    # per-material Blinn-Phong specular exponent (MTL ``Ns`` — the scalar
+    # half of the reference's SHININESS_INDEX texture role,
+    # model_definitions.rs:77-81). Default 64.0, the reference's hardcoded
+    # exponent (second_pass_frag.glsl:66). Consumed on every shading path;
+    # when all materials share one value the paths use it as a
+    # compile-time constant (see uniform_shininess).
+    mat_shininess: jnp.ndarray  # (K,)
     # per-material texture ROW — the reference packs 5 texture (array,
     # layer) pairs per vertex (model_definitions.rs:71-148); here the row
-    # lives per MATERIAL: [diffuse, specular, emissive, 2 reserved],
-    # -1 = unset. Column 0 (diffuse) drives albedo sampling; column 1
-    # multiplies the scalar specular strength (gAlbedoSpec.a semantics);
-    # column 2 multiplies the scalar emissive brightness.
-    mat_textures: jnp.ndarray  # (K, 5) int32 atlas texture ids
+    # lives per MATERIAL: [diffuse, specular, emissive, normal, dissolve,
+    # shininess], -1 = unset. Column 0 (diffuse) drives albedo sampling;
+    # column 1 multiplies the scalar specular strength (gAlbedoSpec.a
+    # semantics); column 2 multiplies the scalar emissive brightness;
+    # column 5 (MTL map_Ns) is loaded and error-textured for parity with
+    # the reference's packing but not yet sampled per pixel — the
+    # reference's own second pass never samples it either (its exponent
+    # is the hardcoded 64.0, second_pass_frag.glsl:66,87,110).
+    mat_textures: jnp.ndarray  # (K, 6) int32 atlas texture ids
     lov_table: jnp.ndarray  # (M, NUM_LOV_BANDS + 1) int32 bank entries
     lov_fractions: jnp.ndarray  # (NUM_LOV_BANDS,) of draw distance
     names: tuple  # (M,) model names, static
@@ -181,6 +216,61 @@ class ModelBank:
         return bool((_np.asarray(self.mat_textures)[:, 2] >= 0).any())
 
     @property
+    def mat_texture_shin(self) -> jnp.ndarray:
+        """Per-material shininess (specular exponent) map id (column 5,
+        MTL map_Ns — the reference's SHININESS_INDEX role)."""
+        return self.mat_textures[:, 5]
+
+    def has_shininess_maps(self) -> bool:
+        """Trace-time gate like ``has_specular_maps`` for column 5."""
+        import numpy as _np
+
+        return bool((_np.asarray(self.mat_textures)[:, 5] >= 0).any())
+
+    def uniform_shininess(self):
+        """Trace-time gate: the single shared specular exponent when every
+        material agrees (the overwhelmingly common case — the reference
+        hardcodes ONE exponent for the whole scene), else None. Uniform
+        scenes keep the exponent as a compile-time constant on every
+        shading path (XLA strength-reduces the constant pow; the packed
+        attribute channel stays pure specular strength). Varying scenes
+        switch channel 34 to the quantized (spec, shininess) packing —
+        see pack_spec_shin."""
+        import numpy as _np
+
+        s = _np.asarray(self.mat_shininess)
+        if s.size == 0 or bool((s == s[0]).all()):
+            return float(s[0]) if s.size else 64.0
+        return None
+
+    @property
+    def mat_specular_eff(self) -> jnp.ndarray:
+        """Specular strengths as every shading path consumes them: raw
+        when shininess is uniform, quantized (1/1024 steps) otherwise so
+        the packed-channel paths and the per-material-gather paths agree
+        bit-for-bit."""
+        if self.uniform_shininess() is not None:
+            return self.mat_specular
+        return unpack_spec_shin(
+            pack_spec_shin(self.mat_specular, self.mat_shininess))[0]
+
+    @property
+    def mat_shininess_eff(self) -> jnp.ndarray:
+        """Shininess exponents as consumed (integer-rounded when varying,
+        matching the packed channel's decode)."""
+        if self.uniform_shininess() is not None:
+            return self.mat_shininess
+        return unpack_spec_shin(
+            pack_spec_shin(self.mat_specular, self.mat_shininess))[1]
+
+    @property
+    def mat_spec_shin_packed(self) -> jnp.ndarray:
+        """(K,) f32 packed (specular strength, shininess) per material for
+        attribute channel 34 in varying-shininess scenes (exact in f32:
+        the packed integer stays below 2^23)."""
+        return pack_spec_shin(self.mat_specular, self.mat_shininess)
+
+    @property
     def num_models(self) -> int:
         return len(self.names)
 
@@ -227,7 +317,8 @@ class ModelBankBuilder:
     def add_material(self, albedo=(1.0, 1.0, 1.0), emissive=0.0, alpha=1.0,
                      texture=-1, specular=1.0, texture_specular=-1,
                      texture_emissive=-1, texture_normal=-1,
-                     texture_dissolve=-1) -> int:
+                     texture_dissolve=-1, shininess=DEFAULT_SHININESS,
+                     texture_shininess=-1) -> int:
         """``texture``: diffuse atlas texture id (-1 = solid ``albedo``);
         ``texture_specular``: specular map whose red channel multiplies
         ``specular`` per pixel; ``texture_emissive``: emissive map whose
@@ -245,7 +336,9 @@ class ModelBankBuilder:
                  texture_specular=int(texture_specular),
                  texture_emissive=int(texture_emissive),
                  texture_normal=int(texture_normal),
-                 texture_dissolve=int(texture_dissolve))
+                 texture_dissolve=int(texture_dissolve),
+                 shininess=float(shininess),
+                 texture_shininess=int(texture_shininess))
         )
         return len(self._mats) - 1
 
@@ -286,7 +379,7 @@ class ModelBankBuilder:
         base = os.path.dirname(os.path.abspath(path))
         ids = []
         for m in mats:
-            tex = spec_tex = emis_tex = norm_tex = diss_tex = -1
+            tex = spec_tex = emis_tex = norm_tex = diss_tex = shin_tex = -1
             if atlas_builder is not None:
                 # missing files land on the loud error texture inside
                 # add_image_file (helper_constructs.rs:2-12 parity)
@@ -305,12 +398,17 @@ class ModelBankBuilder:
                 if m.get("map_d"):
                     diss_tex = atlas_builder.add_image_file(
                         os.path.join(base, m["map_d"]), kind="dissolve")
+                if m.get("map_ns"):
+                    shin_tex = atlas_builder.add_image_file(
+                        os.path.join(base, m["map_ns"]), kind="shininess")
             ids.append(self.add_material(
                 albedo=m["kd"], specular=m.get("ks", 1.0),
                 emissive=m.get("ke", 0.0), alpha=m.get("d", 1.0),
+                shininess=m.get("ns", DEFAULT_SHININESS),
                 texture=tex,
                 texture_specular=spec_tex, texture_emissive=emis_tex,
-                texture_normal=norm_tex, texture_dissolve=diss_tex))
+                texture_normal=norm_tex, texture_dissolve=diss_tex,
+                texture_shininess=shin_tex))
         remap = np.asarray(ids, np.int32)[tri_mat]
         return self.add_model(name, (v, n, uv, f), tri_material=remap)
 
@@ -353,11 +451,15 @@ class ModelBankBuilder:
             mat_alpha=jnp.asarray([d["alpha"] for d in self._mats], jnp.float32),
             mat_specular=jnp.asarray([d.get("specular", 1.0) for d in self._mats],
                                      jnp.float32),
+            mat_shininess=jnp.asarray(
+                [d.get("shininess", DEFAULT_SHININESS) for d in self._mats],
+                jnp.float32),
             mat_textures=jnp.asarray(
                 [[d["texture"], d.get("texture_specular", -1),
                   d.get("texture_emissive", -1),
                   d.get("texture_normal", -1),
-                  d.get("texture_dissolve", -1)]
+                  d.get("texture_dissolve", -1),
+                  d.get("texture_shininess", -1)]
                  for d in self._mats], jnp.int32),
             lov_table=jnp.asarray(lov),
             lov_fractions=jnp.asarray(self._lov_fractions, jnp.float32),

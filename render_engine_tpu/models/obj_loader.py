@@ -19,11 +19,13 @@ import numpy as np
 def load_mtl(path: str) -> dict:
     """Parse an MTL file -> {name: {"kd": (3,), "map_kd": str|None,
     "ks": float, "map_ks": str|None, "ke": float, "map_ke": str|None,
-    "map_bump": str|None}}
+    "map_bump": str|None, "ns": float, "map_ns": str|None}}
     (the tobj material fields the reference consumes,
-    model_storage.rs:190-193, plus the specular/emissive/normal map slots
-    of its per-vertex texture pairs, model_definitions.rs:71-148; the
-    normal map accepts the map_Bump / bump / norm spellings)."""
+    model_storage.rs:190-193, plus the specular/emissive/normal/shininess
+    map slots of its per-vertex texture pairs, model_definitions.rs:71-148;
+    the normal map accepts the map_Bump / bump / norm spellings). ``ns``
+    defaults to 64.0 — the reference's hardcoded Blinn-Phong exponent
+    (second_pass_frag.glsl:66)."""
     mats = {}
     cur = None
     with open(path) as fh:
@@ -36,7 +38,8 @@ def load_mtl(path: str) -> dict:
                 mats[cur] = {"kd": np.array([1.0, 1.0, 1.0], np.float32),
                              "map_kd": None, "ks": 1.0, "map_ks": None,
                              "ke": 0.0, "map_ke": None, "map_bump": None,
-                             "map_d": None, "d": 1.0}
+                             "map_d": None, "d": 1.0,
+                             "ns": 64.0, "map_ns": None}
             elif cur is not None and parts[0] == "Kd":
                 mats[cur]["kd"] = np.array(parts[1:4], np.float32)
             elif cur is not None and parts[0] == "Ks":
@@ -48,12 +51,17 @@ def load_mtl(path: str) -> dict:
                 # emissive-bypass semantics)
                 mats[cur]["ke"] = float(np.mean(
                     np.array(parts[1:4], np.float32)))
+            elif cur is not None and parts[0] == "Ns":
+                # specular exponent (the shininess role's scalar half)
+                mats[cur]["ns"] = float(parts[1])
             elif cur is not None and parts[0] == "map_Kd":
                 mats[cur]["map_kd"] = parts[-1]
             elif cur is not None and parts[0] == "map_Ks":
                 mats[cur]["map_ks"] = parts[-1]
             elif cur is not None and parts[0] == "map_Ke":
                 mats[cur]["map_ke"] = parts[-1]
+            elif cur is not None and parts[0] == "map_Ns":
+                mats[cur]["map_ns"] = parts[-1]
             elif cur is not None and parts[0] in ("map_Bump", "map_bump",
                                                   "bump", "norm"):
                 mats[cur]["map_bump"] = parts[-1]
@@ -125,7 +133,7 @@ def _load_obj_native(path: str):
                   "kd": np.array([1.0, 1.0, 1.0], np.float32),
                   "map_kd": None, "ks": 1.0, "map_ks": None,
                   "ke": 0.0, "map_ke": None, "map_bump": None,
-                  "map_d": None, "d": 1.0}]
+                  "map_d": None, "d": 1.0, "ns": 64.0, "map_ns": None}]
     for i, name in enumerate(names):
         k = int(name_lib[i])
         info = (mtl_at[k] if 0 <= k < len(mtl_at) else {}).get(name, {})
@@ -140,6 +148,8 @@ def _load_obj_native(path: str):
             "map_bump": info.get("map_bump"),
             "map_d": info.get("map_d"),
             "d": float(info.get("d", 1.0)),
+            "ns": float(info.get("ns", 64.0)),
+            "map_ns": info.get("map_ns"),
         })
     return v, n, uv, tris, tri_slot, materials
 
@@ -187,7 +197,7 @@ def load_obj(path: str):
                   "kd": np.array([1.0, 1.0, 1.0], np.float32),
                   "map_kd": None, "ks": 1.0, "map_ks": None,
                   "ke": 0.0, "map_ke": None, "map_bump": None,
-                  "map_d": None, "d": 1.0}]
+                  "map_d": None, "d": 1.0, "ns": 64.0, "map_ns": None}]
     mat_index = {"__default__": 0}
     cur_mat = 0
     mtl: dict = {}
@@ -245,6 +255,8 @@ def load_obj(path: str):
                         "map_bump": info.get("map_bump"),
                         "map_d": info.get("map_d"),
                         "d": float(info.get("d", 1.0)),
+                        "ns": float(info.get("ns", 64.0)),
+                        "map_ns": info.get("map_ns"),
                     })
                     mat_index[name] = len(materials) - 1
                 cur_mat = mat_index[name]

@@ -620,7 +620,8 @@ def _fused_custom_shading(shaded, s, d, wn, rows, cfg, tri_sys, camera,
     inv_pv = T.inv44(camera.proj_view())
     gbuf, extras = RP._gbuffer_from_channels(
         ch, d_t, wn_t, h_total, width, inv_pv, px=px, py=py,
-        ndc_py=py + jnp.float32(y_off))
+        ndc_py=py + jnp.float32(y_off),
+        spec_packed=bank.uniform_shininess() is None)
     if atlas is not None:
         # ShadeParam.albedo/normal match what the lighting consumed (the
         # XLA path textures the G-buffer before shading)
@@ -784,6 +785,7 @@ def tiled_fused_core(
             ltab_sel, n_live, camera.position, inv_pv, tiles_x, tiles_y,
             th, twd, width, h_total, y_off, settings.light_tile_budget)
         tile_lights = (tlist, tcount)
+    uni_shin = bank.uniform_shininess()
     shaded = fused_shade(
         rows, s, ts, d, td, lights, camera.position, inv_pv,
         tiles_x, width, h_total, slot_factor_tiles=sft,
@@ -792,6 +794,8 @@ def tiled_fused_core(
         albedo_override=albedo_override, tile_lights=tile_lights,
         with_norm=atlas is not None and bank.has_normal_maps(),
         with_diss=atlas is not None and bank.has_dissolve_maps(),
+        spec_packed=uni_shin is None,
+        shin_const=uni_shin if uni_shin is not None else 64.0,
     )  # (8, NT, th, tw)
 
     if (systems is not None and systems.has_shade_callbacks()
@@ -901,10 +905,13 @@ def _render_frame_pallas_tiled(
     px_tall = jnp.broadcast_to(px_t, (nt, th, twd)).reshape(nt * th, twd)
 
     inv_pv = T.inv44(camera.proj_view())
+    spk = bank.uniform_shininess() is None
     gbuf, extras = RP._gbuffer_from_channels(
-        ch_o, tall(d), tall(wn), h, w, inv_pv, px=px_tall, py=py_tall)
+        ch_o, tall(d), tall(wn), h, w, inv_pv, px=px_tall, py=py_tall,
+        spec_packed=spk)
     t_gbuf, t_extras = RP._gbuffer_from_channels(
-        ch_t, tall(td), tall(twn), h, w, inv_pv, px=px_tall, py=py_tall)
+        ch_t, tall(td), tall(twn), h, w, inv_pv, px=px_tall, py=py_tall,
+        spec_packed=spk)
 
     if atlas is not None:
         from render_engine_tpu.render.textures import sample_atlas
@@ -981,7 +988,8 @@ def _render_frame_pallas_tiled(
     color = L.shade(gbuf, lights, bank, camera.position,
                     background=zeros_bg, shadow_factor=shadow_factor,
                     emissive_image=extras["emissive"],
-                    specular_image=extras["specular"])
+                    specular_image=extras["specular"],
+                    shininess_image=extras.get("shininess"))
     if systems is not None and systems.has_shade_callbacks():
         from render_engine_tpu.render.render_system import (
             apply_custom_shading,
@@ -993,7 +1001,8 @@ def _render_frame_pallas_tiled(
     t_lit = L.shade(t_gbuf, lights, bank, camera.position,
                     background=zeros_bg, shadow_factor=None,
                     emissive_image=t_extras["emissive"],
-                    specular_image=t_extras["specular"])
+                    specular_image=t_extras["specular"],
+                    shininess_image=t_extras.get("shininess"))
     alpha = t_extras["alpha"][..., None]
     t_front = t_gbuf.covered() & (t_gbuf.depth <= gbuf.depth)
 

@@ -30,7 +30,13 @@ from render_engine_tpu.ecs import registry as R
 from render_engine_tpu.ecs.world import World
 from render_engine_tpu.render.gbuffer import GBuffer
 
-SHININESS = 32.0
+# Default Blinn-Phong exponent = the reference's hardcoded 64.0
+# (second_pass_frag.glsl:66,87,110). Materials override it per MTL ``Ns``
+# (models/bank.py mat_shininess); scenes where every material agrees keep
+# the exponent as a compile-time constant on all paths.
+from render_engine_tpu.models.bank import DEFAULT_SHININESS
+
+SHININESS = DEFAULT_SHININESS
 DIFFUSE_FLOOR = 0.08  # the no-light-cutoff diffuse floor
 
 
@@ -143,16 +149,18 @@ def extract_lights(
 
 
 def _blinn_phong(n, view_dir, light_dir, albedo, diffuse, specular, ambient,
-                 spec_strength=1.0):
+                 spec_strength=1.0, shininess=SHININESS):
     """Core BRDF terms (second_pass_frag.glsl:58-139 semantics).
     All inputs broadcast to (..., 3). ``spec_strength``: per-pixel material
-    specular multiplier (the gAlbedoSpec alpha channel)."""
+    specular multiplier (the gAlbedoSpec alpha channel). ``shininess``:
+    the specular exponent — a Python float (compile-time constant) or a
+    broadcastable per-pixel array in varying-Ns scenes."""
     ndl = jnp.maximum(jnp.sum(n * light_dir, axis=-1, keepdims=True), 0.0)
     h = light_dir + view_dir
     hlen = jnp.linalg.norm(h, axis=-1, keepdims=True)
     h = h / jnp.where(hlen > 1e-9, hlen, 1.0)
     ndh = jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0)
-    spec = jnp.where(ndl > 0.0, ndh ** SHININESS, 0.0) * spec_strength
+    spec = jnp.where(ndl > 0.0, ndh ** shininess, 0.0) * spec_strength
     return ambient * albedo + diffuse * ndl * albedo + specular * spec
 
 
@@ -167,12 +175,16 @@ def shade(
     light_chunk: int = 8,
     emissive_image: jnp.ndarray | None = None,
     specular_image: jnp.ndarray | None = None,
+    shininess_image: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Lit color (H, W, 3). ``background``: (H, W, 3) for empty pixels
     (skybox sample or clear color). ``shadow_factor``: optional callable
     (kind, slot_index, world_pos (H,W,3)) -> (H,W,1) in [0,1].
     ``emissive_image``: per-pixel emissive strengths (H, W), replacing the
-    material-table gather when the resolve already folded materials in."""
+    material-table gather when the resolve already folded materials in.
+    ``shininess_image``: per-pixel specular exponents (H, W) for
+    varying-Ns scenes; None = per-material gather (or the scene's single
+    compile-time exponent when all materials agree)."""
     h, w = gbuf.shape
     n = gbuf.normal
     pos = gbuf.position
@@ -183,12 +195,22 @@ def shade(
 
     color = jnp.zeros((h, w, 3), jnp.float32)
 
-    # per-material specular strength (gAlbedoSpec.a)
+    # per-material specular strength (gAlbedoSpec.a) + exponent (MTL Ns).
+    # Uniform-Ns scenes keep the exponent a Python float so the pow
+    # strength-reduces at compile time on every path.
+    uni_shin = bank.uniform_shininess() if bank is not None else SHININESS
     if specular_image is not None:
         spec_k = specular_image[..., None]
     else:
         mat_s = jnp.clip(gbuf.material, 0, bank.mat_specular.shape[0] - 1)
-        spec_k = bank.mat_specular[mat_s][..., None]
+        spec_k = bank.mat_specular_eff[mat_s][..., None]
+    if shininess_image is not None:
+        shin = shininess_image[..., None]
+    elif uni_shin is not None:
+        shin = uni_shin
+    else:
+        mat_s = jnp.clip(gbuf.material, 0, bank.mat_specular.shape[0] - 1)
+        shin = bank.mat_shininess_eff[mat_s][..., None]
 
     def sf(kind, i):
         if shadow_factor is None:
@@ -205,7 +227,7 @@ def shade(
         c = _blinn_phong(
             n, view_dir, ld[None, None, :], albedo,
             lights.dir_diffuse[i], lights.dir_specular[i],
-            lights.dir_ambient[i], spec_k,
+            lights.dir_ambient[i], spec_k, shin,
         )
         color = color + on * c * sf("dir", i)
 
@@ -230,7 +252,7 @@ def shade(
         c = _blinn_phong(
             n, view_dir, ld, albedo,
             lights.pt_diffuse[i], lights.pt_specular[i],
-            lights.pt_ambient[i], spec_k,
+            lights.pt_ambient[i], spec_k, shin,
         )
         color = color + on * c * atten * sf("point", i)
 
@@ -283,6 +305,7 @@ def shade(
                 albedo[:, :, None, :],
                 cdif[None, None], cspe[None, None], camb[None, None],
                 spec_k[:, :, None, :],
+                shin if isinstance(shin, float) else shin[:, :, None, :],
             )
             return acc + jnp.sum(c * atten * on, axis=2), None
 
@@ -314,7 +337,7 @@ def shade(
         c = _blinn_phong(
             n, view_dir, ld, albedo,
             lights.sp_diffuse[i], lights.sp_specular[i],
-            lights.sp_ambient[i], spec_k,
+            lights.sp_ambient[i], spec_k, shin,
         )
         color = color + on * c * intensity * atten * sf("spot", i)
 

@@ -400,7 +400,9 @@ def resolve_gbuffer(
             # packed texture pairs, model_definitions.rs:71-148)
             slayer = bank.mat_texture_spec[mat_safe]
             smul = sample_atlas(atlas, slayer, uv)[..., 0]
-            spec_img = bank.mat_specular[mat_safe] * jnp.where(
+            # mat_specular_eff: quantized in varying-Ns scenes so this
+            # golden path matches the packed-channel paths bit-for-bit
+            spec_img = bank.mat_specular_eff[mat_safe] * jnp.where(
                 slayer >= 0, smul, 1.0)
         if with_emissive:
             # per-pixel emissive-map multiplier, same pattern (third pair)

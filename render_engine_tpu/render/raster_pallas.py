@@ -221,7 +221,14 @@ def _packed_tri_table(batch, bank, tri_class, ent_attrs=None, atlas=None):
     albedo = bank.mat_albedo[mat_safe]
     emissive = bank.mat_emissive[mat_safe]
     alpha = bank.mat_alpha[mat_safe]
-    specular = bank.mat_specular[mat_safe]
+    if bank.uniform_shininess() is not None:
+        # one scene-wide exponent: channel 34 stays pure specular strength
+        specular = bank.mat_specular[mat_safe]
+    else:
+        # varying MTL Ns: channel 34 carries the exact quantized
+        # (strength, exponent) packing (bank.pack_spec_shin); consumers
+        # decode with the shared codec so every path agrees bit-for-bit
+        specular = bank.mat_spec_shin_packed[mat_safe]
     if atlas is not None:
         # texture ids resolve to (absolute layer, packed pixel rect) here,
         # so the resolve/override path needs no extra indirection
@@ -493,7 +500,8 @@ def _resolve_kernel(n_attr, tile_h, tile_w,
 
 
 def _gbuffer_from_channels(ch, depth, winner, height, width, inv_proj_view,
-                           px=None, py=None, ndc_py=None):
+                           px=None, py=None, ndc_py=None,
+                           spec_packed=False):
     """Per-pixel interpolation from winner-vertex channel images — pure
     elementwise math, zero gathers. ``ch``: (A, H, W). World position
     reconstructs from depth via ``inv_proj_view`` (4, 4).
@@ -577,12 +585,22 @@ def _gbuffer_from_channels(ch, depth, winner, height, width, inv_proj_view,
         material=jnp.where(covered, mat, MATERIAL_BACKGROUND),
         tri_id=winner,
     )
+    if spec_packed:
+        from render_engine_tpu.models.bank import unpack_spec_shin
+
+        spec34, shin34 = unpack_spec_shin(ch[34])
+    else:
+        spec34, shin34 = ch[34], None
     extras = {
         "emissive": jnp.where(covered, emissive, 0.0),
         "alpha": jnp.where(covered, alpha, 1.0),
         "uv": uv,
-        "specular": jnp.where(covered, ch[34], 1.0),
+        "specular": jnp.where(covered, spec34, 1.0),
     }
+    if shin34 is not None:
+        from render_engine_tpu.models.bank import DEFAULT_SHININESS
+
+        extras["shininess"] = jnp.where(covered, shin34, DEFAULT_SHININESS)
     if ch.shape[0] >= N_ATTR_NORM:  # normal-mapped scene rows
         extras["tangent"] = jnp.stack([ch[55], ch[56], ch[57]], axis=-1)
         extras["tangent_w"] = ch[58]
@@ -634,11 +652,14 @@ def render_gbuffers_pallas(
         inv_pv = jnp.eye(4, dtype=jnp.float32)
     else:
         inv_pv = T.inv44(proj_view)
+    spk = bank.uniform_shininess() is None
     gbuf, extras = _gbuffer_from_channels(
-        untile_ch(res_o), depth, winner, height, width, inv_pv
+        untile_ch(res_o), depth, winner, height, width, inv_pv,
+        spec_packed=spk,
     )
     t_gbuf, t_extras = _gbuffer_from_channels(
-        untile_ch(res_t), t_depth, t_winner, height, width, inv_pv
+        untile_ch(res_t), t_depth, t_winner, height, width, inv_pv,
+        spec_packed=spk,
     )
     return gbuf, extras, t_gbuf, t_extras
 

@@ -210,8 +210,14 @@ def select_tile_lights(ltab, n_live, camera_position, inv_pv, tiles_x,
     return tlist, tcount, dropped.astype(jnp.int32)
 
 
-def _interp(ch, px, py, inv_pv, width, height):
-    """Per-pixel winner attributes from the channel block (A, th, tw)."""
+def _interp(ch, px, py, inv_pv, width, height, spec_packed=False):
+    """Per-pixel winner attributes from the channel block (A, th, tw).
+
+    ``spec_packed``: channel 34 carries the quantized (specular strength,
+    shininess exponent) packing of varying-Ns scenes (models/bank.py
+    pack_spec_shin) — returns (spec, shin) decoded; otherwise spec is the
+    raw strength and shin is None (the caller uses the scene's
+    compile-time exponent)."""
     x0, y0, x1, y1, x2, y2 = ch[0], ch[1], ch[2], ch[3], ch[4], ch[5]
     l0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
     l1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
@@ -229,8 +235,15 @@ def _interp(ch, px, py, inv_pv, width, height):
     ny = p0 * ch[11] + p1 * ch[14] + p2 * ch[17]
     nz = p0 * ch[12] + p1 * ch[15] + p2 * ch[18]
     nl = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+    if spec_packed:
+        # exact decode (bank.unpack_spec_shin semantics, in-kernel)
+        hq = jnp.floor(ch[34] * (1.0 / 4096.0))
+        spec = (ch[34] - hq * 4096.0) * (1.0 / 1024.0)
+        shin = hq
+    else:
+        spec, shin = ch[34], None
     return (nx * nl, ny * nl, nz * nl), (ch[29], ch[30], ch[31]), ch[32], \
-        ch[33], ch[34]
+        ch[33], spec, shin
 
 
 def _shade_kernel(
@@ -244,6 +257,9 @@ def _shade_kernel(
     #             delta (alpha multiplies by 1 + delta; transparent pass)
     use_tile_lights,  # static: light loop runs over this tile's culled
     #                   list (tl_ref/tc_ref) instead of all n_live lights
+    spec_packed,  # static: channel 34 is the quantized (spec, Ns) packing
+    shin_const,  # static float: the scene's uniform specular exponent
+    #              (used when not spec_packed)
     inv_ref,  # scalar-prefetch SMEM (max(n_slots,1), NT) int32: per-slot
     #           tile -> compact factor row (-1 = not selected -> lit).
     #           Also drives the sf_refs block index maps.
@@ -313,8 +329,10 @@ def _shade_kernel(
 
     def shade_layer(slot_ref, depth, covered, use_shadows, ovr_base):
         ch = resolve(slot_ref)  # (A, th, tw)
-        (nx, ny, nz), (ar, ag, ab), emissive, alpha, spec_k = _interp(
-            ch, px, py, None, width, height)
+        (nx, ny, nz), (ar, ag, ab), emissive, alpha, spec_k, shin = _interp(
+            ch, px, py, None, width, height, spec_packed=spec_packed)
+        if shin is None:
+            shin = shin_const
         if has_texture:
             base_chans = ovr_chans - (4 if with_norm else 0)
             tf = ovr_ref[ovr_base + 3, 0] > 0.5
@@ -385,8 +403,9 @@ def _shade_kernel(
             hl = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz,
                                            1e-24))
             ndh = jnp.maximum((nx * hx + ny * hy + nz * hz) * hl, 0.0)
-            # per-material specular strength (gAlbedoSpec.a semantics)
-            spec = jnp.where(ndl > 0.0, ndh ** SHININESS, 0.0) * spec_k
+            # per-material specular strength (gAlbedoSpec.a semantics) and
+            # exponent (MTL Ns; a compile-time constant in uniform scenes)
+            spec = jnp.where(ndl > 0.0, ndh ** shin, 0.0) * spec_k
             s = atten * intensity
             if use_shadows:
                 # per-slot PCF factor, multiplicatively combined over the
@@ -459,7 +478,8 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
                 slot_factor_tiles=None, slot_factor_inv=None,
                 slot_entity=None,
                 pixel_origin=(0.0, 0.0), albedo_override=None,
-                tile_lights=None, with_norm=False, with_diss=False):
+                tile_lights=None, with_norm=False, with_diss=False,
+                spec_packed=False, shin_const=SHININESS):
     """Run the fused resolve+interp+lighting kernel over tiled buffers.
 
     rows: (NT, K, A) gathered candidate attribute rows; s_o/s_t:
@@ -531,7 +551,8 @@ def fused_shade(rows, s_o, s_t, d_o, d_t, lights: LightArrays,
                                n_slots, has_texture, ovr_chans,
                                bool(with_norm) and has_texture,
                                bool(with_diss) and has_texture,
-                               use_tile_lights)
+                               use_tile_lights, bool(spec_packed),
+                               float(shin_const))
 
     def vmem_tile(index_map):
         return pl.BlockSpec((1, th, tw), index_map, memory_space=pltpu.VMEM)

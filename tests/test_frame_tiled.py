@@ -109,6 +109,62 @@ class TestTiledFramePath:
             "shading (dropped light?)")
         np.testing.assert_allclose(np.median(diff), 0.0, atol=1e-5)
 
+    def test_varying_shininess_parity_and_effect(self):
+        """Varying MTL Ns: the quantized (spec, Ns) packed channel keeps
+        every path in agreement, and a higher exponent visibly tightens
+        the highlight (less total specular energy at equal strength)."""
+        def build(ns_a, ns_b):
+            bb = ModelBankBuilder()
+            ma = bb.add_material(albedo=(0.6, 0.6, 0.6), specular=2.0,
+                                 shininess=ns_a)
+            mb = bb.add_material(albedo=(0.6, 0.6, 0.6), specular=2.0,
+                                 shininess=ns_b)
+            cube_a = bb.add_model("a", primitives.cube(1.5), material=ma)
+            cube_b = bb.add_model("b", primitives.cube(1.5), material=mb)
+            bank = bb.finalize()
+            cfg = W.WorldConfig(capacity=8, world_length=128.0,
+                                section_length=16.0)
+            w = W.create_world(cfg)
+            w, _ = W.spawn_host(
+                w, 3,
+                position=np.array([[62.0, 64.0, 58.0], [66.0, 64.0, 58.0],
+                                   [64.0, 66.0, 57.0]], np.float32),
+                model_id=np.array([cube_a, cube_b, cube_a], np.int32),
+                sortable=np.array([0, 0, R.SORTABLE_POINT], np.int32),
+                light_diffuse=np.array(
+                    [[0, 0, 0], [0, 0, 0], [1.0, 1.0, 1.0]], np.float32),
+                light_specular=np.array(
+                    [[0, 0, 0], [0, 0, 0], [1.0, 1.0, 1.0]], np.float32),
+                light_atten=np.array(
+                    [[0, 0], [0, 0], [0.02, 0.002]], np.float32),
+            )
+            w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                     jnp.asarray(w.alive))
+            cam = (CameraBuilder().with_position(64.0, 64.0, 64.0)
+                   .with_yaw_pitch_degrees(-90.0, 0.0)
+                   .with_fov_degrees(60.0).with_aspect(WIDTH / H)
+                   .with_near_far(0.1, 100.0)
+                   .with_draw_distance(100.0).build())
+            return w, bank, cam
+
+        w, bank, cam = build(8.0, 512.0)
+        assert bank.uniform_shininess() is None
+        img_j = np.asarray(render_frame(w, cam, bank, settings("jnp")))
+        img_p = np.asarray(render_frame(w, cam, bank, settings("pallas")))
+        s_fused = dataclasses.replace(settings("pallas"),
+                                      fused_shading=True)
+        img_f = np.asarray(render_frame(w, cam, bank, s_fused))
+        for other, name in ((img_p, "pallas"), (img_f, "fused")):
+            diff = np.abs(img_j - other).max(axis=-1)
+            assert (diff < 1e-2).mean() > 0.98, (
+                f"{name} vs jnp max diff {diff.max():.4f}")
+        # effect: same scene with BOTH cubes dull-wide (Ns 8) must carry
+        # more specular energy than the mixed scene's Ns-512 cube region
+        w2, bank2, _ = build(8.0, 8.0)
+        img_w = np.asarray(render_frame(w2, cam, bank2, settings("jnp")))
+        # right cube region (Ns 512 in mixed scene vs 8 in wide scene)
+        assert img_w.sum() > img_j.sum() + 1e-3
+
     def test_tile_light_lists_bit_identical(self):
         """Per-tile light culling (light_tile_budget) is BIT-identical to
         the full per-tile light loop when no tile overflows: culled lights

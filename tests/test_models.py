@@ -1,6 +1,7 @@
 """Model bank + OBJ/MTL loader tests (model_storage.rs loader parity)."""
 
 import numpy as np
+import jax.numpy as jnp
 
 from render_engine_tpu.models import primitives
 from render_engine_tpu.models.bank import ModelBankBuilder
@@ -119,6 +120,60 @@ f 1 2 3
         mid = bb.add_obj("tri", path)
         bank = bb.finalize()
         assert int(bank.tri_count[mid]) == 1
+
+    def test_shininess_ns_parsed(self, tmp_path):
+        """MTL Ns -> per-material specular exponent; map_Ns -> the sixth
+        texture column (the reference's SHININESS_INDEX role,
+        model_definitions.rs:77-81). Unset Ns defaults to the reference's
+        hardcoded 64.0 (second_pass_frag.glsl:66)."""
+        self._write(tmp_path, "m.mtl", """
+newmtl shiny
+Kd 0.9 0.9 0.9
+Ns 250
+newmtl dull
+Kd 0.5 0.5 0.5
+""")
+        path = self._write(tmp_path, "t.obj", """
+mtllib m.mtl
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+usemtl shiny
+f 1 2 3
+usemtl dull
+f 2 4 3
+""")
+        bb = ModelBankBuilder()
+        bb.add_obj("two", path)
+        bank = bb.finalize()
+        tm = np.asarray(bank.tri_material)
+        shin = np.asarray(bank.mat_shininess)
+        assert shin[tm[0]] == 250.0
+        assert shin[tm[1]] == 64.0
+        assert bank.uniform_shininess() is None  # varying scene
+        assert bank.mat_textures.shape[1] == 6
+        # default-Ns-only bank stays uniform (compile-time constant path)
+        bb2 = ModelBankBuilder()
+        bb2.add_material(albedo=(1, 0, 0))
+        bb2.add_model("c", primitives.cube(1.0))
+        assert bb2.finalize().uniform_shininess() == 64.0
+
+    def test_spec_shin_codec_exact(self):
+        """pack_spec_shin/unpack_spec_shin round-trips exactly on the
+        quantization grid (f32-exact packed integers below 2^23)."""
+        from render_engine_tpu.models.bank import (
+            pack_spec_shin,
+            unpack_spec_shin,
+        )
+
+        spec = jnp.asarray(
+            np.round(np.linspace(0.0, 3.9, 64) * 1024.0) / 1024.0,
+            jnp.float32)
+        shin = jnp.asarray(np.round(np.linspace(1, 2047, 64)), jnp.float32)
+        s2, h2 = unpack_spec_shin(pack_spec_shin(spec, shin))
+        np.testing.assert_array_equal(np.asarray(s2), np.asarray(spec))
+        np.testing.assert_array_equal(np.asarray(h2), np.asarray(shin))
 
 
 class TestNativeObjParser:

@@ -273,6 +273,10 @@ class TestEndToEndRender:
             mat_emissive = jnp.zeros(1)
             mat_alpha = jnp.ones(1)
             mat_specular = jnp.ones(1)
+            mat_specular_eff = jnp.ones(1)
+
+            def uniform_shininess(self):
+                return 64.0
 
         img = np.asarray(L.shade(gb, lights, FakeBank(),
                                  jnp.array([0.0, 0.0, 10.0])))
