@@ -234,6 +234,27 @@ def main():
         window_drops.append(eng.drop_stats())
 
     fps = float(np.median(windows))
+
+    # RECORDED window: the north-star target is ">60 FPS ... with
+    # bit-deterministic playback" (BASELINE.md) — recording is the
+    # reference's default mode (lib.rs:93-139). Rendered recorded frames
+    # advance through the SAME fused one-dispatch program (the per-frame
+    # advance choice is recorded and replay re-drives it, see
+    # docs/playback.md), so the only recording overhead is the host-side
+    # input append.
+    eng.config.record_history = True
+    eng.history.set_baseline(eng.world, eng.camera, meta={})
+    t0 = time.perf_counter()
+    for i in range(frames):
+        img = eng.frame(InputState.idle(fidx), dt=1 / 60, render=True)
+        fidx += 1
+    float(jnp.sum(img))
+    recorded_fps = frames / (time.perf_counter() - t0)
+    eng.config.record_history = False
+    print(f"[bench child] recorded window: {recorded_fps:.2f} fps "
+          f"({eng.history.num_frames} frames in the log)",
+          file=sys.stderr, flush=True)
+
     alive = int(np.asarray(eng.world.alive).sum())
     result = {
         "metric": (
@@ -244,6 +265,9 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
         "windows_fps": [round(w, 2) for w in windows],
+        # the same frames WITH record/playback history on — the
+        # north-star conjunction figure
+        "recorded_fps": round(recorded_fps, 2),
         # budget-overflow observability: nonzero counters mean a frame
         # silently truncated work (grow the corresponding budget). Per-
         # counter MAX over the three window-boundary snapshots.

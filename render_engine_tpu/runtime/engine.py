@@ -145,12 +145,13 @@ class Engine:
         def step_only(world, camera, inputs, dt):
             return step(world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
 
-        # BIT-DETERMINISM INVARIANT: state advances through this ONE compiled
-        # program whether or not the frame is rendered. A fused step+render
-        # program would be a *different* XLA program whose step sub-graph may
-        # fuse (and round) differently — live and replay trajectories must
-        # share the exact binary. Rendering is a separate pure program over
-        # the stepped state (XLA async dispatch still overlaps the two).
+        # BIT-DETERMINISM INVARIANT: live and replay advance world state
+        # through the IDENTICAL compiled-program sequence. Two advance
+        # programs exist — this standalone step (headless frames) and the
+        # fused step+shadow+render frame program (rendered frames); the
+        # two may round differently (different XLA programs), so each
+        # recorded frame stores WHICH one advanced it and the Player
+        # replays that exact choice. See docs/playback.md.
         self._step = jax.jit(step_only, donate_argnums=(0,))
         self._step_fn = step
         self._build_render()
@@ -226,12 +227,11 @@ class Engine:
             self._render_shadowed = jax.jit(render_shadowed,
                                             donate_argnums=(2,))
 
-        # one-dispatch frame for UNRECORDED runs: step + shadow update +
-        # render in a single XLA program (halves the per-frame host dispatch
-        # cost, ~1-2 ms through the axon tunnel). RECORDED runs never take
-        # this path — their state must advance through the standalone _step
-        # program so live and replay trajectories share the exact binary
-        # (see the determinism note above); frame() enforces that.
+        # the one-dispatch frame program: step + shadow update + render in
+        # a single XLA program (halves the per-frame host dispatch cost,
+        # ~1-2 ms through the axon tunnel). Rendered frames — recorded OR
+        # not — advance through it; recorded frames store the choice so
+        # replay re-drives the same binary (determinism note above).
         step_fn = self._step_fn
 
         if self.config.enable_shadows:
@@ -387,12 +387,27 @@ class Engine:
 
     # -- frame loop --------------------------------------------------------
     def frame(self, inputs: InputState | None = None, dt: float = 1.0 / 60.0,
-              render: bool = True):
-        """Advance one frame. Returns the rendered image (or None)."""
+              render: bool = True, advance: str | None = None):
+        """Advance one frame. Returns the rendered image (or None).
+
+        ``advance``: which compiled program advances the state —
+        ``"fused"`` (the one-dispatch step+shadow+render frame program) or
+        ``"step"`` (the standalone step, plus a separate render dispatch
+        when ``render``). ``None`` picks fused whenever rendering. The
+        BIT-DETERMINISM INVARIANT is that live and replay drive the
+        IDENTICAL compiled-program sequence: recorded frames store their
+        advance choice in the history, and the Player passes it back here
+        verbatim — so recorded rendered frames run at full fused headline
+        speed and still replay bit-exactly (see docs/playback.md)."""
         inputs = inputs if inputs is not None else InputState.idle(
             seed=self.frame_index)
+        if advance is None:
+            use_fused = bool(render)
+        else:
+            assert advance in ("fused", "step"), advance
+            use_fused = advance == "fused"
         if self.config.record_history:
-            self.history.record_frame(inputs, dt)
+            self.history.record_frame(inputs, dt, fused=use_fused)
         # InputHistory: thread last frame's key state through (derived from
         # the stream, so replay reconstructs it identically)
         inputs = inputs.with_prev(self._prev_keys)
@@ -401,10 +416,11 @@ class Engine:
 
         t0 = time.perf_counter()
         img = None
-        if render and not self.config.record_history:
-            # unrecorded interactive/bench frames: one fused dispatch.
-            # Recorded runs MUST advance state through the standalone _step
-            # program (bit-determinism invariant) and take the path below.
+        if use_fused:
+            # ONE dispatch: step + shadow update + render. A replayed
+            # fused frame re-runs this same program even when the caller
+            # asked for no image (the state must advance through the
+            # recorded binary; the image is simply not returned).
             if self.shadow_state is not None:
                 (self.world, self.camera, self._last_drops,
                  self.shadow_state, img) = self._frame_fused(
@@ -414,6 +430,8 @@ class Engine:
                 (self.world, self.camera, self._last_drops,
                  img) = self._frame_fused(
                     self.world, self.camera, inputs, np.float32(dt))
+            if not render:
+                img = None
         else:
             self.world, self.camera, self._last_drops = self._step(
                 self.world, self.camera, inputs, np.float32(dt))

@@ -29,7 +29,7 @@ import numpy as np
 from render_engine_tpu.ecs import world as W
 from render_engine_tpu.logic.types import InputState
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2 adds the per-frame advance-program flag
 
 
 class HistoryLog:
@@ -40,6 +40,13 @@ class HistoryLog:
         self.baseline_camera: np.ndarray | None = None
         self.frames_inputs: list[np.ndarray] = []
         self.frames_dt: list[float] = []
+        # per-frame advance program: True = the fused step+shadow+render
+        # frame program, False = the standalone step program. Replay must
+        # drive the IDENTICAL compiled program per frame (the
+        # bit-determinism invariant, docs/playback.md) — recording the
+        # choice is what lets rendered recorded frames take the fused
+        # one-dispatch path at full headline speed.
+        self.frames_fused: list[bool] = []
         self.meta: dict = {}
         # mid-recording config-change events, keyed by the frame index they
         # precede (FrameChange::DrawDistancesChange / WindowDimensionsChange,
@@ -53,9 +60,11 @@ class HistoryLog:
         self.baseline_camera = np.asarray(camera.serialize())
         self.meta = dict(meta or {})
 
-    def record_frame(self, inputs: InputState, dt: float):
+    def record_frame(self, inputs: InputState, dt: float,
+                     fused: bool = False):
         self.frames_inputs.append(np.asarray(inputs.serialize()))
         self.frames_dt.append(float(dt))
+        self.frames_fused.append(bool(fused))
 
     def record_event(self, event: dict):
         """Record a config change to apply before the NEXT recorded frame
@@ -79,6 +88,7 @@ class HistoryLog:
             if self.frames_inputs
             else np.zeros((0, 19), np.float32),
             "dt": np.asarray(self.frames_dt, np.float32),
+            "fused": np.asarray(self.frames_fused, np.uint8),
             "alive": self.baseline_world["alive"],
             "comp_mask": self.baseline_world["comp_mask"],
         }
@@ -116,6 +126,12 @@ class HistoryLog:
         log.baseline_camera = data["camera"]
         log.frames_inputs = list(data["inputs"])
         log.frames_dt = list(data["dt"])
+        # v1 recordings carry no flags: every frame advanced through the
+        # standalone step program
+        if "fused" in data.files:
+            log.frames_fused = [bool(x) for x in data["fused"]]
+        else:
+            log.frames_fused = [False] * len(log.frames_dt)
         meta_path = os.path.join(directory, "history_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -136,3 +152,10 @@ class HistoryLog:
             InputState.deserialize(self.frames_inputs[i]),
             float(self.frames_dt[i]),
         )
+
+    def advance_fused(self, i: int) -> bool:
+        """Which program advanced recorded frame ``i`` (see record_frame);
+        replay mirrors it exactly."""
+        if i < len(self.frames_fused):
+            return bool(self.frames_fused[i])
+        return False

@@ -132,6 +132,11 @@ class Player:
             if event:
                 self.engine.apply_config_event(event)
             inputs, dt = self.history.frame(self.cursor)
+            # drive the EXACT program that advanced this frame when it was
+            # recorded (fused frame vs standalone step) — the
+            # bit-determinism invariant is program-sequence identity
+            adv = ("fused" if self.history.advance_fused(self.cursor)
+                   else "step")
             self.cursor += 1
             if self.mode == PlaybackMode.DEBUG_CUSTOM_MOVEMENT and controls:
                 # fly the detached camera (mouse look + WASD inertial
@@ -142,7 +147,7 @@ class Player:
                 cam = cam.rotated(dy, dp)
                 self.detached_camera = cam.float_position(
                     _flight_accel(cam, controls.keys), dt)
-            img = self.engine.frame(inputs, dt, render=render)
+            img = self.engine.frame(inputs, dt, render=render, advance=adv)
             if (self.mode == PlaybackMode.DEBUG_CUSTOM_MOVEMENT and render
                     and self.detached_camera is not None):
                 img = self.engine.render_only(self.detached_camera)

@@ -60,6 +60,31 @@ class TestDeterministicReplay:
         replay_hashes = player.replay_all(render=False)
         assert replay_hashes == live_hashes
 
+    def test_fused_recording_replays_bitwise(self, tmp_path,
+                                             engine_factory):
+        """Recorded RENDERED frames advance through the fused frame
+        program at full speed; the history stores the per-frame advance
+        choice and replay drives the identical program sequence — hashes
+        match bit-for-bit even across a mix of rendered (fused) and
+        headless (step) frames and a disk roundtrip."""
+        d = str(tmp_path / "hist_fused")
+        eng = engine_factory(slot=2, **ENGINE_KW)
+        eng.config.history_dir = d
+        hashes = []
+        renders = [True, True, False, True, False]
+        for i, r in enumerate(renders):
+            eng.frame(InputState.idle(i).with_keys(KEY_W), 1 / 30, render=r)
+            hashes.append(world_hash(eng.world))
+        eng.flush_history()
+
+        log = HistoryLog.load(d)
+        assert [log.advance_fused(i) for i in range(5)] == renders
+        eng2 = engine_factory(slot=3, **ENGINE_KW)
+        eng2.config.record_history = False
+        player = Player(eng2, log)
+        replay_hashes = player.replay_all(render=False)
+        assert replay_hashes == hashes
+
     def test_replay_reaches_end_state(self, recorded, engine_factory):
         d, live_hashes = recorded
         log = HistoryLog.load(d)
