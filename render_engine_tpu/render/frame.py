@@ -303,6 +303,11 @@ def render_frame(
         emissive_image=None if t_extras is None else t_extras["emissive"],
         specular_image=t_spec_img,
     )
+    if systems is not None and systems.has_shade_callbacks():
+        # user shader bodies shade the transparent layer too
+        # (render_system.rs:501)
+        t_lit = apply_custom_shading(t_lit, t_gbuf, t_winner, batch, world,
+                                     camera, lights, systems, draw_ctx)
     if t_extras is not None:
         alpha = t_extras["alpha"][..., None]
     else:
@@ -544,22 +549,59 @@ def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
     # pcf_scale subsample ONCE, shared by every slot (striding the lane dim
     # forces a relayout — pay it once on the depth image, not per slot on
     # the 3x-wider unprojected positions), flattened so per-slot tile
-    # selection is one contiguous row gather
+    # selection is one contiguous row gather. The subsampled pixels' camera
+    # NDC x/y ride the SAME (NT, 3*sh*sw) row table, so each slot's cond
+    # is one row gather + the composed-matrix transform — the per-slot
+    # world-position unprojection cancels projectively (see
+    # shadows.pcf_factor_from_clip).
     ds = d[:, ::k, ::k] if k > 1 else d
     sh, sw = ds.shape[1], ds.shape[2]
-    ds_flat = ds.reshape(nt, sh * sw)
+    tids_all = jnp.arange(nt, dtype=jnp.int32)
+    oy = ((tids_all // tiles_x) * th).astype(jnp.float32) + jnp.float32(y_off)
+    ox = ((tids_all % tiles_x) * twd).astype(jnp.float32)
+    py = (oy[:, None, None]
+          + jnp.arange(sh, dtype=jnp.float32)[None, :, None] * k + 0.5)
+    px = (ox[:, None, None]
+          + jnp.arange(sw, dtype=jnp.float32)[None, None, :] * k + 0.5)
+    ndc_x = jnp.broadcast_to(px, (nt, sh, sw)) / jnp.float32(width) \
+        * 2.0 - 1.0
+    ndc_y = 1.0 - jnp.broadcast_to(py, (nt, sh, sw)) \
+        / jnp.float32(h_total) * 2.0
+    rows_tab = jnp.concatenate(
+        [ds.reshape(nt, sh * sw), ndc_x.reshape(nt, sh * sw),
+         ndc_y.reshape(nt, sh * sw)], axis=1)  # (NT, 3*sh*sw)
+
+    # batched per-slot frustum need + tile selection, hoisted OUT of the
+    # conds (vector math + S small sorts; the conds keep only the
+    # latency-bound gathers and the factor math)
+    m_all = jax.vmap(lambda lm: T.mm44(lm, inv_pv))(
+        shadow.light_mats)  # (S, 4, 4) camera NDC -> light clip
+    clip_all = jnp.einsum("tcj,sij->stci", corners, m_all,
+                          precision=T.MM_PRECISION)  # (S, NT, 8, 4)
+    xs, ys_, zs, ws = (clip_all[..., 0], clip_all[..., 1],
+                       clip_all[..., 2], clip_all[..., 3])
+    culled = (jnp.all(xs + ws < 0, -1) | jnp.all(xs - ws > 0, -1)
+              | jnp.all(ys_ + ws < 0, -1) | jnp.all(ys_ - ws > 0, -1)
+              | jnp.all(zs - ws > 0, -1) | jnp.all(ws <= 0, -1))
+    need_all = (~culled) & (ncov > 0)[None, :]  # (S, NT)
+    key_all = jnp.where(need_all, ncov[None, :], -1)
+    sel_all = jnp.argsort(-key_all, axis=1, stable=True).astype(
+        jnp.int32)[:, :tb]  # (S, tb)
+
     facs, invs = [], []
     for s in range(n_slots):
         def active(s=s):
-            m = T.mm44(shadow.light_mats[s], inv_pv)  # camera NDC -> light clip
-            need = _frustum_need(m, corners, ncov)
-            key = jnp.where(need, ncov, -1)
-            order = jnp.argsort(-key, stable=True).astype(jnp.int32)
-            sel = order[:tb]
-            wp = _unproject_tiled(
-                ds_flat[sel].reshape(tb, sh, sw), tiles_x, th, twd, width,
-                h_total, inv_pv, y_off=y_off, tids=sel, stride=k)
-            f = SHD.pcf_factor(shadow, s, wp)[..., 0]
+            sel = sel_all[s]
+            rows = rows_tab[sel]  # ONE (tb, 3*sh*sw) row gather
+            dsub = rows[:, :sh * sw].reshape(tb, sh, sw)
+            nx = rows[:, sh * sw:2 * sh * sw].reshape(tb, sh, sw)
+            ny = rows[:, 2 * sh * sw:].reshape(tb, sh, sw)
+            m = m_all[s]
+            cx = m[0, 0] * nx + m[0, 1] * ny + m[0, 2] * dsub + m[0, 3]
+            cy = m[1, 0] * nx + m[1, 1] * ny + m[1, 2] * dsub + m[1, 3]
+            cz = m[2, 0] * nx + m[2, 1] * ny + m[2, 2] * dsub + m[2, 3]
+            cw = m[3, 0] * nx + m[3, 1] * ny + m[3, 2] * dsub + m[3, 3]
+            f = SHD.pcf_factor_from_clip(shadow, s, cx, cy, cz, cw)
             if k > 1:
                 f = jnp.repeat(jnp.repeat(f, k, axis=-2), k, axis=-1)
                 f = f[:, :th, :twd]
@@ -567,7 +609,8 @@ def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
             # (the kernel treats inv < 0 as lit; their factor rows are
             # never read)
             inv = jnp.full(nt, -1, jnp.int32).at[sel].set(
-                jnp.where(need[sel], jnp.arange(tb, dtype=jnp.int32), -1))
+                jnp.where(need_all[s][sel],
+                          jnp.arange(tb, dtype=jnp.int32), -1))
             return f, inv
 
         f_s, inv_s = jax.lax.cond(
@@ -582,19 +625,25 @@ def _per_slot_factor_tiles(shadow, d, wn, tiles_x, th, twd, width, h_total,
 def _fused_custom_shading(shaded, s, d, wn, rows, cfg, tri_sys, camera,
                           lights, systems, uniform_writes, bank, atlas,
                           tiles_x, th, twd, width, h_total, y_off,
-                          interpret):
+                          interpret, out_base=0, textured=True):
     """Custom fragment shading on the fused path — a post-kernel hook.
 
     The fused kernel resolves winner attributes in-kernel and never
     materializes the G-buffer, but user shade fns consume the G-buffer
     contract (ShadeParam). So pay the explicit attribute resolve ONLY when
     a system declares with_fragment_shading (trace-time gate) and rewrite
-    the lit color (kernel output channels 0:3) for the pixels those
-    systems own. ``base_color`` handed to the user fn is the kernel's own
-    result, so shadows, tile-light culling, and texture overrides all fold
-    in. This keeps user shader bodies on THE production path, as the
-    reference does (src/render_system/initialize_logic.rs:137-185 splices
-    user bodies into the one real pipeline)."""
+    the layer's color (kernel output channels [out_base:out_base+3] — 0:3
+    opaque lit, 3:6 transparent t_lit; the reference runs its user
+    transparency draw through the same generated program,
+    render_system.rs:501) for the pixels those systems own. ``base_color``
+    handed to the user fn is the kernel's own result, so shadows,
+    tile-light culling, and texture overrides all fold in. ``textured``:
+    whether the kernel textured THIS layer (the transparent layer only
+    textures under texture_transparent/dissolve), so ShadeParam.albedo
+    matches what the lighting consumed. This keeps user shader bodies on
+    THE production path, as the reference does
+    (src/render_system/initialize_logic.rs:137-185 splices user bodies
+    into the one real pipeline)."""
     import dataclasses as _dc
 
     from render_engine_tpu.render import raster_pallas as RP
@@ -622,7 +671,7 @@ def _fused_custom_shading(shaded, s, d, wn, rows, cfg, tri_sys, camera,
         ch, d_t, wn_t, h_total, width, inv_pv, px=px, py=py,
         ndc_py=py + jnp.float32(y_off),
         spec_packed=bank.uniform_shininess() is None)
-    if atlas is not None:
+    if atlas is not None and textured:
         # ShadeParam.albedo/normal match what the lighting consumed (the
         # XLA path textures the G-buffer before shading)
         from render_engine_tpu.render.textures import sample_atlas
@@ -645,12 +694,12 @@ def _fused_custom_shading(shaded, s, d, wn, rows, cfg, tri_sys, camera,
             albedo=jnp.where((layer >= 0)[..., None], tex, gbuf.albedo))
     covered = wn_t >= 0
     px_sys = tri_sys[jnp.clip(wn_t, 0, tri_sys.shape[0] - 1)]
-    color = jnp.transpose(shaded[0:3], (1, 2, 3, 0)).reshape(
-        nt * th, twd, 3)
+    color = jnp.transpose(shaded[out_base:out_base + 3], (1, 2, 3, 0)
+                          ).reshape(nt * th, twd, 3)
     color = shade_systems_color(color, gbuf, px_sys, covered, camera,
                                 lights, systems, uniform_writes)
     color = jnp.transpose(color.reshape(nt, th, twd, 3), (3, 0, 1, 2))
-    return shaded.at[0:3].set(color)
+    return shaded.at[out_base:out_base + 3].set(color)
 
 
 def tiled_fused_core(
@@ -800,11 +849,20 @@ def tiled_fused_core(
 
     if (systems is not None and systems.has_shade_callbacks()
             and tri_sys is not None):
+        uw = None if draw_ctx is None else draw_ctx.uniform_writes
         shaded = _fused_custom_shading(
             shaded, s, d, wn, rows, cfg, tri_sys, camera, lights, systems,
-            None if draw_ctx is None else draw_ctx.uniform_writes,
-            bank, atlas, tiles_x, th, twd, width, h_total, y_off,
+            uw, bank, atlas, tiles_x, th, twd, width, h_total, y_off,
             interpret)
+        # the user program shades the transparent layer too
+        # (render_system.rs:501 runs the user transparency draw through
+        # the same generated program): rewrite t_lit (channels 3:6)
+        shaded = _fused_custom_shading(
+            shaded, ts, td, twn, rows, cfg, tri_sys, camera, lights,
+            systems, uw, bank, atlas, tiles_x, th, twd, width, h_total,
+            y_off, interpret, out_base=3,
+            textured=settings.texture_transparent
+            or (atlas is not None and bank.has_dissolve_maps()))
 
     def untile8(x):  # (C, NT, th, tw) -> (h_local, w, C)
         c = x.shape[0]
@@ -1003,6 +1061,14 @@ def _render_frame_pallas_tiled(
                     emissive_image=t_extras["emissive"],
                     specular_image=t_extras["specular"],
                     shininess_image=t_extras.get("shininess"))
+    if systems is not None and systems.has_shade_callbacks():
+        from render_engine_tpu.render.render_system import (
+            apply_custom_shading,
+        )
+
+        t_lit = apply_custom_shading(t_lit, t_gbuf, tall(twn), batch,
+                                     world, camera, lights, systems,
+                                     draw_ctx)
     alpha = t_extras["alpha"][..., None]
     t_front = t_gbuf.covered() & (t_gbuf.depth <= gbuf.depth)
 

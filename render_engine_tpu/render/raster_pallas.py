@@ -42,6 +42,11 @@ def _tile_kernel(
     trans_budget: int,
     two_pass: bool,
     data_ref,  # SMEM (1, 10, n_cand): x0 y0 x1 y1 x2 y2 z0 z1 z2 classf
+    #            — channel-leading: ROW-major (1, K, 16) SMEM was measured
+    #            4.2x SLOWER in-kernel on the v5e (frame_fused.3 went
+    #            1.11 -> 4.60 ms; Mosaic's per-candidate scalar loads pay
+    #            the 16-float stride), so the host-side channel transpose
+    #            stays
     ids_ref,  # SMEM (1, 1, n_cand) int32 global tri ids
     counts_ref,  # SMEM (1, 1, 3) int32: (opaque, transparent, global)
     depth_ref,  # VMEM (1, tile_h, tile_w) f32
@@ -196,8 +201,9 @@ def _prepare_candidates(batch, cfg, tiles_x, tiles_y, tri_class,
     )  # (T, 16)
     safe = jnp.clip(cand, 0, t - 1)
     rows = packed[safe]  # (NT, K, 16)
-    # channel-leading (NT, 10, K): the trailing dim is the (large) candidate
-    # axis, so the TPU (8,128) tiling pads ~1.5x instead of 12.8x
+    # channel-leading (NT, 10, K): the narrow 16-wide gather + this
+    # transpose replace the old wide-row slice+transpose (the kernel needs
+    # channel-leading SMEM — see _tile_kernel's data_ref note)
     data = jnp.swapaxes(rows[..., :10], 1, 2)
     ids = jnp.where(cand >= 0, cand, -1)[:, None, :]  # (NT, 1, K)
     return data, ids, counts
@@ -337,16 +343,15 @@ def _launch(batch, height, width, cfg, tri_class, two_pass, interpret,
     tiles_y = -(-height // th)
     nt = tiles_x * tiles_y
 
-    if rows is not None:
-        # frame path: slice the raster's 10 channels from the pre-gathered
-        # (NT, K, A) candidate rows (one transpose; no extra gathers)
-        data = jnp.swapaxes(rows[..., :10], 1, 2)  # (NT, 10, K)
-        ids = jnp.where(cand >= 0, cand, -1)[:, None, :]
-    else:
-        data, ids, counts = _prepare_candidates(
-            batch, cfg, tiles_x, tiles_y, tri_class, cand, counts,
-            classed=classed,
-        )
+    # the raster's candidate channels come from their own NARROW (T, 16)
+    # table gather + transpose in _prepare_candidates — cheaper than
+    # slicing 10 of the wide shade rows (``rows`` stays for signature
+    # compatibility; the wide gather still feeds the shade kernel)
+    del rows
+    data, ids, counts = _prepare_candidates(
+        batch, cfg, tiles_x, tiles_y, tri_class, cand, counts,
+        classed=classed,
+    )
     k = data.shape[2]  # data is channel-leading: (NT, 10, K)
     kernel = functools.partial(_tile_kernel, tiles_x, th, tw,
                                cfg.tile_budget, cfg.trans_tile_budget,

@@ -124,9 +124,12 @@ class RenderSystemBuilder:
         contract. The fn sees per-pixel position/normal/albedo/depth/
         material, the camera, the frame's light table, this system's
         uniform values (including per-frame DrawParam writes), and the
-        default-shaded color to build on. Opaque layer only. Runs on every
-        path — the XLA shading paths, the fused Pallas kernel (post-kernel
-        hook over the G-buffer contract), and the sharded frame."""
+        default-shaded color to build on. Shades BOTH layers — the opaque
+        deferred result and the system's transparent forward pass (the
+        reference runs its user transparency draw through the same
+        generated program, render_system.rs:501). Runs on every path — the
+        XLA shading paths, the fused Pallas kernel (post-kernel hook over
+        the G-buffer contract), and the sharded frame."""
         if not callable(fn):
             raise TypeError("fragment shading function must be callable")
         self._shade = fn
@@ -622,7 +625,8 @@ def render_frame_systems(
                                  atlas=atlas)
             t_diss = None
         tg = dataclasses.replace(tg, albedo=tg.albedo * sys_tint)
-        trans_layers.append((tg, t_depth, t_winner, alpha_scale, t_diss))
+        trans_layers.append((s_idx, tg, t_depth, t_winner, alpha_scale,
+                             t_diss))
 
     lights = L.extract_lights(
         world,
@@ -676,9 +680,24 @@ def render_frame_systems(
 
     # transparency: blend each system's transparent layer (back-to-front by
     # merging via depth against the opaque buffer)
-    for t_gbuf, t_depth, t_winner, alpha_scale, t_diss in trans_layers:
+    for s_idx, t_gbuf, t_depth, t_winner, alpha_scale, t_diss \
+            in trans_layers:
         t_lit = L.shade(t_gbuf, lights, bank, camera.position,
                         background=color, shadow_factor=shadow_factor)
+        if systems[s_idx].shade is not None:
+            # the user program shades this system's transparent geometry
+            # too (the reference's user transparency draw runs through the
+            # same generated program, render_system.rs:501)
+            t_cov = t_gbuf.tri_id >= 0
+            sp_t = ShadeParam(
+                position=t_gbuf.position, normal=t_gbuf.normal,
+                albedo=t_gbuf.albedo, depth=t_gbuf.depth,
+                material=t_gbuf.material, covered=t_cov,
+                base_color=t_lit, camera=camera, lights=lights,
+                uniforms=uniform_values[s_idx],
+            )
+            out_t = jnp.asarray(systems[s_idx].shade(sp_t), jnp.float32)
+            t_lit = jnp.where(t_cov[..., None], out_t, t_lit)
         mat = jnp.clip(t_gbuf.material, 0, bank.mat_alpha.shape[0] - 1)
         alpha = jnp.clip(bank.mat_alpha[mat][..., None] * alpha_scale,
                          0.0, 1.0)

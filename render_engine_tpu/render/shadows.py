@@ -450,6 +450,34 @@ def pcf_factor(shadow: ShadowState, slot: jnp.ndarray,
     return jnp.where(inside, lit, 1.0)[..., None]
 
 
+def pcf_factor_from_clip(shadow: ShadowState, slot: int, cx, cy, cz, cw):
+    """PCF term from LIGHT-CLIP coordinates (..., broadcastable) — the
+    fused path's fast entry. The camera unprojection cancels projectively:
+    with m = light_mat @ inv_proj_view, light NDC = normalize(m @ ndc_cam)
+    because the intermediate world w divides out (and keeps its sign for
+    visible pixels, whose camera-unproject w is positive). Callers
+    transform camera NDC by the COMPOSED m (full f32, the bf16 pitfall)
+    and never materialize world positions — ~10 fewer ops per shadow slot
+    per frame than pcf_factor. Tap selection/bias math is identical to
+    pcf_factor, so factors agree up to FP reassociation at exact texel
+    boundaries."""
+    res = shadow.resolution
+    inv = 1.0 / jnp.where(jnp.abs(cw) > 1e-9, cw, 1.0)
+    nx, ny, z = cx * inv, cy * inv, cz * inv
+    u = (nx * 0.5 + 0.5) * res - 0.5
+    v = (0.5 - ny * 0.5) * res - 0.5
+    inside = ((jnp.abs(nx) <= 1.0) & (jnp.abs(ny) <= 1.0)
+              & (z <= 1.0) & (cw > 0.0))
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, res - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, res - 1)
+    taps = shadow.maps_pcf[slot][vi * res + ui]
+    lit = jnp.mean(
+        ((z - PCF_BIAS)[..., None] <= taps[..., :9]).astype(jnp.float32),
+        axis=-1,
+    )
+    return jnp.where(inside, lit, 1.0)
+
+
 def slot_factors(shadow: ShadowState, world_pos: jnp.ndarray) -> jnp.ndarray:
     """(BUDGET, *spatial) PCF factors of every slot at the given world
     positions (..., h, w, 3). Inactive slots (no owning light) skip their

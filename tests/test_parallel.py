@@ -58,6 +58,47 @@ class TestMesh:
         assert int(jnp.sum(w2.alive)) == int(jnp.sum(eng.world.alive))
         assert np.isfinite(np.asarray(w2.comps["position"])).all()
 
+    def test_sharded_step_scale_partitions_entity_axis(self, engine_factory):
+        """BENCH-scale world (10k entities, capacity 16384) stepped over
+        the 8-device mesh: the OUTPUT world's entity axis stays partitioned
+        (capacity/8 rows per rank — XLA kept the computation sharded, not
+        replicated) and matches the single-device step (VERDICT r4 #8:
+        scale proof beyond the 22-entity parity scene)."""
+        from render_engine_tpu.logic.step import make_step
+        from render_engine_tpu.logic.types import InputState
+
+        eng = engine_factory(width=128, height=64, capacity=16384,
+                             num_asteroids=10000, max_tris=2048)
+        bank = eng.bank
+        step = make_step(tuple(eng.config.entity_types),
+                         spawn_budget=eng.config.spawn_budget)
+        fn = jax.jit(lambda w, c, i, d: step(w, c, i, d, bank.aabb_min,
+                                             bank.aabb_max))
+        w1, _ = fn(eng.world, eng.camera, InputState.idle(0),
+                   jnp.float32(1 / 60))
+
+        mesh = make_mesh(8)
+        wsh = world_sharding(eng.world, mesh)
+        world_sh = jax.device_put(eng.world, wsh)
+        cam_sh = jax.device_put(eng.camera, NamedSharding(mesh, P()))
+        fn8 = jax.jit(lambda w, c, i, d: step(w, c, i, d, bank.aabb_min,
+                                              bank.aabb_max),
+                      in_shardings=(wsh, NamedSharding(mesh, P()),
+                                    NamedSharding(mesh, P()),
+                                    NamedSharding(mesh, P())))
+        with mesh:
+            w8, _ = fn8(world_sh, cam_sh, InputState.idle(0),
+                        jnp.float32(1 / 60))
+            jax.block_until_ready(w8)
+        pos8 = w8.comps["position"]
+        shard_rows = pos8.addressable_shards[0].data.shape[0]
+        assert shard_rows == eng.config.capacity // 8, (
+            f"entity axis not partitioned: {shard_rows} rows/rank")
+        np.testing.assert_allclose(
+            np.asarray(pos8), np.asarray(w1.comps["position"]),
+            rtol=1e-6, atol=1e-6)
+        assert int(jnp.sum(w8.alive)) == int(jnp.sum(w1.alive))
+
     def test_sharded_matches_single_device(self, engine_factory):
         """Sharded step == single-device step (same math, collectives only
         move data)."""

@@ -607,6 +607,75 @@ class TestCompiledSystems:
         np.testing.assert_array_equal(img[:, WIDTH // 2:],
                                       ref[:, WIDTH // 2:])
 
+    def test_custom_shading_transparent_layer_all_paths(self):
+        """User shader bodies shade the TRANSPARENT forward pass too (the
+        reference's user transparency draw runs through the same generated
+        program, render_system.rs:501): a shade fn visibly rewrites
+        transparent pixels, identically on the jnp golden, tiled Pallas,
+        and fused Pallas paths."""
+        from render_engine_tpu.render.frame import render_frame
+        from render_engine_tpu.render.render_system import compile_systems
+
+        bb = ModelBankBuilder()
+        solid = bb.add_material(albedo=(0.3, 0.3, 0.3))
+        glass = bb.add_material(albedo=(0.2, 0.9, 0.4), alpha=0.5)
+        cube = bb.add_model("cube", primitives.cube(1.5), material=solid)
+        pane = bb.add_model("pane", primitives.quad(2.5), material=glass)
+        bank = bb.finalize()
+        cfg = W.WorldConfig(capacity=8, world_length=128.0,
+                            section_length=16.0)
+        w = W.create_world(cfg)
+        w, _ = W.spawn_host(
+            w, 2,
+            position=np.array([[64.0, 64.0, 57.0], [64.0, 64.0, 60.0]],
+                              np.float32),
+            model_id=np.array([cube, pane], np.int32),
+        )
+        w = K.refresh_transforms(w, bank.aabb_min, bank.aabb_max,
+                                 jnp.asarray(w.alive))
+        cam = (CameraBuilder().with_position(64.0, 64.0, 64.0)
+               .with_yaw_pitch_degrees(-90.0, 0.0).with_fov_degrees(60.0)
+               .with_aspect(WIDTH / H).with_near_far(0.1, 100.0)
+               .with_draw_distance(100.0).build())
+
+        def magenta(sp):
+            return jnp.broadcast_to(
+                jnp.asarray([1.0, 0.0, 1.0], jnp.float32),
+                sp.base_color.shape)
+
+        shaded = compile_systems((
+            RenderSystemBuilder("g").with_models(cube, pane)
+            .with_fragment_shading(magenta).build(),), bank)
+        plain = compile_systems((
+            RenderSystemBuilder("g").with_models(cube, pane).build(),),
+            bank)
+
+        imgs = {}
+        for name, s in (("jnp", SETTINGS),
+                        ("pallas", self._pallas_settings()),
+                        ("fused", self._fused_settings())):
+            imgs[name] = np.asarray(render_frame(w, cam, bank, s,
+                                                 systems=shaded))
+        ref = np.asarray(render_frame(w, cam, bank, SETTINGS,
+                                      systems=plain))
+        # the pane covers the screen center in front of the cube; with the
+        # opaque cube AND the pane both shaded magenta, a blended pixel is
+        # 0.5*magenta + 0.5*magenta = pure magenta. Without transparent
+        # shading it would blend magenta with the pane's green lit color.
+        cy, cx = H // 2, WIDTH // 2
+        for name in ("jnp", "pallas", "fused"):
+            np.testing.assert_allclose(imgs[name][cy, cx], [1.0, 0.0, 1.0],
+                                       atol=1e-5, err_msg=name)
+        assert not np.allclose(ref[cy, cx], [1.0, 0.0, 1.0], atol=0.1)
+        # different rasterizers flip exact shared-edge FP ties (the pane
+        # quad's diagonal); compare the bulk tightly like the other
+        # cross-path tests
+        for name in ("pallas", "fused"):
+            diff = np.abs(imgs["jnp"] - imgs[name]).max(axis=-1)
+            assert (diff < 2e-3).mean() > 0.99, (
+                f"{name}: max diff {diff.max():.4f}")
+            np.testing.assert_allclose(np.median(diff), 0.0, atol=1e-5)
+
     def test_engine_demo_uses_systems(self, engine_factory):
         from render_engine_tpu.logic.types import InputState
 
