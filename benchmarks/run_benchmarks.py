@@ -93,6 +93,11 @@ def bench_asteroids():
     eng = build_space_engine(
         width=_s(1920, 256), height=_s(1080, 144), capacity=cap,
         num_asteroids=n, max_tris=16384,
+        # the thrusting patrol here reaches poses with ~35 LARGE collision
+        # movers (the headline's coasting patrol stays at ~32 — the
+        # EngineConfig default); 64 keeps collision_large_dropped 0 with
+        # headroom (r5 run: 3 dropped at 32)
+        collision_large_budget=64,
     )
     eng.config.record_history = False
     # one directional light
@@ -127,6 +132,11 @@ def bench_lights():
     eng = build_space_engine(
         width=_s(1280, 256), height=_s(720, 144), capacity=1024,
         num_asteroids=200, max_tris=24576,
+        # 720p packs the 200-asteroid cluster into fewer tiles than 1080p:
+        # the default 112 candidate budget dropped 312 candidates, 160
+        # still 45 (r5 runs); 192 covers with headroom (dynamic trip
+        # counts keep sparse tiles cheap — 83.6 FPS at 112, 79.4 at 160)
+        raster_tile_budget=192,
     )
     eng.config.record_history = False
     rng = np.random.default_rng(0)

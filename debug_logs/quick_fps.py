@@ -23,11 +23,22 @@ def main():
     from render_engine_tpu.logic.types import InputState
 
     # EXACTLY the bench child's engine (bench.py): max_tris 16384,
-    # shadow_tile_budget 0.28, idle coasting patrol
+    # shadow_tile_budget 0.28, idle coasting patrol. Same env sweep knobs
+    # as bench.py for A/Bs.
+    def _opt_int(name):
+        v = os.environ.get(name)
+        return int(v) if v else None
+
     t0 = time.perf_counter()
-    eng = build_space_engine(width=1920, height=1080, capacity=16384,
-                             num_asteroids=10000, max_tris=16384,
-                             shadow_tile_budget=0.28)
+    eng = build_space_engine(
+        width=1920, height=1080, capacity=16384,
+        num_asteroids=10000, max_tris=16384,
+        shadow_tile_budget=float(os.environ.get("BENCH_SHADOW_TILES",
+                                                0.28)),
+        shadow_pcf_scale=_opt_int("BENCH_PCF_SCALE"),
+        shadow_update_interval=_opt_int("BENCH_SHADOW_INTERVAL"),
+        light_tile_budget=_opt_int("BENCH_LIGHT_TILE_BUDGET"),
+        raster_tile_budget=_opt_int("BENCH_TILE_BUDGET"))
     eng.config.record_history = False
     print(f"build {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()

@@ -428,6 +428,7 @@ def space_config(
     light_tile_budget: int | None = None,
     shadow_slots: int | None = None,
     raster_tile_budget: int | None = None,
+    collision_large_budget: int | None = None,
 ) -> EngineConfig:
     from render_engine_tpu.render.raster_jnp import RasterConfig
 
@@ -459,11 +460,14 @@ def space_config(
         raster_tile_budget = 112
 
     registry = R.ComponentRegistry(custom=CUSTOM_COMPONENTS)
+    if collision_large_budget is None:
+        collision_large_budget = 32
     return EngineConfig(
         capacity=capacity,
         world_length=16384.0,
         section_length=64.0,
         registry=registry,
+        collision_large_budget=collision_large_budget,
         render=RenderSettings(width=width, height=height, max_tris=max_tris,
                               max_point_lights=8, max_spot_lights=8,
                               fused_shading=True,

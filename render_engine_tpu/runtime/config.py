@@ -80,9 +80,12 @@ class EngineConfig:
     # this to it (demo: 2 spot lights -> 2). Overflow = round-robin
     # eviction, exactly the reference's staleness semantics.
     shadow_slots: int = 6
-    # PCF factor subsampling (1 = full res; 2 quarters the dominant gather
-    # cost at a penumbra-sharpness cost only)
-    shadow_pcf_scale: int = 2
+    # PCF factor subsampling (1 = full res; k cuts the dominant
+    # latency-bound tap gather to 1/k^2 of the rows at a
+    # penumbra-sharpness cost only — the factor upsamples in k x k
+    # blocks). Default 3 (r5 TPU sweep: headline 63.1 -> 67.3 FPS vs 2;
+    # quality A/B stills in debug_out/pcf_scale_{2,3}.png)
+    shadow_pcf_scale: int = 3
     # user control over what casts shadows: bool[CAP] mask or trace-time
     # callable fn(world) -> bool[CAP] (the reference's user shadow draw
     # fns, load_models.rs shadow draw registration). None = every

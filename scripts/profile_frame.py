@@ -145,8 +145,18 @@ def main():
         if wins:
             print(f"=== {label} top ops (window 0)")
             n_ops = int(os.environ.get("PROFILE_TOP_OPS", 15))
+            # per-op source attribution: one representative source per op
+            # name (ops recur across frames with the same source)
+            op_src = {}
+            for e in ev:
+                if e.get("ph") == "X" and "dur" in e:
+                    s = e.get("args", {}).get("source")
+                    if s and e["name"] not in op_src:
+                        op_src[e["name"]] = s.replace(
+                            "/root/repo/render_engine_tpu/", "")
             for n, d in ops_in(wins[0]).most_common(n_ops):
-                print(f"{d/1e3:8.2f} ms  {n[:100]}")
+                print(f"{d/1e3:8.2f} ms  {n[:60]:60s} "
+                      f"{op_src.get(n, '')}")
             print(f"=== {label} by op class (window 0, cond-inner dropped)")
             tot, cnt = by_class(wins[0])
             for n, d in tot.most_common(20):
