@@ -176,6 +176,9 @@ def main():
         light_tile_budget=_opt_int("BENCH_LIGHT_TILE_BUDGET"),
         shadow_slots=_opt_int("BENCH_SHADOW_SLOTS"),
         raster_tile_budget=_opt_int("BENCH_TILE_BUDGET"),
+        shadow_lov_bias=_opt_int("BENCH_SHADOW_LOV"),
+        **({} if not os.environ.get("BENCH_SHADOW_MAX_TRIS")
+           else {"shadow_max_tris": int(os.environ["BENCH_SHADOW_MAX_TRIS"])}),
     )
     eng.config.record_history = False
 

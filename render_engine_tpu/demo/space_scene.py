@@ -429,6 +429,7 @@ def space_config(
     shadow_slots: int | None = None,
     raster_tile_budget: int | None = None,
     collision_large_budget: int | None = None,
+    shadow_lov_bias: int | None = None,
 ) -> EngineConfig:
     from render_engine_tpu.render.raster_jnp import RasterConfig
 
@@ -525,7 +526,8 @@ def space_config(
         # frustum sees ~2.4x the camera-visible triangle count at full
         # detail (shadow_triangle_dropped counted ~14k over an 6144 budget
         # without it); at bias 2 the requested count fits the budget
-        shadow_lov_bias=2,
+        # (sweepable via BENCH_SHADOW_LOV for coarser-silhouette A/Bs)
+        shadow_lov_bias=2 if shadow_lov_bias is None else shadow_lov_bias,
     )
 
 

@@ -62,6 +62,34 @@ def _accepts_other_type(fn) -> bool:
                for p in params.values())
 
 
+# fixed key order of the step's budget-overflow counters — the engine's
+# jit boundary ships them as ONE stacked i32 vector (every extra output
+# buffer is its own handle in the dispatch protocol; see
+# InputState.pack_with_dt's measurement note) and unpacks by this order
+STEP_DROP_KEYS = (
+    "collision_cell_dropped",
+    "collision_large_dropped",
+    "collision_pair_dropped",
+    "collision_query_dropped",
+    "oob_killed",
+    "spawn_dropped",
+)
+
+
+def pack_drop_stats(stats: dict) -> jnp.ndarray:
+    """Stack the step's counter dict into one (len(STEP_DROP_KEYS),) i32
+    vector (traced; the jit-boundary half of the one-buffer wire)."""
+    return jnp.stack([stats[k].astype(jnp.int32) for k in STEP_DROP_KEYS])
+
+
+def unpack_drop_stats(vec) -> dict:
+    """Host-side inverse of ``pack_drop_stats`` (reads the vector back)."""
+    import numpy as np
+
+    vals = np.asarray(vec)
+    return {k: int(vals[i]) for i, k in enumerate(STEP_DROP_KEYS)}
+
+
 def make_step(
     types: Sequence[EntityType],
     *,

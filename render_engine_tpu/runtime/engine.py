@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from render_engine_tpu.ecs import world as W
-from render_engine_tpu.logic.step import make_step
+from render_engine_tpu.logic.step import (make_step, pack_drop_stats,
+                                          unpack_drop_stats)
 from render_engine_tpu.logic.types import InputState
 from render_engine_tpu.math.camera import Camera, CameraBuilder
 from render_engine_tpu.models.bank import ModelBank, ModelBankBuilder
@@ -142,8 +143,17 @@ class Engine:
                 pcf_scale=self.config.shadow_pcf_scale,
             )
 
-        def step_only(world, camera, inputs, dt):
-            return step(world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
+        # every jitted program takes ONE packed f32 input vector instead of
+        # (keys, mouse, seed, prev_keys, dt): each small host array is its
+        # own host->device transfer, ~0.13 ms of tunnel dispatch latency
+        # apiece (InputState.pack_with_dt measurement note)
+        def step_only(world, camera, packed):
+            inputs, dt = InputState.unpack_with_dt(packed)
+            world, camera, stats = step(world, camera, inputs, dt,
+                                        bank.aabb_min, bank.aabb_max)
+            # counters ride ONE stacked vector (one output buffer handle
+            # instead of six; unpacked lazily in drop_stats)
+            return world, camera, pack_drop_stats(stats)
 
         # BIT-DETERMINISM INVARIANT: live and replay advance world state
         # through the IDENTICAL compiled-program sequence. Two advance
@@ -156,7 +166,7 @@ class Engine:
         self._step_fn = step
         self._build_render()
 
-        def step_many(world, camera, inputs_batch, dts):
+        def step_many(world, camera, packed_batch):
             """lax.scan over a batch of frames — ONE dispatch for N steps.
 
             Amortizes host->device latency for headless/bench runs. NOTE:
@@ -166,20 +176,17 @@ class Engine:
             mid-burst overflow must not vanish by the last frame — the
             ALL-truncation-counted contract)."""
 
-            def body(carry, xs):
+            def body(carry, row):
                 w, c = carry
-                inp, dt = xs
-                w, c, drops = step(w, c, inp, dt, bank.aabb_min,
+                inp, dt = InputState.unpack_with_dt(row)
+                w, c, stats = step(w, c, inp, dt, bank.aabb_min,
                                    bank.aabb_max)
-                return (w, c), drops
+                return (w, c), pack_drop_stats(stats)
 
             (world, camera), drops_seq = jax.lax.scan(
-                body, (world, camera), (inputs_batch, dts)
+                body, (world, camera), packed_batch
             )
-            import jax.tree_util as jtu
-
-            max_drops = jtu.tree_map(lambda a: jnp.max(a, axis=0), drops_seq)
-            return world, camera, max_drops
+            return world, camera, jnp.max(drops_seq, axis=0)
 
         self._step_many = jax.jit(step_many, donate_argnums=(0,))
 
@@ -193,7 +200,9 @@ class Engine:
         atlas = self.atlas
         systems = self.compiled_systems
 
-        def render_pure(world, camera, shadow_state=None, inputs=None):
+        def render_pure(world, camera, shadow_state=None, packed=None):
+            inputs = (None if packed is None
+                      else InputState.unpack_with_dt(packed)[0])
             return render_frame(world, camera, bank, settings, cubemap=cubemap,
                                 atlas=atlas, shadow_state=shadow_state,
                                 systems=systems, inputs=inputs)
@@ -207,7 +216,9 @@ class Engine:
             shadow_ivl = self.config.shadow_update_interval
             shadow_lov = self.config.shadow_lov_bias
 
-            def render_shadowed(world, camera, shadow_state, inputs=None):
+            def render_shadowed(world, camera, shadow_state, packed=None):
+                inputs = (None if packed is None
+                          else InputState.unpack_with_dt(packed)[0])
                 # the frame's single shadow-map update (<=1 new map,
                 # shadow_flow.rs:111-133) rides in the SAME program as the
                 # render: one dispatch, and XLA schedules the shadow raster
@@ -241,9 +252,11 @@ class Engine:
             shadow_ivl = self.config.shadow_update_interval
             shadow_lov = self.config.shadow_lov_bias
 
-            def frame_fused(world, camera, shadow_state, inputs, dt):
-                world, camera, drops = step_fn(
+            def frame_fused(world, camera, shadow_state, packed):
+                inputs, dt = InputState.unpack_with_dt(packed)
+                world, camera, stats = step_fn(
                     world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
+                drops = pack_drop_stats(stats)
                 shadow_state = SH.render_shadow_map(
                     shadow_state, world, camera, bank, max_tris=shadow_tris,
                     interval=shadow_ivl, lov_bias=shadow_lov,
@@ -257,9 +270,11 @@ class Engine:
             self._frame_fused = jax.jit(frame_fused, donate_argnums=(0, 2))
         else:
 
-            def frame_fused_ns(world, camera, inputs, dt):
-                world, camera, drops = step_fn(
+            def frame_fused_ns(world, camera, packed):
+                inputs, dt = InputState.unpack_with_dt(packed)
+                world, camera, stats = step_fn(
                     world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
+                drops = pack_drop_stats(stats)
                 img = render_frame(world, camera, bank, settings,
                                    cubemap=cubemap, atlas=atlas,
                                    systems=systems, inputs=inputs)
@@ -278,12 +293,13 @@ class Engine:
         if has_shadows:
             from render_engine_tpu.render import shadows as SH2
 
-        def frames_scan(world, camera, shadow_state, inputs_batch, dts):
-            def body(carry, xs):
+        def frames_scan(world, camera, shadow_state, packed_batch):
+            def body(carry, row):
                 w, c, sh, _ = carry
-                inp, dt = xs
-                w, c, drops = step_fn(w, c, inp, dt, bank.aabb_min,
+                inp, dt = InputState.unpack_with_dt(row)
+                w, c, stats = step_fn(w, c, inp, dt, bank.aabb_min,
                                       bank.aabb_max)
+                drops = pack_drop_stats(stats)
                 if has_shadows:
                     sh = SH2.render_shadow_map(
                         sh, w, c, bank, max_tris=self.config.shadow_max_tris,
@@ -299,12 +315,11 @@ class Engine:
                                  jnp.float32)
             (world, camera, shadow_state, img), drops_seq = jax.lax.scan(
                 body, (world, camera, shadow_state, init_img),
-                (inputs_batch, dts))
-            # the LAST frame's step drop counters (drop_stats contract)
-            import jax.tree_util as jtu
-
-            last_drops = jtu.tree_map(lambda a: a[-1], drops_seq)
-            return world, camera, shadow_state, img, last_drops
+                packed_batch)
+            # per-counter MAX over the burst (same contract as step_many:
+            # a mid-burst overflow must not vanish by the last frame)
+            return world, camera, shadow_state, img, jnp.max(drops_seq,
+                                                             axis=0)
 
         self._frames_scan = jax.jit(frames_scan, donate_argnums=(0, 2))
 
@@ -412,10 +427,9 @@ class Engine:
         # the stream, so replay reconstructs it identically)
         inputs = inputs.with_prev(self._prev_keys)
         self._prev_keys = inputs.keys
-        import numpy as np
-
         t0 = time.perf_counter()
         img = None
+        packed = inputs.pack_with_dt(dt)  # ONE host->device transfer
         if use_fused:
             # ONE dispatch: step + shadow update + render. A replayed
             # fused frame re-runs this same program even when the caller
@@ -424,45 +438,49 @@ class Engine:
             if self.shadow_state is not None:
                 (self.world, self.camera, self._last_drops,
                  self.shadow_state, img) = self._frame_fused(
-                    self.world, self.camera, self.shadow_state, inputs,
-                    np.float32(dt))
+                    self.world, self.camera, self.shadow_state, packed)
             else:
                 (self.world, self.camera, self._last_drops,
                  img) = self._frame_fused(
-                    self.world, self.camera, inputs, np.float32(dt))
+                    self.world, self.camera, packed)
             if not render:
                 img = None
         else:
             self.world, self.camera, self._last_drops = self._step(
-                self.world, self.camera, inputs, np.float32(dt))
+                self.world, self.camera, packed)
             if render:
                 if self.shadow_state is not None:
                     img, self.shadow_state = self._render_shadowed(
-                        self.world, self.camera, self.shadow_state, inputs)
+                        self.world, self.camera, self.shadow_state, packed)
                 else:
                     img = self._render(self.world, self.camera,
-                                       inputs=inputs)
+                                       packed=packed)
         self.frame_index += 1
         self._frame_times.append(time.perf_counter() - t0)
         return img
+
+    def _pack_batch(self, inputs_list, dts):
+        """Chain prev_keys through the batch and pack each frame's inputs
+        into one row of a single (N, PACKED_INPUT_LEN) host array — one
+        transfer for the whole burst."""
+        import numpy as np
+
+        assert len(inputs_list) == len(dts), (len(inputs_list), len(dts))
+        rows = []
+        prev = self._prev_keys
+        for inp, dt in zip(inputs_list, dts):
+            rows.append(inp.with_prev(prev).pack_with_dt(dt))
+            prev = inp.keys
+        self._prev_keys = prev
+        return np.stack(rows)
 
     def run_frames(self, inputs_list, dts, render_last: bool = False):
         """Advance many frames in one device dispatch (scan). Returns the
         last frame's image if requested. Not for replay-recorded runs —
         see step_many's determinism note."""
-        import jax.tree_util as jtu
-
-        # chain prev_keys through the batch
-        chained = []
-        prev = self._prev_keys
-        for inp in inputs_list:
-            chained.append(inp.with_prev(prev))
-            prev = inp.keys
-        self._prev_keys = prev
-        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *chained)
-        dts = jnp.asarray(dts, jnp.float32)
+        packed_batch = self._pack_batch(inputs_list, dts)
         self.world, self.camera, self._last_drops = self._step_many(
-            self.world, self.camera, stacked, dts)
+            self.world, self.camera, packed_batch)
         self.frame_index += len(dts)
         if render_last:
             # advance the shadow round-robin by one map so the rendered
@@ -484,20 +502,11 @@ class Engine:
         assert not self.config.record_history, (
             "run_frames_rendered is for unrecorded runs; recorded runs "
             "must step through the one compiled _step program")
-        import jax.tree_util as jtu
-
-        chained = []
-        prev = self._prev_keys
-        for inp in inputs_list:
-            chained.append(inp.with_prev(prev))
-            prev = inp.keys
-        self._prev_keys = prev
-        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *chained)
-        dts = jnp.asarray(dts, jnp.float32)
+        packed_batch = self._pack_batch(inputs_list, dts)
         t0 = time.perf_counter()
         (self.world, self.camera, self.shadow_state, img,
          self._last_drops) = self._frames_scan(
-            self.world, self.camera, self.shadow_state, stacked, dts)
+            self.world, self.camera, self.shadow_state, packed_batch)
         self.frame_index += len(inputs_list)
         per = (time.perf_counter() - t0) / len(inputs_list)
         self._frame_times.extend([per] * len(inputs_list))
@@ -537,7 +546,7 @@ class Engine:
         small diagnostic jit over the current state."""
         out = {}
         if self._last_drops is not None:
-            out.update({k: int(v) for k, v in self._last_drops.items()})
+            out.update(unpack_drop_stats(self._last_drops))
         out.update(self.render_drop_stats())
         return out
 

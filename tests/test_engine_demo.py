@@ -121,10 +121,13 @@ class TestSweepKnobs:
         every existing default."""
         base = space_config(**KW)
         cfg = space_config(**KW, shadow_update_interval=3,
-                           shadow_pcf_scale=4, light_tile_budget=16)
+                           shadow_pcf_scale=4, light_tile_budget=16,
+                           shadow_lov_bias=3)
         assert cfg.shadow_update_interval == 3
         assert cfg.shadow_pcf_scale == 4
         assert cfg.render.light_tile_budget == 16
+        assert cfg.shadow_lov_bias == 3
+        assert base.shadow_lov_bias == 2  # measured default
         # defaults untouched when the knobs stay None
         assert base.shadow_update_interval == 1  # tiny CI target cadence
         assert base.shadow_pcf_scale == 3  # r5 TPU-swept default

@@ -274,7 +274,9 @@ class TestChurnStress:
             eng.frame(InputState.idle(i).with_keys(key), 1.0, render=False)
             hashes.append(world_hash(eng.world))
             if eng._last_drops is not None:
-                spawn_drops += int(eng._last_drops["spawn_dropped"])
+                from render_engine_tpu.logic.step import unpack_drop_stats
+                spawn_drops += unpack_drop_stats(
+                    eng._last_drops)["spawn_dropped"]
         alive = int(np.asarray(eng.world.alive).sum())
         # filled to (or within a kill of) capacity — OOB mine deaths can
         # free a slot between spawns

@@ -11,6 +11,38 @@ ENGINE_KW = dict(width=128, height=64, capacity=64, num_asteroids=8,
                  max_tris=1024)
 
 
+class TestPackedInputWire:
+    """pack_with_dt/unpack_with_dt: the ONE-transfer dispatch vector must
+    round-trip bit-exactly (keys, mouse, dt, and uint32 seeds above 2^24 —
+    a float round-trip of the raw seed would silently diverge replay)."""
+
+    def test_round_trip_exact(self):
+        import jax
+
+        inp = InputState.idle(seed=0xDEADBEEF).with_keys(KEY_W, 3)
+        inp = InputState(
+            keys=inp.keys,
+            mouse_delta=np.array([0.1234567, -3.25], np.float32),
+            rng_seed=np.uint32(0xDEADBEEF),
+            prev_keys=np.arange(NUM_KEYS) % 2 == 0,
+        )
+        dt = np.float32(1 / 144)
+        vec = inp.pack_with_dt(dt)
+        out, dt2 = jax.jit(InputState.unpack_with_dt)(vec)
+        assert np.array_equal(np.asarray(out.keys), inp.keys)
+        assert np.array_equal(np.asarray(out.prev_keys), inp.prev_keys)
+        assert np.array_equal(np.asarray(out.mouse_delta), inp.mouse_delta)
+        assert int(out.rng_seed) == 0xDEADBEEF
+        assert np.float32(dt2) == dt
+
+    def test_seed_edge_values(self):
+        for seed in (0, 1, 2**24 + 1, 2**31 - 1, 2**32 - 1):
+            inp = InputState.idle(seed=seed)
+            out, _ = InputState.unpack_with_dt(
+                jnp.asarray(inp.pack_with_dt(1 / 60)))
+            assert int(out.rng_seed) == seed, seed
+
+
 class TestInputHistory:
     def test_pressed_held_released(self):
         prev = jnp.zeros(NUM_KEYS, bool).at[KEY_W].set(True)
