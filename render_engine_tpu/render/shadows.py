@@ -66,6 +66,38 @@ class ShadowState:
     pcf_scale: int
 
 
+def pack_shadow_state(sh: ShadowState):
+    """ShadowState -> 4 boundary leaves (maps, maps_pcf, f32 vec, i32
+    counters). Every pytree leaf crossing a jit boundary is its own buffer
+    handle (~23 us per donated in+out pair through the axon tunnel — see
+    CLAUDE.md's dispatch rule); the five small fields ride two leaves.
+    Bit-exact: light_mats is f32 pass-through; slot ids are < 2^24 (f32
+    exact); cursor/tick stay int32."""
+    vec = jnp.concatenate([
+        sh.light_mats.reshape(-1),
+        sh.slot_entity.astype(jnp.float32),
+        sh.slot_face.astype(jnp.float32),
+    ])
+    return sh.maps, sh.maps_pcf, vec, jnp.stack([sh.cursor, sh.tick])
+
+
+def unpack_shadow_state(maps, maps_pcf, vec, counters,
+                        template: ShadowState) -> ShadowState:
+    """Traced inverse of ``pack_shadow_state`` (static config — resolution,
+    pcf_scale, slot budget — comes from ``template``)."""
+    s = template.slot_entity.shape[0]
+    return dataclasses.replace(
+        template,
+        maps=maps,
+        maps_pcf=maps_pcf,
+        light_mats=vec[:s * 16].reshape(s, 4, 4),
+        slot_entity=vec[s * 16:s * 17].astype(jnp.int32),
+        slot_face=vec[s * 17:s * 18].astype(jnp.int32),
+        cursor=counters[0],
+        tick=counters[1],
+    )
+
+
 def create_shadow_state(resolution: int = SHADOW_RES,
                         budget: int = SHADOW_BUDGET,
                         pcf_scale: int = 1) -> ShadowState:

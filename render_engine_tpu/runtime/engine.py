@@ -41,6 +41,23 @@ class Engine:
             section_length=config.section_length,
             registry=config.registry,
         )
+        # packed-boundary state (activated at finalize_scene): the camera's
+        # dynamic state crosses jit boundaries as ONE (8,) vector and the
+        # shadow state's five small fields as two leaves — every leaf is
+        # its own buffer handle at ~23 us of tunnel dispatch overhead per
+        # donated in+out pair (CLAUDE.md dispatch rule). The .camera /
+        # .shadow_state properties below unpack lazily for host reads.
+        # (Packing the WORLD the same way was measured SLOWER — the
+        # boundary tables materialize in addition to the column views the
+        # frame consumes; see CLAUDE.md dead ends.)
+        self._camvec = None
+        self._cam_template = None
+        self._camera_cache = None
+        self._camera_raw = None
+        self._shtabs = None
+        self._sh_template = None
+        self._shadow_cache = None
+        self._shadow_raw = None
         self.world = W.create_world(self.world_config)
         self.camera = camera or CameraBuilder().build()
         self.bank_builder = (
@@ -64,6 +81,74 @@ class Engine:
         if config.build_scene is not None:
             config.build_scene(self)
         self.finalize_scene()
+
+    # -- packed-boundary properties ------------------------------------------
+    # Before finalize_scene the raw objects are the truth; after it, the
+    # packed vectors are — reads rebuild the dataclass lazily (memoized
+    # until the next frame), writes repack. Bit-exact both ways.
+    @staticmethod
+    def _cam_meta(cam: Camera):
+        return (cam.fov_y, cam.aspect, cam.near, cam.far,
+                cam.draw_distance, cam.projection_kind,
+                cam.ortho_half_extent, cam.movement_factor)
+
+    @property
+    def camera(self) -> Camera:
+        if self._camvec is None:
+            return self._camera_raw
+        if self._camera_cache is None:
+            self._camera_cache = self._cam_template.apply_serialized(
+                self._camvec)
+        return self._camera_cache
+
+    @camera.setter
+    def camera(self, value: Camera):
+        if self._cam_template is None:
+            self._camera_raw = value
+            return
+        import numpy as np
+
+        rebuild = self._cam_meta(value) != self._cam_meta(self._cam_template)
+        self._cam_template = value
+        self._camvec = np.asarray(value.serialize(), np.float32)
+        self._camera_cache = value
+        if rebuild:
+            # the camera's static config is baked into the compiled
+            # programs as trace-time constants; changing it forces fresh
+            # traces — the same recompile a changed pytree treedef caused
+            # when the Camera crossed the boundary as a dataclass
+            self._build_step_programs()
+            self._build_render()
+
+    @property
+    def shadow_state(self):
+        if self._shtabs is None:
+            return self._shadow_raw
+        if self._shadow_cache is None:
+            from render_engine_tpu.render import shadows as SH
+
+            self._shadow_cache = SH.unpack_shadow_state(
+                *self._shtabs, self._sh_template)
+        return self._shadow_cache
+
+    @shadow_state.setter
+    def shadow_state(self, value):
+        if self._sh_template is None or value is None:
+            self._shadow_raw = value
+            return
+        from render_engine_tpu.render import shadows as SH
+
+        self._shtabs = tuple(SH.pack_shadow_state(value))
+        self._shadow_cache = value
+
+    def _install_frame_state(self, camv, shtabs=None):
+        """Adopt a frame program's returned packed camera/shadow state and
+        invalidate the lazy views."""
+        self._camvec = camv
+        self._camera_cache = None
+        if shtabs is not None:
+            self._shtabs = tuple(shtabs)
+            self._shadow_cache = None
 
     # -- scene setup -------------------------------------------------------
     def spawn(self, count: int, **components):
@@ -107,7 +192,7 @@ class Engine:
                       "capacity": self.config.capacity},
             )
 
-        step = make_step(
+        self._step_fn = make_step(
             tuple(self.config.entity_types),
             logic_radius=self.config.logic_radius,
             spawn_budget=self.config.spawn_budget,
@@ -117,9 +202,6 @@ class Engine:
             with_stats=True,
         )
         bank = self.bank
-        settings = self.config.render
-        cubemap = self.cubemap
-        atlas = self.atlas
 
         # compile user render systems to per-model routing + shading tables
         # (the RenderSystemBuilder -> create_render_system step,
@@ -132,7 +214,6 @@ class Engine:
             if callable(rs):
                 rs = rs(bank)
             self.compiled_systems = compile_systems(tuple(rs), bank)
-        systems = self.compiled_systems
 
         if self.config.enable_shadows:
             from render_engine_tpu.render import shadows as SH
@@ -143,17 +224,42 @@ class Engine:
                 pcf_scale=self.config.shadow_pcf_scale,
             )
 
+        # activate the packed camera/shadow boundary (properties above)
+        import numpy as np
+
+        self._cam_template = self._camera_raw
+        self._camvec = np.asarray(self._camera_raw.serialize(), np.float32)
+        self._camera_cache, self._camera_raw = self._camera_raw, None
+        if self._shadow_raw is not None:
+            from render_engine_tpu.render import shadows as SH
+
+            sh = self._shadow_raw
+            self._sh_template = sh
+            self._shtabs = tuple(SH.pack_shadow_state(sh))
+            self._shadow_cache, self._shadow_raw = sh, None
+
+        self._build_step_programs()
+        self._build_render()
+
+    def _build_step_programs(self):
+        """(Re)jit the step-only programs. Re-run (with _build_render) when
+        the camera's static config changes — see the camera setter."""
+        step = self._step_fn
+        bank = self.bank
+        cam_template = self._cam_template
+
         # every jitted program takes ONE packed f32 input vector instead of
         # (keys, mouse, seed, prev_keys, dt): each small host array is its
         # own host->device transfer, ~0.13 ms of tunnel dispatch latency
         # apiece (InputState.pack_with_dt measurement note)
-        def step_only(world, camera, packed):
+        def step_only(world, camv, packed):
+            camera = cam_template.apply_serialized(camv)
             inputs, dt = InputState.unpack_with_dt(packed)
             world, camera, stats = step(world, camera, inputs, dt,
                                         bank.aabb_min, bank.aabb_max)
             # counters ride ONE stacked vector (one output buffer handle
             # instead of six; unpacked lazily in drop_stats)
-            return world, camera, pack_drop_stats(stats)
+            return world, camera.serialize(), pack_drop_stats(stats)
 
         # BIT-DETERMINISM INVARIANT: live and replay advance world state
         # through the IDENTICAL compiled-program sequence. Two advance
@@ -163,10 +269,8 @@ class Engine:
         # recorded frame stores WHICH one advanced it and the Player
         # replays that exact choice. See docs/playback.md.
         self._step = jax.jit(step_only, donate_argnums=(0,))
-        self._step_fn = step
-        self._build_render()
 
-        def step_many(world, camera, packed_batch):
+        def step_many(world, camv, packed_batch):
             """lax.scan over a batch of frames — ONE dispatch for N steps.
 
             Amortizes host->device latency for headless/bench runs. NOTE:
@@ -175,6 +279,7 @@ class Engine:
             Drop counters are the per-counter MAX over the whole burst (a
             mid-burst overflow must not vanish by the last frame — the
             ALL-truncation-counted contract)."""
+            camera = cam_template.apply_serialized(camv)
 
             def body(carry, row):
                 w, c = carry
@@ -186,7 +291,8 @@ class Engine:
             (world, camera), drops_seq = jax.lax.scan(
                 body, (world, camera), packed_batch
             )
-            return world, camera, jnp.max(drops_seq, axis=0)
+            return (world, camera.serialize(),
+                    jnp.max(drops_seq, axis=0))
 
         self._step_many = jax.jit(step_many, donate_argnums=(0,))
 
@@ -199,8 +305,16 @@ class Engine:
         cubemap = self.cubemap
         atlas = self.atlas
         systems = self.compiled_systems
+        sh_template = self._sh_template
 
-        def render_pure(world, camera, shadow_state=None, packed=None):
+        def render_pure(world, camera, shtabs=None, packed=None):
+            # read-only render: the camera stays a PYTREE here so detached-
+            # flight cameras with different static config retrace instead
+            # of silently inheriting the engine template's constants
+            from render_engine_tpu.render import shadows as SH
+
+            shadow_state = (None if shtabs is None else
+                            SH.unpack_shadow_state(*shtabs, sh_template))
             inputs = (None if packed is None
                       else InputState.unpack_with_dt(packed)[0])
             return render_frame(world, camera, bank, settings, cubemap=cubemap,
@@ -216,7 +330,8 @@ class Engine:
             shadow_ivl = self.config.shadow_update_interval
             shadow_lov = self.config.shadow_lov_bias
 
-            def render_shadowed(world, camera, shadow_state, packed=None):
+            def render_shadowed(world, camera, shtabs, packed=None):
+                shadow_state = SH.unpack_shadow_state(*shtabs, sh_template)
                 inputs = (None if packed is None
                           else InputState.unpack_with_dt(packed)[0])
                 # the frame's single shadow-map update (<=1 new map,
@@ -233,7 +348,7 @@ class Engine:
                                    cubemap=cubemap, atlas=atlas,
                                    shadow_state=shadow_state,
                                    systems=systems, inputs=inputs)
-                return img, shadow_state
+                return img, SH.pack_shadow_state(shadow_state)
 
             self._render_shadowed = jax.jit(render_shadowed,
                                             donate_argnums=(2,))
@@ -252,7 +367,11 @@ class Engine:
             shadow_ivl = self.config.shadow_update_interval
             shadow_lov = self.config.shadow_lov_bias
 
-            def frame_fused(world, camera, shadow_state, packed):
+            cam_template = self._cam_template
+
+            def frame_fused(world, camv, shtabs, packed):
+                camera = cam_template.apply_serialized(camv)
+                shadow_state = SH.unpack_shadow_state(*shtabs, sh_template)
                 inputs, dt = InputState.unpack_with_dt(packed)
                 world, camera, stats = step_fn(
                     world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
@@ -265,12 +384,15 @@ class Engine:
                                    cubemap=cubemap, atlas=atlas,
                                    shadow_state=shadow_state,
                                    systems=systems, inputs=inputs)
-                return world, camera, drops, shadow_state, img
+                return (world, camera.serialize(), drops,
+                        SH.pack_shadow_state(shadow_state), img)
 
             self._frame_fused = jax.jit(frame_fused, donate_argnums=(0, 2))
         else:
+            cam_template = self._cam_template
 
-            def frame_fused_ns(world, camera, packed):
+            def frame_fused_ns(world, camv, packed):
+                camera = cam_template.apply_serialized(camv)
                 inputs, dt = InputState.unpack_with_dt(packed)
                 world, camera, stats = step_fn(
                     world, camera, inputs, dt, bank.aabb_min, bank.aabb_max)
@@ -278,7 +400,7 @@ class Engine:
                 img = render_frame(world, camera, bank, settings,
                                    cubemap=cubemap, atlas=atlas,
                                    systems=systems, inputs=inputs)
-                return world, camera, drops, img
+                return world, camera.serialize(), drops, img
 
             self._frame_fused = jax.jit(frame_fused_ns, donate_argnums=(0,))
 
@@ -292,8 +414,13 @@ class Engine:
         has_shadows = self.config.enable_shadows
         if has_shadows:
             from render_engine_tpu.render import shadows as SH2
+        cam_template2 = self._cam_template
 
-        def frames_scan(world, camera, shadow_state, packed_batch):
+        def frames_scan(world, camv, shtabs, packed_batch):
+            camera = cam_template2.apply_serialized(camv)
+            shadow_state = (SH2.unpack_shadow_state(*shtabs, sh_template)
+                            if has_shadows else None)
+
             def body(carry, row):
                 w, c, sh, _ = carry
                 inp, dt = InputState.unpack_with_dt(row)
@@ -318,8 +445,10 @@ class Engine:
                 packed_batch)
             # per-counter MAX over the burst (same contract as step_many:
             # a mid-burst overflow must not vanish by the last frame)
-            return world, camera, shadow_state, img, jnp.max(drops_seq,
-                                                             axis=0)
+            out_sh = (SH2.pack_shadow_state(shadow_state) if has_shadows
+                      else shadow_state)
+            return (world, camera.serialize(), out_sh, img,
+                    jnp.max(drops_seq, axis=0))
 
         self._frames_scan = jax.jit(frames_scan, donate_argnums=(0, 2))
 
@@ -435,23 +564,27 @@ class Engine:
             # fused frame re-runs this same program even when the caller
             # asked for no image (the state must advance through the
             # recorded binary; the image is simply not returned).
-            if self.shadow_state is not None:
-                (self.world, self.camera, self._last_drops,
-                 self.shadow_state, img) = self._frame_fused(
-                    self.world, self.camera, self.shadow_state, packed)
+            if self._shtabs is not None:
+                (self.world, camv, self._last_drops,
+                 shtabs, img) = self._frame_fused(
+                    self.world, self._camvec, self._shtabs, packed)
+                self._install_frame_state(camv, shtabs)
             else:
-                (self.world, self.camera, self._last_drops,
+                (self.world, camv, self._last_drops,
                  img) = self._frame_fused(
-                    self.world, self.camera, packed)
+                    self.world, self._camvec, packed)
+                self._install_frame_state(camv)
             if not render:
                 img = None
         else:
-            self.world, self.camera, self._last_drops = self._step(
-                self.world, self.camera, packed)
+            self.world, camv, self._last_drops = self._step(
+                self.world, self._camvec, packed)
+            self._install_frame_state(camv)
             if render:
-                if self.shadow_state is not None:
-                    img, self.shadow_state = self._render_shadowed(
-                        self.world, self.camera, self.shadow_state, packed)
+                if self._shtabs is not None:
+                    img, shtabs = self._render_shadowed(
+                        self.world, self.camera, self._shtabs, packed)
+                    self._install_frame_state(self._camvec, shtabs)
                 else:
                     img = self._render(self.world, self.camera,
                                        packed=packed)
@@ -479,16 +612,18 @@ class Engine:
         last frame's image if requested. Not for replay-recorded runs —
         see step_many's determinism note."""
         packed_batch = self._pack_batch(inputs_list, dts)
-        self.world, self.camera, self._last_drops = self._step_many(
-            self.world, self.camera, packed_batch)
+        self.world, camv, self._last_drops = self._step_many(
+            self.world, self._camvec, packed_batch)
+        self._install_frame_state(camv)
         self.frame_index += len(dts)
         if render_last:
             # advance the shadow round-robin by one map so the rendered
             # frame isn't N frames stale (full freshness needs the
             # per-frame paths: frame() or run_frames_rendered)
-            if self.shadow_state is not None:
-                img, self.shadow_state = self._render_shadowed(
-                    self.world, self.camera, self.shadow_state)
+            if self._shtabs is not None:
+                img, shtabs = self._render_shadowed(
+                    self.world, self.camera, self._shtabs)
+                self._install_frame_state(self._camvec, shtabs)
                 return img
             return self.render_only()
         return None
@@ -504,9 +639,10 @@ class Engine:
             "must step through the one compiled _step program")
         packed_batch = self._pack_batch(inputs_list, dts)
         t0 = time.perf_counter()
-        (self.world, self.camera, self.shadow_state, img,
+        (self.world, camv, shtabs, img,
          self._last_drops) = self._frames_scan(
-            self.world, self.camera, self.shadow_state, packed_batch)
+            self.world, self._camvec, self._shtabs, packed_batch)
+        self._install_frame_state(camv, shtabs)
         self.frame_index += len(inputs_list)
         per = (time.perf_counter() - t0) / len(inputs_list)
         self._frame_times.extend([per] * len(inputs_list))
@@ -516,8 +652,8 @@ class Engine:
         """Render the current state without stepping (detached-camera
         replay views, debug HUD)."""
         cam = camera if camera is not None else self.camera
-        if self.shadow_state is not None:
-            return self._render(self.world, cam, self.shadow_state)
+        if self._shtabs is not None:
+            return self._render(self.world, cam, self._shtabs)
         return self._render(self.world, cam)
 
     # -- stats -------------------------------------------------------------
