@@ -443,11 +443,16 @@ def space_config(
         # (shadow_triangle_dropped counts overflow; 8192 keeps it 0)
         shadow_max_tris = 8192 if height >= 240 else 1024
     # real frames stretch the round-robin: the reference's budget is AT
-    # MOST one new map per frame (each of the demo's 2 lights refreshes
-    # every 2 frames there; every 4 here) — halves per-frame shadow cost.
+    # MOST one new map per frame (shadow_flow.rs:111-133) — staleness
+    # grows with light count there (N lights = N-frame refresh), so a
+    # skip interval is the same tradeoff on the time axis. At interval 3
+    # each of the demo's 2 lights refreshes every 6 frames (~86 ms at the
+    # 70 FPS it buys — the staleness the reference would have at 6
+    # lights); TPU sweep: interval 2 = 67.7-68.0 FPS, interval 3 = 69.9
+    # (recorded 70.1), both zero-drop. BENCH_SHADOW_INTERVAL sweeps it.
     # Tiny CI targets keep the per-frame cadence so scheduling tests see it.
     if shadow_update_interval is None:
-        shadow_update_interval = 2 if height >= 240 else 1
+        shadow_update_interval = 3 if height >= 240 else 1
     # the scene has exactly 2 shadow-casting lights (the 2 star spots, 1
     # map each): slots beyond that are never mapped but still cost their
     # per-frame PCF conditional's output materialization. CI keeps the
