@@ -134,9 +134,13 @@ def bench_lights():
         num_asteroids=200, max_tris=24576,
         # 720p packs the 200-asteroid cluster into fewer tiles than 1080p:
         # the default 112 candidate budget dropped 312 candidates, 160
-        # still 45 (r5 runs); 192 covers with headroom (dynamic trip
-        # counts keep sparse tiles cheap — 83.6 FPS at 112, 79.4 at 160)
+        # still 45; 192 covers the opaque windows. The residual 8 drops at
+        # r5b were TRANSPARENT-window overflow (the wormhole/producer
+        # spheres stack >64 candidates in a 720p tile — per-class diag:
+        # trans 128 -> 0, opaque 256 -> still 8), so the transparent
+        # budget doubles here too.
         raster_tile_budget=192,
+        trans_tile_budget=128,
     )
     eng.config.record_history = False
     rng = np.random.default_rng(0)

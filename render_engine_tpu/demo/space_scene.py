@@ -430,6 +430,7 @@ def space_config(
     raster_tile_budget: int | None = None,
     collision_large_budget: int | None = None,
     shadow_lov_bias: int | None = None,
+    trans_tile_budget: int | None = None,
 ) -> EngineConfig:
     from render_engine_tpu.render.raster_jnp import RasterConfig
 
@@ -504,7 +505,9 @@ def space_config(
                               # into a handful of tiles at the spawn view —
                               # the default 16 dropped exactly those
                               raster=RasterConfig(tile_budget=raster_tile_budget,
-                                                  trans_tile_budget=64,
+                                                  trans_tile_budget=(
+                                                      trans_tile_budget
+                                                      or 64),
                                                   global_budget=32,
                                                   pair_budget=3 * max_tris)),
         entity_types=ENTITY_TYPES,
