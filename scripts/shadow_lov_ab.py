@@ -40,6 +40,7 @@ def main():
 
     os.makedirs("debug_out", exist_ok=True)
     imgs = {}
+    maps = {}
     for bias in (2, 3):
         eng = build_space_engine(width=640, height=360, capacity=512,
                                  num_asteroids=120, max_tris=16384,
@@ -47,12 +48,21 @@ def main():
                                  shadow_tile_budget=1.0,
                                  shadow_update_interval=1)
         eng.config.record_history = False
-        # the pcf_quality_ab staging: occluder on star A's spot axis at
-        # t=25, fat receiver at t=55, camera off +x looking back — a soft
-        # shadow edge crosses real pixels (the wide spawn view differs by
-        # <0.01% and would hide the comparison)
-        sp = np.array([1000.0, 984.2, 932.6])
-        cp = np.array([1026.0, 996.0, 915.0])
+        # staging: LoV bands select by distance from the LIVE (ship)
+        # camera at (1000, 1000, 1150) with draw_distance 1500, NOT the
+        # detached still camera — so the occluder must sit within
+        # 0.10 * 1500 = 150 units of the SHIP for bias 2 vs 3 to pick
+        # different meshes (band 2 icosahedron vs band 3 tetrahedron).
+        # Star A's spot at (1000, 1000, 880) beams along ~(0,-.287,.958)
+        # TOWARD the spawn region: occluder at t=200 (97 units from the
+        # ship, band 0), fat receiver at t=230; detached camera parks off
+        # +x looking at the receiver so the silhouette crosses real pixels
+        axis = np.array([0.0, -0.287, 0.958])
+        axis /= np.linalg.norm(axis)
+        light = np.array([1000.0, 1000.0, 880.0])
+        op = light + 200.0 * axis   # occluder center
+        sp = light + 230.0 * axis   # receiver center
+        cp = sp + np.array([26.0, 11.8, -17.6])
         d = sp - cp
         yaw = math.degrees(math.atan2(d[2], d[0]))
         pitch = math.degrees(math.atan2(d[1], math.hypot(d[0], d[2])))
@@ -65,8 +75,7 @@ def main():
         rock = eng.bank.model_index("asteroid")
         eng.world, _ = W.spawn_host(
             eng.world, 2,
-            position=np.array([[1000.0, 992.8, 903.9],
-                               [1000.0, 984.2, 932.6]], np.float32),
+            position=np.stack([op, sp]).astype(np.float32),
             model_id=np.array([rock, rock], np.int32),
             scale=np.array([[1.5, 1.5, 1.5], [6.0, 6.0, 6.0]], np.float32))
         eng.world = K.refresh_transforms(
@@ -83,12 +92,28 @@ def main():
         with open(path, "wb") as f:
             f.write(encode_png(arr))
         print(f"wrote {path}", flush=True)
+        # the DIRECT artifact: star A's depth map. The scene still can hide
+        # the change (the dense asteroid belt shadows the same rays at
+        # every band — the staged occluder's texels lose the depth test to
+        # nearer coarsest-band rocks either way), but the map shows every
+        # silhouette at the biased LoV
+        sh = eng.shadow_state
+        depth = np.asarray(sh.maps[0])
+        viz = np.clip((1.0 - depth) * 4.0, 0.0, 1.0)  # near = bright
+        u8 = (np.stack([viz] * 3, -1) * 255).astype(np.uint8)
+        maps[bias] = depth
+        mpath = f"debug_out/shadow_lov_map_{bias}.png"
+        with open(mpath, "wb") as f:
+            f.write(encode_png(u8))
+        print(f"wrote {mpath}", flush=True)
 
     diff = np.abs(imgs[2].astype(np.int16) - imgs[3].astype(np.int16))
     frac = float((diff.max(axis=-1) > 4).mean())
-    print(f"pixels differing by >4/255: {frac:.3%} "
-          f"(max {int(diff.max())}/255) — coarser-silhouette shadow edges "
-          "are the whole visual cost; see the two PNGs side by side")
+    mdiff = float((np.abs(maps[2] - maps[3]) > 1e-3).mean())
+    print(f"scene pixels differing by >4/255: {frac:.3%} "
+          f"(max {int(diff.max())}/255); star-A depth-map texels "
+          f"differing by >1e-3: {mdiff:.3%} — the coarser-silhouette "
+          "cost lives in the maps; see shadow_lov_map_{2,3}.png")
 
 
 if __name__ == "__main__":

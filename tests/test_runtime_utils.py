@@ -102,6 +102,64 @@ class TestRunFrames:
         )
 
 
+class TestPackedBoundaryState:
+    """The camera/shadow boundary codecs (engine round-5b wire): lazily-
+    unpacked properties must be bit-exact, a re-finalize must repack the
+    CURRENT state (bench_lights rebuilds jit fns through finalize_scene),
+    and a camera static-config change must rebuild the programs."""
+
+    def test_shadow_state_codec_round_trip(self):
+        import jax.numpy as jnp
+
+        from render_engine_tpu.render import shadows as SH
+
+        sh = SH.create_shadow_state(resolution=16, budget=3, pcf_scale=2)
+        sh = SH.ShadowState(
+            maps=sh.maps, maps_pcf=sh.maps_pcf,
+            light_mats=jnp.arange(3 * 16, dtype=jnp.float32).reshape(3, 4, 4),
+            slot_entity=jnp.array([5, -1, 2 ** 20], jnp.int32),
+            slot_face=jnp.array([0, 3, 5], jnp.int32),
+            cursor=jnp.int32(7), tick=jnp.int32(123456),
+            resolution=16, pcf_scale=2)
+        out = SH.unpack_shadow_state(*SH.pack_shadow_state(sh), sh)
+        assert np.array_equal(np.asarray(out.light_mats),
+                              np.asarray(sh.light_mats))
+        assert np.array_equal(np.asarray(out.slot_entity),
+                              np.asarray(sh.slot_entity))
+        assert np.array_equal(np.asarray(out.slot_face),
+                              np.asarray(sh.slot_face))
+        assert int(out.cursor) == 7 and int(out.tick) == 123456
+        assert out.resolution == 16 and out.pcf_scale == 2
+
+    def test_refinalize_keeps_state(self, engine_factory):
+        # dedicated slot: re-finalize rebuilds jits on the cached engine
+        eng = engine_factory(slot=7, **ENGINE_KW)
+        eng.config.record_history = False
+        eng.frame(InputState.idle(0).with_keys(KEY_W), 1 / 30)
+        pos = np.asarray(eng.world["position"]).copy()
+        cam_pos = np.asarray(eng.camera.position).copy()
+        eng.finalize_scene()  # the bench_lights rebuild pattern
+        # NOTE: finalize re-runs refresh_transforms but position columns
+        # are untouched; camera state must survive the repack bit-exactly
+        assert np.array_equal(np.asarray(eng.camera.position), cam_pos)
+        assert np.array_equal(np.asarray(eng.world["position"]), pos)
+        img = eng.frame(InputState.idle(1), 1 / 30)
+        assert img is not None
+
+    def test_camera_meta_change_rebuilds_and_applies(self, engine_factory):
+        # dedicated slot: draw_distance mutation is non-resettable config
+        eng = engine_factory(slot=8, **ENGINE_KW)
+        eng.config.record_history = False
+        eng.frame(InputState.idle(0), 1 / 30)
+        old_fused = eng._frame_fused
+        eng.set_draw_distances(draw_distance=123.0)
+        # static camera config is baked into the traces -> fresh programs
+        assert eng._frame_fused is not old_fused
+        assert float(eng.camera.draw_distance) == 123.0
+        img = eng.frame(InputState.idle(1), 1 / 30)
+        assert img is not None
+
+
 class TestStageTimer:
     def test_ewma_report(self):
         t = StageTimer()
