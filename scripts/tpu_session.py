@@ -80,17 +80,17 @@ STEPS = [
     # device trace for the next-perf-levers decisions (PCF floor, small-op
     # tail, texture rows)
     ("profile", [PY, "scripts/profile_frame.py"], 2700, {}),
-    # tail sweeps AFTER the core artifacts: pcf_scale 3 measured visually
-    # free at the bench viewpoint (0.007% of pixels differ vs scale 2,
-    # max 22/255 on the 640x360 CPU render) and should cut the PCF rows
-    # ~2.25x; interval 3 stretches the reference's <=1-map-per-frame
-    # round-robin one notch further (staleness cost only)
-    ("bench_pcf3", [PY, "bench.py"], 3000,
+    # back-sweeps AFTER the core artifacts: pcf_scale 3 and shadow
+    # interval 3 became the DEFAULTS in r5 (both TPU-measured; STATUS.md
+    # has the ladder), so the regression sweeps now measure one notch
+    # back toward the reference's cadence/quality — if the deltas drift
+    # from the recorded ~2 FPS each, something changed
+    ("bench_pcf2", [PY, "bench.py"], 3000,
      {"BENCH_DEADLINE": "2700", "BENCH_PROBE_BUDGET": "300",
-      "BENCH_PCF_SCALE": "3"}),
-    ("bench_interval3", [PY, "bench.py"], 3000,
+      "BENCH_PCF_SCALE": "2"}),
+    ("bench_interval2", [PY, "bench.py"], 3000,
      {"BENCH_DEADLINE": "2700", "BENCH_PROBE_BUDGET": "300",
-      "BENCH_SHADOW_INTERVAL": "3"}),
+      "BENCH_SHADOW_INTERVAL": "2"}),
 ]
 
 
