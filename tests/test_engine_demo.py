@@ -138,9 +138,13 @@ class TestSweepKnobs:
         measured headline budget defaults hold (112 opaque + 64 transparent
         candidates per tile, diag_budgets.py sizing)."""
         base = space_config(**KW)
-        cfg = space_config(**KW, shadow_slots=3, raster_tile_budget=128)
+        cfg = space_config(**KW, shadow_slots=3, raster_tile_budget=128,
+                           trans_tile_budget=96)
         assert cfg.shadow_slots == 3
         assert cfg.render.raster.tile_budget == 128
+        # the lights benchmark config overrides this (run_benchmarks.py
+        # doubles it to 128 for the 720p transparent-sphere stack)
+        assert cfg.render.raster.trans_tile_budget == 96
         assert base.shadow_slots == 6  # CI keeps the reference budget
         assert base.render.raster.tile_budget == 112
         assert base.render.raster.trans_tile_budget == 64
