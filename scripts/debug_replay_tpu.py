@@ -25,13 +25,16 @@ def main():
     base = eng.history.baseline_world
 
     def run(step_fn, nframes=3):
+        # the one-buffer boundary wire (round 5): camera crosses as its
+        # serialized vector, inputs+dt as ONE packed f32 vector
         world = W.restore(eng.world_config, base)
         camera = eng.history.restore_camera(eng.camera)
+        camv = np.asarray(camera.serialize(), np.float32)
         hs = []
         for i in range(nframes):
             inputs = InputState.idle(i).with_keys(KEY_W)
-            import jax.numpy as jnp
-            world, camera = step_fn(world, camera, inputs, jnp.float32(1 / 30))
+            world, camv, _stats = step_fn(world, camv,
+                                          inputs.pack_with_dt(1 / 30))
             hs.append(world_hash(world)[:12])
         return hs
 
@@ -41,16 +44,24 @@ def main():
     h2 = run(eng._step)
     print("same-jit rerun equal:", h1 == h2, h2, flush=True)
 
-    # a SECOND jit instance of the same python function
+    # a SECOND jit instance of the same python function, on the same wire
     bank = eng.bank
-    from render_engine_tpu.logic.step import make_step
+    cam_template = eng._cam_template
+    from render_engine_tpu.logic.step import make_step, pack_drop_stats
 
     step2 = make_step(tuple(eng.config.entity_types),
                       logic_radius=eng.config.logic_radius,
                       spawn_budget=eng.config.spawn_budget,
-                      collision_budget=eng.config.collision_budget)
-    f2 = jax.jit(lambda w, c, i, d: step2(w, c, i, d, bank.aabb_min,
-                                          bank.aabb_max))
+                      collision_budget=eng.config.collision_budget,
+                      with_stats=True)
+
+    def step2_packed(w, camv, packed):
+        cam = cam_template.apply_serialized(camv)
+        inp, dt = InputState.unpack_with_dt(packed)
+        w, cam, stats = step2(w, cam, inp, dt, bank.aabb_min, bank.aabb_max)
+        return w, cam.serialize(), pack_drop_stats(stats)
+
+    f2 = jax.jit(step2_packed)
     t0 = time.time()
     h3 = run(f2)
     print(f"fresh-jit {time.time()-t0:.0f}s equal:", h1 == h3, h3, flush=True)
